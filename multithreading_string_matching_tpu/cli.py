@@ -1,0 +1,290 @@
+"""Unified CLI — the five reference programs as subcommands (layer L5).
+
+Reference argv contracts (SURVEY §5 config row):
+  serial.c:            ./serial  <file.pcap> <strings.txt> [udp/tcp]
+  openmp_data.c:       ./omp     <file.pcap> <strings.txt> <threads> [udp/tcp]
+  openmp_task.c:       ./task    <file.pcap> <strings.txt> <threads> [udp/tcp]
+  live_openmp_task.c:  ./live    <interface> <strings.txt> <threads> [udp/tcp]
+  mpi_dumping.c:       mpirun ./mpi <file.pcap> <strings.txt> [udp/tcp]
+
+Here::
+
+  python -m multithreading_string_matching_tpu serial <file.pcap> <strings.txt> [udp/tcp]
+  python -m multithreading_string_matching_tpu data   <file.pcap> <strings.txt> [threads] [udp/tcp]
+  python -m multithreading_string_matching_tpu task   <file.pcap> <strings.txt> [threads] [udp/tcp]
+  python -m multithreading_string_matching_tpu live   <interface> <strings.txt> [threads] [udp/tcp]
+  python -m multithreading_string_matching_tpu mesh   <file.pcap> <strings.txt> [udp/tcp]
+  python -m multithreading_string_matching_tpu match  --pcap ... --patterns ... [options]
+
+The thread-count argument is accepted for drop-in compatibility and ignored:
+on a TPU the packet axis is vectorized on-chip and sharded across the device
+mesh, so there is no host thread pool to size (pass ``mesh`` to use every
+device).  Output is byte-compatible with the reference's report
+(utils/report.py), so ``diff`` against serial.c's output validates parity.
+
+Default packet type is UDP, as in serial.c:31.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _mode_arg(tokens: List[str], default: str = "udp") -> str:
+    """Parse the trailing [udp/tcp] token with the reference's strictness
+    (anything else prints usage and exits 1, serial.c:42-45)."""
+    if not tokens:
+        return default
+    if tokens[0] in ("udp", "tcp"):
+        return tokens[0]
+    raise SystemExit(f"unknown packet type {tokens[0]!r}: expected udp or tcp")
+
+
+def _build(args_patterns: str, engine: str = "ac"):
+    from multithreading_string_matching_tpu.api import Matcher
+
+    return Matcher.from_file(args_patterns, engine=engine)
+
+
+def _report(matcher, counts, elapsed, **kw):
+    from multithreading_string_matching_tpu.utils.report import format_report
+
+    print(format_report(matcher.patterns, counts, elapsed, **kw))
+
+
+def cmd_serial(argv: List[str]) -> int:
+    """serial.c analogue: one-shot scan of the whole file.
+
+    Timing spans ingest + extract + match, matching serial.c:111-160 (the
+    only reference program that times its pcap read)."""
+    if len(argv) < 2:
+        print("USAGE: serial <file.pcap> <strings.txt> [tcp/udp]")
+        return 1
+    mode = _mode_arg(argv[2:])
+    matcher = _build(argv[1])
+    start = time.perf_counter()
+    counts = matcher.count_pcap(argv[0], mode)
+    elapsed = time.perf_counter() - start
+    _report(matcher, counts, elapsed)
+    return 0
+
+
+def _skip_threads(argv: List[str]) -> List[str]:
+    """Drop the reference's thread-count argument if present."""
+    if argv and argv[0].isdigit():
+        return argv[1:]
+    return argv
+
+
+def cmd_data(argv: List[str]) -> int:
+    """openmp_data.c analogue: whole file in RAM, data-parallel on device.
+
+    Timing excludes the pcap read (openmp_data.c:126 starts after ingest)."""
+    if len(argv) < 2:
+        print("USAGE: data <file.pcap> <strings.txt> [threads] [tcp/udp]")
+        return 1
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+
+    mode = _mode_arg(_skip_threads(argv[2:]))
+    matcher = _build(argv[1])
+    pcap = read_pcap(argv[0])
+    start = time.perf_counter()
+    batch = extract_payloads(pcap, mode, keep_invalid=True, pad_n_to=128, pad_len_to=8)
+    counts = matcher.count_batch(batch)
+    elapsed = time.perf_counter() - start
+    _report(matcher, counts, elapsed)
+    return 0
+
+
+def cmd_task(argv: List[str]) -> int:
+    """openmp_task.c analogue: batched producer/consumer pipeline (batch=100)."""
+    if len(argv) < 2:
+        print("USAGE: task <file.pcap> <strings.txt> [threads] [tcp/udp]")
+        return 1
+    from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_pipelined
+
+    mode = _mode_arg(_skip_threads(argv[2:]))
+    matcher = _build(argv[1])
+    start = time.perf_counter()
+    counts = count_pcap_pipelined(matcher, argv[0], mode)
+    elapsed = time.perf_counter() - start
+    _report(matcher, counts, elapsed)
+    return 0
+
+
+def cmd_mesh(argv: List[str]) -> int:
+    """mpi_dumping.c analogue: packet-sharded SPMD over the device mesh with
+    a psum count merge (no Scatterv, no rank-0 funnel)."""
+    if len(argv) < 2:
+        print("USAGE: mesh <file.pcap> <strings.txt> [tcp/udp]")
+        return 1
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+    from multithreading_string_matching_tpu.parallel.mesh import (
+        make_mesh,
+        count_matches_sharded,
+    )
+
+    mode = _mode_arg(argv[2:])
+    matcher = _build(argv[1])
+    pcap = read_pcap(argv[0])
+    batch = extract_payloads(pcap, mode, pad_n_to=128, pad_len_to=8)
+    mesh = make_mesh()
+    start = time.perf_counter()
+    counts = count_matches_sharded(
+        matcher.cac, batch.payloads, batch.lengths, mesh, dup_map=matcher.ac.dup_map
+    )
+    elapsed = time.perf_counter() - start
+    _report(matcher, counts, elapsed)
+    return 0
+
+
+def cmd_live(argv: List[str]) -> int:
+    """live_openmp_task.c analogue: stream batches of 10 until SIGINT, then
+    drain and report (prints sniffed-packet total and the "Oops!" line)."""
+    if len(argv) < 2:
+        print("USAGE: live <interface> <strings.txt> [threads] [tcp/udp]")
+        return 1
+    from multithreading_string_matching_tpu.io.live import LiveSource, FileReplaySource
+    from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+    import os
+
+    mode = _mode_arg(_skip_threads(argv[2:]))
+    matcher = _build(argv[1])
+    stream = StreamMatcher(matcher)
+    stream.install_sigint()
+    # An existing file path replays offline (testing hook); otherwise open
+    # the named interface for real capture.
+    source = (
+        FileReplaySource(argv[0]) if os.path.exists(argv[0]) else LiveSource(argv[0])
+    )
+    print("Starting the sniffing process...")
+    try:
+        for batch in source:
+            stream.feed_pcap_slice(batch, mode)
+            if stream.stopped:
+                if hasattr(source, "stop"):
+                    source.stop()
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stream.uninstall_sigint()
+    _report(
+        matcher,
+        stream.counts(),
+        None,
+        sniffed=stream.packets_seen,
+        oops_line=True,
+    )
+    return 0
+
+
+def cmd_match(argv: List[str]) -> int:
+    """Modern interface with explicit flags (non-compat)."""
+    p = argparse.ArgumentParser(prog="match")
+    p.add_argument("--pcap", required=True)
+    p.add_argument("--patterns", required=True)
+    p.add_argument("--mode", choices=["udp", "tcp"], default="udp")
+    p.add_argument("--engine", choices=["ac", "kmp"], default="ac")
+    p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
+    p.add_argument("--per-packet", action="store_true")
+    p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
+    p.add_argument("--json", action="store_true")
+    a = p.parse_args(argv)
+
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+    from multithreading_string_matching_tpu.utils.timing import PhaseTimer
+
+    matcher = _build(a.patterns, engine=a.engine)
+    timer = PhaseTimer()
+    with timer.phase("ingest"):
+        pcap = read_pcap(a.pcap)
+    with timer.phase("extract"):
+        batch = extract_payloads(
+            pcap, a.mode, strict=a.strict, pad_n_to=128, pad_len_to=8
+        )
+    with timer.phase("scan"):
+        if a.sharded:
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                make_mesh,
+                count_matches_sharded,
+            )
+
+            counts = count_matches_sharded(
+                matcher.cac, batch.payloads, batch.lengths, make_mesh(),
+                dup_map=matcher.ac.dup_map,
+            )
+        else:
+            counts = matcher.count_batch(batch, per_packet=a.per_packet)
+    if a.json:
+        import json
+
+        print(
+            json.dumps(
+                {
+                    "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
+                    "counts": np.asarray(counts).tolist(),
+                    "packets": batch.num_packets,
+                    "valid_payloads": int(batch.valid.sum()),
+                    "payload_bytes": batch.total_payload_bytes,
+                    "phases": timer.phases,
+                }
+            )
+        )
+    else:
+        _report(matcher, counts, timer.total)
+        print(f"# {timer.summary()}", file=sys.stderr)
+    return 0
+
+
+COMMANDS = {
+    "serial": cmd_serial,
+    "data": cmd_data,
+    "task": cmd_task,
+    "live": cmd_live,
+    "mesh": cmd_mesh,
+    "mpi": cmd_mesh,  # alias: the MPI program's role
+    "match": cmd_match,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import os
+
+    # MSM_PLATFORM=cpu|tpu forces the JAX backend (an in-process override:
+    # some PJRT plugins install a sitecustomize that ignores JAX_PLATFORMS).
+    platform = os.environ.get("MSM_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0 if argv else 1
+    cmd = COMMANDS.get(argv[0])
+    if cmd is None:
+        print(f"unknown command {argv[0]!r}; one of {sorted(COMMANDS)}")
+        return 1
+    try:
+        return cmd(argv[1:])
+    except FileNotFoundError as e:
+        # Reference behavior: perror + exit(1) on fopen/pcap_open failure
+        # (serial.c:60-63,92-95).
+        print(f"error opening file: {e.filename or e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,53 @@
+"""Pattern-file loading (reference component C1).
+
+The reference reads whitespace-separated tokens with a ``fscanf(fp, "%s", str)``
+loop into a growable array (serial.c:53-88 and its four copies), preserving
+file order *including duplicate tokens* — the pattern list is a list, not a
+set, and every entry is reported independently (serial.c:163-166).
+
+This loader replicates that contract exactly: ``%s`` skips any run of
+whitespace (space, tab, newline, vertical tab, form feed, carriage return)
+and consumes a maximal run of non-whitespace bytes.  Patterns are returned
+as ``bytes`` because payloads are raw bytes, not text.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Union
+
+# The whitespace set of C's isspace() in the "C" locale, which is what
+# fscanf %s uses to delimit tokens.
+_C_WHITESPACE = b" \t\n\v\f\r"
+
+# serial.c:64 reads each token into `char str[100]`; a longer token would
+# overflow the buffer (UB).  We therefore treat >99-byte tokens as a hard
+# error instead of silently reproducing undefined behavior.
+MAX_PATTERN_LEN = 99
+
+
+def split_c_tokens(data: bytes) -> List[bytes]:
+    """Split raw bytes exactly as a ``fscanf("%s")`` loop would."""
+    return bytes(data).split()  # bytes.split() with no sep == C-whitespace runs
+
+
+def load_patterns(path: Union[str, os.PathLike]) -> List[bytes]:
+    """Read a strings.txt-style pattern file into an ordered list of bytes.
+
+    Duplicates are preserved (strings.txt contains e.g. ``ack`` three times
+    and each copy gets its own output line in the reference programs).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    patterns = split_c_tokens(data)
+    for p in patterns:
+        if len(p) > MAX_PATTERN_LEN:
+            raise ValueError(
+                f"pattern {p[:20]!r}... is {len(p)} bytes; the reference's "
+                f"fixed 100-byte token buffer caps patterns at {MAX_PATTERN_LEN}"
+            )
+        if not p:
+            raise ValueError("empty pattern")
+    if not patterns:
+        raise ValueError(f"no patterns found in {path!r}")
+    return patterns

@@ -1,0 +1,176 @@
+"""Classic-pcap file reading (reference component C2, ingest layer L1).
+
+The reference uses libpcap's ``pcap_open_offline`` + ``pcap_next_ex``
+(serial.c:91,115) to iterate packets one at a time and copies each packet's
+bytes into a freshly malloc'd buffer.  We replace libpcap entirely: the
+classic pcap container is a 24-byte global header followed by
+``(16-byte record header, captured bytes)`` records, which a few dozen lines
+of numpy parse directly into flat arrays.  All bundled fixtures are classic
+pcap, little-endian magic 0xa1b2c3d4, linktype 1 (Ethernet).
+
+Design notes (TPU-first):
+- The whole capture is kept as ONE flat ``uint8`` buffer plus per-packet
+  ``(offset, caplen, origlen)`` arrays.  Header decode (io/decode.py) then
+  runs as vectorized numpy gathers over that buffer — there is no per-packet
+  Python object, no per-packet copy until the final padded payload tensor is
+  materialized for the device.
+- An optional C++ fast path (native/pcap_fast.cpp) walks the record chain;
+  the numpy walker below is the portable reference implementation.
+
+Semantics notes vs the reference:
+- serial.c:117 copies and decodes ``header->len`` (the ORIGINAL length), not
+  ``header->caplen`` — undefined behavior when a packet was truncated at
+  capture time (caplen < len).  We define the spec as: decode against
+  ``origlen`` (matching the reference's arithmetic) but never read bytes
+  beyond ``caplen``; a packet whose decode would need unavailable bytes is
+  invalid.  On the bundled fixtures caplen == len for every packet, so this
+  never diverges.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Union
+import os
+
+import numpy as np
+
+MAGIC_USEC_LE = 0xA1B2C3D4
+MAGIC_USEC_BE = 0xD4C3B2A1
+MAGIC_NSEC_LE = 0xA1B23C4D
+MAGIC_NSEC_BE = 0x4D3CB2A1
+
+LINKTYPE_ETHERNET = 1
+
+_GLOBAL_HDR = struct.Struct("<IHHiIII")
+_GLOBAL_HDR_BE = struct.Struct(">IHHiIII")
+
+
+@dataclass(frozen=True)
+class PcapFile:
+    """A fully ingested capture: one flat byte buffer + per-packet indices."""
+
+    buf: np.ndarray        # uint8[total_bytes] — all captured bytes, concatenated
+    offsets: np.ndarray    # int64[N] — start of packet i's captured bytes in buf
+    caplens: np.ndarray    # int64[N] — captured length of packet i
+    origlens: np.ndarray   # int64[N] — original (on-the-wire) length of packet i
+    ts_sec: np.ndarray     # int64[N]
+    ts_frac: np.ndarray    # int64[N] — microseconds or nanoseconds (see nanos)
+    linktype: int
+    snaplen: int
+    nanos: bool
+
+    @property
+    def num_packets(self) -> int:
+        return int(self.offsets.shape[0])
+
+    def packet(self, i: int) -> np.ndarray:
+        """Captured bytes of packet i (a view into the flat buffer)."""
+        o = int(self.offsets[i])
+        return self.buf[o : o + int(self.caplens[i])]
+
+
+def _parse_global_header(head: bytes):
+    if len(head) < 24:
+        raise ValueError("pcap file shorter than its 24-byte global header")
+    magic = struct.unpack("<I", head[:4])[0]
+    if magic in (MAGIC_USEC_LE, MAGIC_NSEC_LE):
+        hdr = _GLOBAL_HDR.unpack(head[:24])
+        swapped, nanos = False, magic == MAGIC_NSEC_LE
+    elif magic in (MAGIC_USEC_BE, MAGIC_NSEC_BE):
+        hdr = _GLOBAL_HDR_BE.unpack(head[:24])
+        swapped, nanos = True, magic == MAGIC_NSEC_BE
+    else:
+        if head[:4] == b"\x0a\x0d\x0d\x0a":
+            raise ValueError("pcapng files are not supported; convert to classic pcap")
+        raise ValueError(f"not a classic pcap file (magic {head[:4].hex()})")
+    _, vmaj, vmin, _tz, _sig, snaplen, linktype = hdr
+    if (vmaj, vmin) != (2, 4):
+        # Tolerate but note other 2.x versions; the record layout is identical.
+        if vmaj != 2:
+            raise ValueError(f"unsupported pcap version {vmaj}.{vmin}")
+    return swapped, nanos, snaplen, linktype
+
+
+def read_pcap(path: Union[str, os.PathLike], *, strict: bool = True) -> PcapFile:
+    """Parse a classic pcap file into a :class:`PcapFile`.
+
+    ``strict=False`` tolerates a truncated final record (keeps the complete
+    prefix), mirroring libpcap's behavior of returning what it can read.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    swapped, nanos, snaplen, linktype = _parse_global_header(raw[:24])
+    data = np.frombuffer(raw, dtype=np.uint8)
+    total = data.shape[0]
+
+    rec = struct.Struct(">IIII" if swapped else "<IIII")
+
+    offsets, caplens, origlens, tss, tsf = [], [], [], [], []
+    pos = 24
+    while pos + 16 <= total:
+        sec, frac, incl, orig = rec.unpack_from(raw, pos)
+        pos += 16
+        if pos + incl > total:
+            if strict:
+                raise ValueError(
+                    f"truncated pcap record at byte {pos - 16}: "
+                    f"needs {incl} bytes, file has {total - pos}"
+                )
+            break
+        offsets.append(pos)
+        caplens.append(incl)
+        origlens.append(orig)
+        tss.append(sec)
+        tsf.append(frac)
+        pos += incl
+    if strict and pos != total:
+        raise ValueError(f"{total - pos} trailing bytes after last pcap record")
+
+    return PcapFile(
+        buf=data,
+        offsets=np.asarray(offsets, dtype=np.int64),
+        caplens=np.asarray(caplens, dtype=np.int64),
+        origlens=np.asarray(origlens, dtype=np.int64),
+        ts_sec=np.asarray(tss, dtype=np.int64),
+        ts_frac=np.asarray(tsf, dtype=np.int64),
+        linktype=linktype,
+        snaplen=snaplen,
+        nanos=nanos,
+    )
+
+
+def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:
+    """Read only packets [start, stop) — the per-host sharded-ingest primitive.
+
+    The distributed path (parallel/mesh.py) has each host read its own packet
+    range directly, instead of the reference's rank-0-reads-everything +
+    MPI_Scatterv funnel (mpi_dumping.c:107-161).  The record chain still has
+    to be walked (records are variable length), but only the selected range's
+    bytes are retained.
+    """
+    full = read_pcap(path)
+    start = max(0, start)
+    stop = min(full.num_packets, stop)
+    if start >= stop:
+        empty = np.zeros(0, dtype=np.int64)
+        return PcapFile(
+            buf=np.zeros(0, dtype=np.uint8),
+            offsets=empty, caplens=empty, origlens=empty,
+            ts_sec=empty, ts_frac=empty,
+            linktype=full.linktype, snaplen=full.snaplen, nanos=full.nanos,
+        )
+    lo = int(full.offsets[start])
+    hi = int(full.offsets[stop - 1] + full.caplens[stop - 1])
+    return PcapFile(
+        buf=full.buf[lo:hi].copy(),
+        offsets=full.offsets[start:stop] - lo,
+        caplens=full.caplens[start:stop],
+        origlens=full.origlens[start:stop],
+        ts_sec=full.ts_sec[start:stop],
+        ts_frac=full.ts_frac[start:stop],
+        linktype=full.linktype,
+        snaplen=full.snaplen,
+        nanos=full.nanos,
+    )

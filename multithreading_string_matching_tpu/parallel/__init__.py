@@ -1,0 +1,15 @@
+from multithreading_string_matching_tpu.parallel.mesh import (
+    make_mesh,
+    count_matches_sharded,
+    shard_batch,
+)
+from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_pipelined
+from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+
+__all__ = [
+    "make_mesh",
+    "count_matches_sharded",
+    "shard_batch",
+    "count_pcap_pipelined",
+    "StreamMatcher",
+]

@@ -1,0 +1,141 @@
+"""Distributed data-parallel matching over a device mesh (component C13).
+
+The reference's distributed path (mpi_dumping.c) is: rank 0 reads the whole
+pcap (:107-134), MPI_Scatterv ships 65,539-byte fixed records to every rank
+(:161), each rank extracts + matches its shard (:173-200), and per-pattern
+counts are MPI_Reduce(SUM)-merged to rank 0 (:202).
+
+TPU-native redesign:
+
+- the device mesh replaces the MPI communicator: ``Mesh(devices, ("packets",))``;
+- there is NO Scatterv — the packet axis of the payload tensor is sharded
+  with a ``NamedSharding``/``shard_map``, and on multi-host deployments each
+  host reads its own pcap byte-range directly
+  (:func:`io.pcap.read_pcap_range`), removing the reference's rank-0 I/O
+  funnel (its scalability bottleneck);
+- the automaton (goto/emit tables) is replicated, exactly as every MPI rank
+  re-reads strings.txt and rebuilds its prefix tables (mpi_dumping.c:75-97);
+- the count merge is ``jax.lax.psum`` over the mesh — the collective rides
+  ICI within a slice (DCN across slices), instead of MPI over TCP.
+
+Counts are integers, so the reduction is exact and order-independent: the
+sharded result is bit-identical to the single-device scan for any device
+count (tested on the 8-way CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multithreading_string_matching_tpu.ops.scan import CompiledAC
+
+PACKET_AXIS = "packets"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = PACKET_AXIS) -> Mesh:
+    """A 1-D mesh over the packet (data-parallel) axis.
+
+    Multi-host pods: pass ``jax.devices()`` after ``jax.distributed.initialize()``
+    and every process participates, exactly like MPI ranks after MPI_Init —
+    but with XLA collectives instead of MPI_Reduce.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, (axis,))
+
+
+def shard_batch(
+    payloads: np.ndarray, lengths: np.ndarray, mesh: Mesh
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad the packet axis so it divides the mesh (padding rows are length-0,
+    which the scan masks out — the analogue of mpi_dumping.c's remainder
+    handling at :149-151, without giving rank 0 extra work)."""
+    n_dev = mesh.devices.size
+    n = payloads.shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad != n:
+        payloads = np.pad(payloads, ((0, n_pad - n), (0, 0)))
+        lengths = np.pad(lengths, (0, n_pad - n))
+    return payloads, lengths
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dead", "mesh", "axis")
+)
+def _sharded_count(
+    goto_flat: jax.Array,
+    emit_ids: jax.Array,
+    emit_sub: jax.Array,
+    payloads: jax.Array,
+    lengths: jax.Array,
+    dead: int,
+    mesh: Mesh,
+    axis: str,
+) -> jax.Array:
+    """One SPMD program: local DFA scan on each device's packet shard, then a
+    psum of the per-emitting-state visit histogram (the MPI_Reduce analogue).
+    The [E] @ [E, U] emit contraction runs replicated after the collective —
+    it is tiny, and reducing the [E] histogram instead of per-pattern counts
+    keeps the collective payload minimal."""
+
+    def local(goto_flat, emit_ids, emit_sub, payloads, lengths):
+        cols = payloads.T
+        n = cols.shape[1]
+        e = emit_ids.shape[0]
+
+        def step(carry, xs):
+            st, hist = carry
+            byte, pos = xs
+            nxt = jnp.take(goto_flat, st * 256 + byte.astype(jnp.int32), axis=0)
+            nxt = jnp.where(pos < lengths, nxt, dead)
+            hist = hist + (nxt[:, None] == emit_ids[None, :]).astype(jnp.int32)
+            return (nxt, hist), None
+
+        positions = jnp.arange(cols.shape[0], dtype=jnp.int32)
+        # The carry is per-shard data: mark it varying over the mesh axis so
+        # the scan's carry types match (shard_map VMA tracking).
+        init = jax.lax.pcast(
+            (jnp.zeros((n,), jnp.int32), jnp.zeros((n, e), jnp.int32)),
+            (axis,),
+            to="varying",
+        )
+        (_, hist), _ = jax.lax.scan(step, init, (cols, positions))
+        local_hist = hist.sum(axis=0)                      # [E] per shard
+        global_hist = jax.lax.psum(local_hist, axis)       # MPI_Reduce(SUM)
+        return global_hist @ emit_sub                      # [U], replicated
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+    )(goto_flat, emit_ids, emit_sub, payloads, lengths)
+
+
+def count_matches_sharded(
+    cac: CompiledAC,
+    payloads,
+    lengths,
+    mesh: Mesh,
+    *,
+    dup_map: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Packet-sharded multi-device counting; bit-identical to the 1-device scan."""
+    axis = mesh.axis_names[0]
+    payloads, lengths = shard_batch(np.asarray(payloads), np.asarray(lengths), mesh)
+    sharding = NamedSharding(mesh, P(axis))
+    payloads = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
+    lengths = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+    counts = _sharded_count(
+        cac.goto_flat, cac.emit_ids, cac.emit_sub,
+        payloads, lengths, dead=cac.dead, mesh=mesh, axis=axis,
+    )
+    counts = np.asarray(counts)
+    if dup_map is not None:
+        counts = counts[dup_map]
+    return counts

@@ -1,0 +1,96 @@
+"""End-to-end conformance: framework counts == oracle counts == BASELINE.md.
+
+The reference's implicit test strategy is golden-output comparison against
+serial.c (SURVEY §4); these tests are that strategy made real, with the
+pure-Python oracle standing in for the C binary (variant A semantics).
+"""
+
+import numpy as np
+import pytest
+
+import oracle
+from multithreading_string_matching_tpu import (
+    Matcher,
+    extract_payloads,
+    load_patterns,
+    read_pcap,
+)
+
+# (fixture, mode, total matches variant A) — BASELINE.md conformance table
+TOTALS = [
+    ("udp.pcap", "udp", 39),
+    ("tcp.pcap", "tcp", 4),
+    ("udp_1000.pcap", "udp", 1006),
+    ("big_udp.pcap", "udp", 5752),
+    ("very_big_udp.pcap", "udp", 13863),
+]
+
+# Per-pattern spot checks from BASELINE.md
+SPOT = {
+    ("udp.pcap", "udp"): {b"http": 5, b"rpc": 7, b"id": 7, b"xml": 5},
+    ("tcp.pcap", "tcp"): {b"ubuntu": 4, b"http": 0},
+    ("udp_1000.pcap", "udp"): {b"http": 198, b"ack": 12, b"id": 214, b"port": 4},
+    ("big_udp.pcap", "udp"): {b"http": 879, b"youtube": 38, b"mozilla": 29},
+    ("very_big_udp.pcap", "udp"): {b"youtube": 6486, b"id": 4178, b"fast": 2},
+}
+
+
+@pytest.fixture(scope="module")
+def matcher(strings_path):
+    return Matcher.from_file(strings_path)
+
+
+@pytest.mark.parametrize("name,mode,total", TOTALS)
+def test_fixture_counts(reference_dir, matcher, name, mode, total):
+    batch = extract_payloads(
+        read_pcap(reference_dir / name), mode, pad_n_to=128, pad_len_to=8
+    )
+    counts = matcher.count_batch(batch)
+    assert int(counts.sum()) == total
+
+    want = np.array(
+        oracle.oracle_pcap_counts(reference_dir / name, matcher.patterns, mode)
+    )
+    assert (counts == want).all()
+
+    for pat, c in SPOT[(name, mode)].items():
+        idx = matcher.patterns.index(pat)
+        assert counts[idx] == c, pat
+
+
+def test_duplicate_patterns_reported_independently(reference_dir, matcher):
+    """strings.txt has 'ack' three times; each entry carries the same count
+    (list-not-set behavior, serial.c:163-166)."""
+    batch = extract_payloads(read_pcap(reference_dir / "udp_1000.pcap"), "udp")
+    counts = matcher.count_batch(batch)
+    idxs = [i for i, p in enumerate(matcher.patterns) if p == b"ack"]
+    assert len(idxs) == 3
+    assert all(counts[i] == 12 for i in idxs)
+
+
+def test_kmp_engine_parity(reference_dir, matcher):
+    """The conformance (per-pattern KMP) and fast (Aho-Corasick) engines
+    agree on real traffic."""
+    batch = extract_payloads(read_pcap(reference_dir / "udp.pcap"), "udp")
+    a = matcher.count_batch(batch)
+    k = matcher.count_batch(batch, engine="kmp")
+    assert (a == k).all()
+
+
+def test_keep_invalid_counts_unchanged(reference_dir, matcher):
+    """openmp_data.c keeps placeholder entries for invalid packets
+    (:143-146) while serial.c skips them (:138-140); counts agree because
+    placeholders can never match (SURVEY §7 quirk (c))."""
+    pcap = read_pcap(reference_dir / "udp_1000.pcap")
+    drop = matcher.count_batch(extract_payloads(pcap, "udp"))
+    keep = matcher.count_batch(extract_payloads(pcap, "udp", keep_invalid=True))
+    assert (drop == keep).all()
+
+
+def test_determinism(reference_dir, matcher):
+    """JAX-functional analogue of the reference's race-avoidance (SURVEY §5):
+    identical inputs give bit-identical counts across repeated runs."""
+    batch = extract_payloads(read_pcap(reference_dir / "udp.pcap"), "udp")
+    c1 = matcher.count_batch(batch)
+    c2 = matcher.count_batch(batch)
+    assert (c1 == c2).all()
