@@ -57,41 +57,46 @@ def cpu_serial_baseline(payload_list, patterns) -> float:
 
 
 def main():
+    import jax
+
+    # Persistent compile cache: remote TPU compiles can take minutes; repeat
+    # bench runs should pay them once.
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from multithreading_string_matching_tpu import (
         Matcher,
         extract_payloads,
         load_patterns,
         read_pcap,
     )
-    from multithreading_string_matching_tpu.ops.scan import count_matches_ac
     import jax
-    import jax.numpy as jnp
 
+    engine = os.environ.get("MSM_BENCH_ENGINE", "window")
     patterns = load_patterns(STRINGS)
-    matcher = Matcher(patterns)
+    matcher = Matcher(patterns, engine=engine)
     pcap = read_pcap(PCAP)
-    batch = extract_payloads(pcap, "udp", pad_n_to=1024, pad_len_to=128)
+    batch = extract_payloads(pcap, "udp")
     payload_bytes = batch.total_payload_bytes
 
-    payloads = jnp.asarray(batch.payloads)
-    lengths = jnp.asarray(batch.lengths)
+    # Stage device-resident tiles once: steady-state serving scans resident
+    # tensors; host->device staging is measured separately as "h2d".
+    t0 = time.perf_counter()
+    prep = matcher.prepare_batch(batch)
+    h2d_s = time.perf_counter() - t0
 
     def run():
-        return count_matches_ac(
-            matcher.cac, payloads, lengths, dup_map=matcher.ac.dup_map
-        )
+        return matcher.count_prepared(prep)
 
     counts = np.asarray(run())  # compile + correctness anchor
 
-    # Timed region: device scan only (steady-state serving shape).
+    # Timed region: device scan (incl. bucketed dispatch), steady state.
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = run()
     np.asarray(out)
     elapsed = (time.perf_counter() - t0) / REPS
     tpu_bps = payload_bytes / elapsed
-
-    valid = batch.lengths > 0
     payload_list = [
         batch.payloads[i, : batch.lengths[i]].tobytes()
         for i in range(batch.num_payloads)
@@ -113,8 +118,10 @@ def main():
                 "packets": int(batch.num_packets),
                 "patterns": len(patterns),
                 "total_matches": int(counts.sum()),
+                "engine": engine,
                 "device": str(jax.devices()[0]),
                 "scan_time_s": round(elapsed, 6),
+                "h2d_time_s": round(h2d_s, 6),
             }
         )
     )

@@ -27,6 +27,12 @@ from multithreading_string_matching_tpu.ops.scan import (
     count_matches_ac,
     count_matches_kmp,
 )
+from multithreading_string_matching_tpu.ops.window import (
+    WindowProgram,
+    count_matches_window,
+    count_matches_window_tiles,
+)
+from multithreading_string_matching_tpu.ops.bucketing import bucket_plan, run_bucketed
 
 # Hardware-friendly padding: lanes are 128 wide; pad the packet axis so the
 # scan's [N] carry tiles cleanly, and the byte axis to the VPU sublane count.
@@ -35,23 +41,50 @@ SUBLANE = 8
 
 
 @dataclass
+class PreparedBatch:
+    """A payload batch staged on device, optionally length-bucketed.
+
+    Staging once and reusing matters: host<->device transfer can be orders of
+    magnitude slower than the scan itself (on tunneled devices especially),
+    and production serving scans the same resident tensors repeatedly.
+    """
+
+    tiles: list                 # [(payloads_dev uint8[T, Lt], lengths_dev int32[T])]
+    row_indices: list           # [int64[rows_in_tile]] original row ids per tile
+    num_rows: int
+    total_payload_bytes: int
+
+
+@dataclass
 class Matcher:
     """Multi-pattern payload matcher with compiled automata.
 
-    ``engine='ac'`` (default): one Aho-Corasick pass per byte — the TPU fast
-    path.  ``engine='kmp'``: per-pattern KMP DFAs in lockstep — the
-    reference-shaped conformance path.  Both produce identical counts.
+    Engines (identical counts, different execution shapes):
+
+    - ``'window'`` (default): shifted-window word-compare matcher — zero
+      gathers, zero sequential dependency; the TPU speed-of-light path for
+      short patterns (ops/window.py).
+    - ``'ac'``: single Aho-Corasick DFA pass per byte — O(1) work per byte
+      regardless of pattern count; wins for very long/many patterns and
+      powers carried-state streaming.
+    - ``'kmp'``: per-pattern KMP DFAs in lockstep — the reference-shaped
+      conformance path.
+
+    ``bucketed=True`` (default) sorts packets by length into fixed row tiles
+    so padded work tracks real bytes (ops/bucketing.py).
     """
 
     patterns: List[bytes]
-    engine: str = "ac"
+    engine: str = "window"
+    bucketed: bool = True
 
     def __post_init__(self):
-        if self.engine not in ("ac", "kmp"):
+        if self.engine not in ("window", "ac", "kmp"):
             raise ValueError(f"unknown engine {self.engine!r}")
         self.patterns = [bytes(p) for p in self.patterns]
         self.ac = AhoCorasick.build(self.patterns)
         self.cac = CompiledAC.from_automaton(self.ac)
+        self.window = WindowProgram.build(self.patterns)
         self._kmp_dfas, self._kmp_accept = stack_kmp_dfas(self.patterns)
 
     @staticmethod
@@ -67,23 +100,114 @@ class Matcher:
         *,
         per_packet: bool = False,
         engine: Optional[str] = None,
+        bucketed: Optional[bool] = None,
     ) -> np.ndarray:
         """Counts over the ORIGINAL pattern list (duplicates as separate entries).
 
-        Shapes: ``int64[P]`` or ``int64[N, P]`` with ``per_packet=True``.
+        Shapes: ``int32[P]`` or ``int32[N, P]`` with ``per_packet=True``.
         """
+        bucketed = self.bucketed if bucketed is None else bucketed
+        fn = self._engine_fn(engine)
+        if bucketed:
+            return np.asarray(
+                run_bucketed(fn, payloads, lengths, per_packet=per_packet)
+            )
+        return np.asarray(fn(payloads, lengths, per_packet=per_packet))
+
+    def _engine_fn(self, engine: Optional[str]):
         engine = engine or self.engine
         if engine == "kmp":
-            counts = count_matches_kmp(
-                self._kmp_dfas, self._kmp_accept, payloads, lengths,
-                per_packet=per_packet,
+            return lambda p, l, per_packet: count_matches_kmp(
+                self._kmp_dfas, self._kmp_accept, p, l, per_packet=per_packet
             )
-            return np.asarray(counts)
-        counts = count_matches_ac(
-            self.cac, payloads, lengths,
-            per_packet=per_packet, dup_map=self.ac.dup_map,
+        if engine == "ac":
+            return lambda p, l, per_packet: count_matches_ac(
+                self.cac, p, l, per_packet=per_packet, dup_map=self.ac.dup_map
+            )
+        return lambda p, l, per_packet: count_matches_window(
+            self.window, p, l, per_packet=per_packet
         )
-        return np.asarray(counts)
+
+    # -- staged execution (device-resident tiles) --------------------------
+
+    def prepare(
+        self,
+        payloads,
+        lengths,
+        *,
+        bucketed: Optional[bool] = None,
+        n_tile: int = 2048,
+        l_quant: int = LANE,
+    ) -> PreparedBatch:
+        """Stage a batch on device once (bucketed by length by default)."""
+        payloads = np.asarray(payloads)
+        lengths = np.asarray(lengths)
+        bucketed = self.bucketed if bucketed is None else bucketed
+        tiles, rows = [], []
+        if bucketed:
+            for idx, lt in bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant):
+                tp, tl = payloads[idx, :lt], lengths[idx]
+                if tp.shape[0] < n_tile:
+                    pad = n_tile - tp.shape[0]
+                    tp = np.pad(tp, ((0, pad), (0, 0)))
+                    tl = np.pad(tl, (0, pad))
+                tiles.append((jnp.asarray(tp, jnp.uint8), jnp.asarray(tl, jnp.int32)))
+                rows.append(idx)
+        else:
+            tiles.append(
+                (jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32))
+            )
+            rows.append(np.arange(payloads.shape[0]))
+        return PreparedBatch(
+            tiles=tiles,
+            row_indices=rows,
+            num_rows=int(payloads.shape[0]),
+            total_payload_bytes=int(lengths.sum()),
+        )
+
+    def prepare_batch(self, batch: PayloadBatch, **kw) -> PreparedBatch:
+        return self.prepare(batch.payloads, batch.lengths, **kw)
+
+    def count_prepared(
+        self,
+        prep: PreparedBatch,
+        *,
+        per_packet: bool = False,
+        engine: Optional[str] = None,
+        block: bool = True,
+    ):
+        """Count over device-staged tiles; no host transfers in the hot path.
+
+        With ``block=False`` returns the (lazy) device array of summed counts
+        so callers can pipeline.
+        """
+        engine = engine or self.engine
+        if engine == "window":
+            # One dispatch for every tile: per-call round-trip latency can
+            # exceed the scan itself on remote-attached devices.
+            out = count_matches_window_tiles(
+                self.window, prep.tiles, per_packet=per_packet
+            )
+            if per_packet:
+                merged = np.zeros(
+                    (prep.num_rows, len(self.patterns)), dtype=np.int32
+                )
+                for idx, o in zip(prep.row_indices, out):
+                    merged[idx] = np.asarray(o)[: len(idx)]
+                return merged
+            return np.asarray(out) if block else out
+        fn = self._engine_fn(engine)
+        if per_packet:
+            outs = [fn(p, l, per_packet=True) for p, l in prep.tiles]
+            merged = np.zeros((prep.num_rows, len(self.patterns)), dtype=np.int32)
+            for idx, out in zip(prep.row_indices, outs):
+                merged[idx] = np.asarray(out)[: len(idx)]
+            return merged
+        total = None
+        for p, l in prep.tiles:
+            out = fn(p, l, per_packet=False)
+            total = out if total is None else total + out
+        return np.asarray(total) if block else total
 
     def count_batch(self, batch: PayloadBatch, **kw) -> np.ndarray:
         return self.count(batch.payloads, batch.lengths, **kw)

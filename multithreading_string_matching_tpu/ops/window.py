@@ -1,0 +1,209 @@
+"""Shifted-window equality matcher — the TPU speed-of-light path for short
+patterns.
+
+The reference's KMP exists to avoid re-scanning text on a mismatch — the
+right trade on a scalar CPU.  On a TPU the per-byte dependent table gather
+that a DFA scan needs is the single slowest primitive, while bulk shifts and
+byte compares are the fastest.  For short patterns (the reference corpus is
+2-12 bytes; the fscanf token buffer caps patterns at 99) the occurrence count
+has a fully data-parallel form with NO sequential dependency at all::
+
+    match[n, i] = AND_{j < m} (payload[n, i+j] == pattern[j])
+    count       = sum over (n, i with i + m <= length[n]) of match
+
+i.e. every text position is tested independently — which is exactly the
+overlapping-occurrence semantics of kmp_matcher (serial.c:190-215): an
+occurrence per position where the pattern ends.  Work is Sum(m_p) ops/byte of
+pure VPU compare/AND, with zero gathers and zero carried state; XLA fuses the
+j-loop into a handful of elementwise kernels.
+
+Chunking/streaming: a chunk needs the previous chunk's last (m_max - 1)
+bytes as a left halo — no carried DFA state, just bytes (stream/pipeline
+callers keep that tail around).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class WindowProgram(NamedTuple):
+    """Host-compiled pattern tensors for the window matcher.
+
+    Patterns are packed into little-endian uint32 words with per-word byte
+    masks, so the device compares 4 payload bytes per op.  Words past a
+    pattern's end get ``mask=0, word=0`` — ``(w & 0) == 0`` is always true,
+    so short patterns need no extra predicate.
+    """
+
+    pat_words: np.ndarray   # uint32[U, K] packed pattern words
+    pat_masks: np.ndarray   # uint32[U, K] per-word byte masks (0 past end)
+    pat_lens: np.ndarray    # int32[U]
+    dup_map: np.ndarray     # int32[P] original index -> unique index
+    max_len: int            # M (bytes)
+
+    @staticmethod
+    def build(patterns) -> "WindowProgram":
+        pats = [bytes(p) for p in patterns]
+        if not pats or any(len(p) == 0 for p in pats):
+            raise ValueError("patterns must be non-empty")
+        uniq, index, dup = [], {}, []
+        for p in pats:
+            if p not in index:
+                index[p] = len(uniq)
+                uniq.append(p)
+            dup.append(index[p])
+        m = max(len(p) for p in uniq)
+        k = -(-m // 4)
+        pw = np.zeros((len(uniq), k), dtype=np.uint32)
+        pm = np.zeros((len(uniq), k), dtype=np.uint32)
+        pl = np.zeros(len(uniq), dtype=np.int32)
+        for i, p in enumerate(uniq):
+            pl[i] = len(p)
+            padded = p + b"\x00" * (4 * k - len(p))
+            words = np.frombuffer(padded, dtype="<u4")
+            for w in range(k):
+                rem = len(p) - 4 * w
+                if rem <= 0:
+                    break
+                nb = min(4, rem)
+                mask = np.uint32(0xFFFFFFFF) if nb == 4 else np.uint32((1 << (8 * nb)) - 1)
+                pm[i, w] = mask
+                pw[i, w] = words[w] & mask
+        return WindowProgram(pw, pm, pl, np.asarray(dup, np.int32), m)
+
+
+# Patterns are processed in groups of G so the broadcast [G, N, L] compare
+# chain stays small enough for XLA to fuse straight into its reduction —
+# a full [U, N, L] intermediate would be hundreds of MB of HBM traffic.
+GROUP = 8
+
+
+def _window_one(
+    pat_words, pat_masks, pat_lens, payloads, lengths, per_packet: bool
+):
+    n, L = payloads.shape
+    U, K = pat_words.shape
+    # Right-pad so every shifted window is a static [N, L] slice, then build
+    # the little-endian 4-byte word starting at every byte position ONCE —
+    # all patterns and word offsets reuse shifted views of it.
+    x = jnp.pad(payloads, ((0, 0), (0, 4 * K + 4))).astype(jnp.uint32)
+    L4 = L + 4 * (K - 1) + 1
+
+    def shifted(j, width):
+        return jax.lax.slice(x, (0, j), (n, j + width))
+
+    w32 = (
+        shifted(0, L4)
+        | (shifted(1, L4) << 8)
+        | (shifted(2, L4) << 16)
+        | (shifted(3, L4) << 24)
+    )  # uint32[N, L4]: word starting at each position
+
+    positions = jax.lax.broadcasted_iota(jnp.int32, (n, L), 1)
+
+    outs = []
+    for g0 in range(0, U, GROUP):
+        g1 = min(g0 + GROUP, U)
+        # acc[g, n, i] = pattern g matches at position i.  One masked word
+        # compare per 4 pattern bytes; words past a pattern's end have
+        # mask 0 and word 0, which compare true automatically.
+        pw = pat_words[g0:g1]
+        pm = pat_masks[g0:g1]
+        pl = pat_lens[g0:g1]
+        acc = None
+        for k in range(K):
+            wk = jax.lax.slice(w32, (0, 4 * k), (n, 4 * k + L))   # [N, L]
+            hit = (wk[None, :, :] & pm[:, k, None, None]) == pw[:, k, None, None]
+            acc = hit if acc is None else acc & hit
+        # Position validity: the whole pattern must lie inside the payload.
+        fit = positions[None, :, :] + pl[:, None, None] <= lengths[None, :, None]
+        acc = acc & fit
+        if per_packet:
+            outs.append(acc.sum(axis=2, dtype=jnp.int32).T)       # [N, g]
+        else:
+            outs.append(acc.sum(axis=(1, 2), dtype=jnp.int32))    # [g]
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("per_packet",))
+def _window_count(
+    pat_words: jax.Array,   # uint32[U, K]
+    pat_masks: jax.Array,   # uint32[U, K]
+    pat_lens: jax.Array,    # int32[U]
+    payloads: jax.Array,    # uint8[N, L]
+    lengths: jax.Array,     # int32[N]
+    per_packet: bool = False,
+):
+    return _window_one(pat_words, pat_masks, pat_lens, payloads, lengths, per_packet)
+
+
+@functools.partial(jax.jit, static_argnames=("per_packet",))
+def _window_count_tiles(
+    pat_words, pat_masks, pat_lens, tiles, per_packet: bool = False
+):
+    """All length-bucketed tiles in ONE executable (one dispatch round-trip).
+
+    ``tiles`` is a tuple of (payloads, lengths) pairs of differing static
+    shapes.  Global counts sum across tiles; per-packet rows are returned
+    per tile for the caller to scatter back.
+    """
+    outs = [
+        _window_one(pat_words, pat_masks, pat_lens, p, l, per_packet)
+        for p, l in tiles
+    ]
+    if per_packet:
+        return tuple(outs)
+    return functools.reduce(jnp.add, outs)
+
+
+def count_matches_window(
+    wp: WindowProgram,
+    payloads,
+    lengths,
+    *,
+    per_packet: bool = False,
+    expand_duplicates: bool = True,
+):
+    """Counts via the shifted-window matcher (exact variant-A semantics)."""
+    counts = _window_count(
+        jnp.asarray(wp.pat_words),
+        jnp.asarray(wp.pat_masks),
+        jnp.asarray(wp.pat_lens),
+        jnp.asarray(payloads, jnp.uint8),
+        jnp.asarray(lengths, jnp.int32),
+        per_packet=per_packet,
+    )
+    if expand_duplicates:
+        counts = jnp.take(counts, jnp.asarray(wp.dup_map), axis=-1)
+    return counts
+
+
+def count_matches_window_tiles(
+    wp: WindowProgram,
+    tiles,
+    *,
+    per_packet: bool = False,
+    expand_duplicates: bool = True,
+):
+    """Count over a tuple of device-resident (payloads, lengths) tiles with a
+    single dispatch (see ops/bucketing.py for why tiles exist)."""
+    tiles = tuple((jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles)
+    out = _window_count_tiles(
+        jnp.asarray(wp.pat_words),
+        jnp.asarray(wp.pat_masks),
+        jnp.asarray(wp.pat_lens),
+        tiles,
+        per_packet=per_packet,
+    )
+    if not expand_duplicates:
+        return out
+    dm = jnp.asarray(wp.dup_map)
+    if per_packet:
+        return tuple(jnp.take(o, dm, axis=-1) for o in out)
+    return jnp.take(out, dm, axis=-1)
