@@ -75,17 +75,32 @@ class Matcher:
     """
 
     patterns: List[bytes]
-    engine: str = "window"
+    engine: str = "pallas"
     bucketed: bool = True
 
     def __post_init__(self):
-        if self.engine not in ("window", "ac", "kmp"):
+        if self.engine not in ("pallas", "window", "ac", "kmp"):
             raise ValueError(f"unknown engine {self.engine!r}")
         self.patterns = [bytes(p) for p in self.patterns]
         self.ac = AhoCorasick.build(self.patterns)
         self.cac = CompiledAC.from_automaton(self.ac)
         self.window = WindowProgram.build(self.patterns)
         self._kmp_dfas, self._kmp_accept = stack_kmp_dfas(self.patterns)
+        self._pallas = None  # built lazily (backend-dependent)
+
+    @property
+    def pallas(self):
+        """The pattern-specialized Pallas kernel (interpreted on CPU)."""
+        if self._pallas is None:
+            import jax
+            from multithreading_string_matching_tpu.ops.pallas_window import (
+                PallasWindowMatcher,
+            )
+
+            self._pallas = PallasWindowMatcher(
+                self.window, interpret=jax.default_backend() == "cpu"
+            )
+        return self._pallas
 
     @staticmethod
     def from_file(path: Union[str, os.PathLike], engine: str = "ac") -> "Matcher":
@@ -107,6 +122,12 @@ class Matcher:
         Shapes: ``int32[P]`` or ``int32[N, P]`` with ``per_packet=True``.
         """
         bucketed = self.bucketed if bucketed is None else bucketed
+        if (engine or self.engine) == "pallas":
+            if per_packet:
+                engine = "window"  # the Pallas kernel reduces on-chip; use XLA
+            else:
+                prep = self.prepare(payloads, lengths, bucketed=bucketed)
+                return self.count_prepared(prep, engine="pallas")
         fn = self._engine_fn(engine)
         if bucketed:
             return np.asarray(
@@ -147,6 +168,8 @@ class Matcher:
         if bucketed:
             for idx, lt in bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant):
                 tp, tl = payloads[idx, :lt], lengths[idx]
+                if tp.shape[1] < lt:  # tensor narrower than the quantized tile
+                    tp = np.pad(tp, ((0, 0), (0, lt - tp.shape[1])))
                 if tp.shape[0] < n_tile:
                     pad = n_tile - tp.shape[0]
                     tp = np.pad(tp, ((0, pad), (0, 0)))
@@ -182,6 +205,11 @@ class Matcher:
         so callers can pipeline.
         """
         engine = engine or self.engine
+        if engine == "pallas" and per_packet:
+            engine = "window"
+        if engine == "pallas":
+            out = self.pallas.count_tiles(prep.tiles)
+            return np.asarray(out) if block else out
         if engine == "window":
             # One dispatch for every tile: per-call round-trip latency can
             # exceed the scan itself on remote-attached devices.

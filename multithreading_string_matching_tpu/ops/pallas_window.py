@@ -1,0 +1,153 @@
+"""Pallas TPU kernel for the shifted-window matcher (the roofline path).
+
+The XLA version (ops/window.py) leaves >10x on the table because the
+[G, N, L] broadcast-compare chains spill intermediates to HBM.  This kernel
+keeps everything in VMEM:
+
+- grid over packet row tiles; each step loads one [TN, L] uint8 payload tile
+  and its lengths, builds the per-position little-endian uint32 word view
+  once (three lane-rolls), and
+- runs the fully unrolled compare chain for every pattern word with the
+  pattern words/masks/lengths baked into the kernel as immediates (the
+  pattern set is compile-time constant for a deployment — no SMEM loads,
+  no gathers anywhere), then
+- reduces each pattern's hit mask to a scalar and accumulates into an SMEM
+  counts vector shared across grid steps.
+
+Roll wrap-around is harmless: a wrapped word only affects positions i where
+i + m > L >= length, which the fit mask kills (see ops/window.py for the
+masking algebra).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multithreading_string_matching_tpu.ops.window import WindowProgram
+
+
+def _make_kernel(pat_words: np.ndarray, pat_masks: np.ndarray, pat_lens: np.ndarray):
+    U, K = pat_words.shape
+    pw = [[int(pat_words[u, k]) for k in range(K)] for u in range(U)]
+    pm = [[int(pat_masks[u, k]) for k in range(K)] for u in range(U)]
+    plens = [int(x) for x in pat_lens]
+
+    def kernel(payload_ref, length_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for u in range(U):
+                out_ref[u] = 0
+
+        x = payload_ref[:].astype(jnp.uint32)          # [TN, L]
+        tn, L = x.shape
+
+        def roll_left(a, s):  # pltpu.roll wants non-negative shifts
+            return pltpu.roll(a, (L - s) % L, 1)
+
+        # Little-endian word starting at every byte position.
+        x1 = roll_left(x, 1)
+        x2 = roll_left(x, 2)
+        x3 = roll_left(x, 3)
+        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]  # w[k] = word at i+4k
+        for k in range(1, K):
+            w.append(roll_left(w[0], 4 * k))
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
+        lens = length_ref[:]                            # [TN, 1] int32
+        for u in range(U):
+            acc = (w[0] & jnp.uint32(pm[u][0])) == jnp.uint32(pw[u][0])
+            for k in range(1, K):
+                if pm[u][k]:
+                    acc &= (w[k] & jnp.uint32(pm[u][k])) == jnp.uint32(pw[u][k])
+            acc &= (pos + plens[u]) <= lens
+            out_ref[u] += jnp.sum(acc.astype(jnp.int32))
+
+    return kernel
+
+
+class PallasWindowMatcher:
+    """Holds the pattern-specialized kernel + a jitted multi-tile dispatcher."""
+
+    def __init__(self, wp: WindowProgram, row_tile: int = 512, interpret: bool = False):
+        self.wp = wp
+        self.row_tile = row_tile
+        self.interpret = interpret
+        self.num_unique = int(wp.pat_words.shape[0])
+        self._kernel = _make_kernel(wp.pat_words, wp.pat_masks, wp.pat_lens)
+        self._dup = jnp.asarray(wp.dup_map)
+
+        def run_tiles(tiles):
+            outs = [self._one_tile(p, l) for p, l in tiles]
+            return functools.reduce(jnp.add, outs)
+
+        self._jit_tiles = jax.jit(run_tiles)
+
+        def run_repeated(tiles, r):
+            def body(_, total):
+                dep = jnp.minimum(total.sum(), 0)  # value 0, real dependency
+                out = None
+                for p, l in tiles:
+                    o = self._one_tile(p, l + dep)
+                    out = o if out is None else out + o
+                return total + out
+
+            return jax.lax.fori_loop(
+                0, r, body, jnp.zeros((self.num_unique,), jnp.int32)
+            )
+
+        self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
+
+    def _one_tile(self, payloads, lengths):
+        n, L = payloads.shape
+        # Pad to hardware-friendly tiles (padding rows are length-0 and the
+        # fit mask zeroes them out).
+        if L % 128:
+            payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
+            L = payloads.shape[1]
+        tn = min(self.row_tile, -(-n // 8) * 8)
+        if n % tn:
+            pad = tn - n % tn
+            payloads = jnp.pad(payloads, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+            n = payloads.shape[0]
+        return pl.pallas_call(
+            self._kernel,
+            grid=(n // tn,),
+            in_specs=[
+                pl.BlockSpec((tn, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((self.num_unique,), jnp.int32),
+            interpret=self.interpret,
+        )(payloads, lengths.reshape(-1, 1).astype(jnp.int32))
+
+    def count_tiles(self, tiles, *, expand_duplicates: bool = True):
+        """Counts over device-resident (payloads, lengths) tiles, one dispatch."""
+        tiles = tuple(
+            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
+        )
+        out = self._jit_tiles(tiles)
+        if expand_duplicates:
+            out = jnp.take(out, self._dup, axis=-1)
+        return out
+
+    def count_tiles_repeated(self, tiles, repeats: int):
+        """Run the full tile count ``repeats`` times inside one executable,
+        each pass data-dependent on the previous so none can be elided —
+        the honest way to measure steady-state scan time on devices whose
+        per-dispatch round-trip dwarfs the kernel (returns repeats x counts,
+        over unique patterns)."""
+        tiles = tuple(
+            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
+        )
+        return self._jit_repeated(tiles, r=repeats)
