@@ -86,7 +86,9 @@ def _safe_byte(buf: np.ndarray, idx: np.ndarray, ok: np.ndarray) -> np.ndarray:
     return np.where(ok, buf[np.minimum(clipped, buf.shape[0] - 1)], 0)
 
 
-def decode_headers(pcap: PcapFile, mode: str, *, strict: bool = False):
+def decode_headers(
+    pcap: PcapFile, mode: str, *, strict: bool = False, use_native: bool = True
+):
     """Vectorized validity predicate + payload geometry for every packet.
 
     Returns ``(valid bool[N], payload_off int64[N], payload_len int64[N])``
@@ -94,6 +96,13 @@ def decode_headers(pcap: PcapFile, mode: str, *, strict: bool = False):
     """
     if mode not in ("udp", "tcp"):
         raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
+    if use_native:
+        from multithreading_string_matching_tpu.io import native
+
+        if native.available():
+            return native.decode(
+                pcap.buf, pcap.offsets, pcap.caplens, pcap.origlens, mode, strict
+            )
     buf = pcap.buf
     off = pcap.offsets
     cap = pcap.caplens
@@ -156,6 +165,10 @@ def _materialize_padded(
     lmax = max(lmax, 1)
     if pad_len_to > 1:
         lmax = -(-lmax // pad_len_to) * pad_len_to
+    from multithreading_string_matching_tpu.io import native
+
+    if native.available():
+        return native.fill_padded(buf, starts, lens, lmax)
     out = np.zeros((n, lmax), dtype=np.uint8)
     total = int(lens.sum())
     if total == 0:

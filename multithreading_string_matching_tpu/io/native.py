@@ -1,0 +1,134 @@
+"""ctypes bridge to the C++ ingest fast path (native/pcap_ingest.cpp).
+
+Built on demand with g++ (cached next to the source); every routine has a
+bit-identical numpy implementation (io/pcap.py, io/decode.py) that remains
+the spec — the native path exists because the per-record Python walk and the
+per-packet fill dominate ingest wall-clock on multi-GB captures.  Falls back
+silently if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).parent.parent / "native" / "pcap_ingest.cpp"
+_SO = _SRC.parent / "libmsm_ingest.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("MSM_NO_NATIVE"):
+            return None
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.msm_parse_records.restype = ctypes.c_int64
+        lib.msm_parse_records.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
+        lib.msm_decode.restype = None
+        lib.msm_decode.argtypes = [
+            u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, u8p, i64p, i64p,
+        ]
+        lib.msm_fill_padded.restype = None
+        lib.msm_fill_padded.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def parse_records(buf: np.ndarray, swapped: bool, strict: bool):
+    """Native record walk; returns (offsets, caplens, origlens, ts_sec, ts_frac)
+    or raises ValueError on truncation in strict mode."""
+    lib = get_lib()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    count = lib.msm_parse_records(
+        _u8(buf), buf.size, int(swapped), int(strict), None, None, None, None, None
+    )
+    if count < 0:
+        raise ValueError("truncated pcap record")
+    arrs = [np.empty(count, dtype=np.int64) for _ in range(5)]
+    lib.msm_parse_records(
+        _u8(buf), buf.size, int(swapped), int(strict), *[_i64(a) for a in arrs]
+    )
+    return tuple(arrs)
+
+
+def decode(buf, offsets, caplens, origlens, mode: str, strict: bool):
+    """Native validity/geometry decode; mirrors io.decode.decode_headers."""
+    lib = get_lib()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    caplens = np.ascontiguousarray(caplens, dtype=np.int64)
+    origlens = np.ascontiguousarray(origlens, dtype=np.int64)
+    n = offsets.size
+    valid = np.empty(n, dtype=np.uint8)
+    poff = np.empty(n, dtype=np.int64)
+    plen = np.empty(n, dtype=np.int64)
+    lib.msm_decode(
+        _u8(buf), buf.size, _i64(offsets), _i64(caplens), _i64(origlens), n,
+        0 if mode == "udp" else 1, int(strict), _u8(valid), _i64(poff), _i64(plen),
+    )
+    return valid.astype(bool), poff, plen
+
+
+def fill_padded(buf, starts, lens, lmax: int) -> np.ndarray:
+    lib = get_lib()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.zeros((starts.size, lmax), dtype=np.uint8)
+    lib.msm_fill_padded(_u8(buf), _i64(starts), _i64(lens), starts.size, _u8(out), lmax)
+    return out

@@ -93,17 +93,32 @@ def _parse_global_header(head: bytes):
     return swapped, nanos, snaplen, linktype
 
 
-def read_pcap(path: Union[str, os.PathLike], *, strict: bool = True) -> PcapFile:
+def read_pcap(
+    path: Union[str, os.PathLike], *, strict: bool = True, use_native: bool = True
+) -> PcapFile:
     """Parse a classic pcap file into a :class:`PcapFile`.
 
     ``strict=False`` tolerates a truncated final record (keeps the complete
     prefix), mirroring libpcap's behavior of returning what it can read.
+    ``use_native`` takes the C++ record walk when available (bit-identical;
+    see io/native.py).
     """
     with open(path, "rb") as f:
         raw = f.read()
     swapped, nanos, snaplen, linktype = _parse_global_header(raw[:24])
     data = np.frombuffer(raw, dtype=np.uint8)
     total = data.shape[0]
+
+    if use_native:
+        from multithreading_string_matching_tpu.io import native
+
+        if native.available():
+            offs, caps, origs, tss, tsf = native.parse_records(data, swapped, strict)
+            return PcapFile(
+                buf=data, offsets=offs, caplens=caps, origlens=origs,
+                ts_sec=tss, ts_frac=tsf,
+                linktype=linktype, snaplen=snaplen, nanos=nanos,
+            )
 
     rec = struct.Struct(">IIII" if swapped else "<IIII")
 

@@ -1,0 +1,132 @@
+// Native ingest fast path: classic-pcap record walk + Ethernet/IPv4/UDP/TCP
+// payload geometry + padded-tensor fill.
+//
+// Replaces the role libpcap plays in the reference (pcap_open_offline /
+// pcap_next_ex, serial.c:91,115) and the pointer-walking extractors
+// (packet_dumping.h:87-139 UDP, :150-188 TCP) with batch routines over one
+// flat capture buffer.  Semantics are bit-identical to the vectorized numpy
+// implementation in io/decode.py (the conformance spec); tests assert
+// equality on every fixture.
+//
+// Build: g++ -O3 -shared -fPIC -o libmsm_ingest.so pcap_ingest.cpp
+// (done on demand by io/native.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline uint32_t rd32(const uint8_t *p, bool swap) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  if (swap) v = __builtin_bswap32(v);
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Walk the record chain; returns the number of complete records, or -1 on a
+// truncated record when strict != 0.  Arrays may be null (count-only pass).
+int64_t msm_parse_records(const uint8_t *buf, int64_t n, int swap, int strict,
+                          int64_t *offsets, int64_t *caplens,
+                          int64_t *origlens, int64_t *ts_sec,
+                          int64_t *ts_frac) {
+  int64_t pos = 24;  // global header
+  int64_t count = 0;
+  while (pos + 16 <= n) {
+    uint32_t sec = rd32(buf + pos, swap);
+    uint32_t frac = rd32(buf + pos + 4, swap);
+    uint32_t incl = rd32(buf + pos + 8, swap);
+    uint32_t orig = rd32(buf + pos + 12, swap);
+    pos += 16;
+    if (pos + (int64_t)incl > n) {
+      if (strict) return -1;
+      return count;
+    }
+    if (offsets) {
+      offsets[count] = pos;
+      caplens[count] = incl;
+      origlens[count] = orig;
+      ts_sec[count] = sec;
+      ts_frac[count] = frac;
+    }
+    pos += incl;
+    count++;
+  }
+  if (strict && pos != n) return -1;
+  return count;
+}
+
+// Validity + payload geometry for every packet; mirrors io/decode.py.
+// mode: 0 = udp, 1 = tcp.  Outputs: valid[i] in {0,1}, payload_off[i]
+// (relative to packet start), payload_len[i] (origlen arithmetic, >= 0).
+void msm_decode(const uint8_t *buf, int64_t nbuf, const int64_t *offsets,
+                const int64_t *caplens, const int64_t *origlens, int64_t n,
+                int mode, int strict, uint8_t *valid, int64_t *payload_off,
+                int64_t *payload_len) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t off = offsets[i];
+    const int64_t cap = caplens[i];
+    const int64_t L = origlens[i];
+    valid[i] = 0;
+    payload_off[i] = 0;
+    payload_len[i] = 0;
+
+    bool ok = true;
+    // Shared reads (guarded by caplen — the C reference would read heap
+    // garbage here; spec says invalid, see decode.py module docs).
+    const bool can_ihl = cap >= 15;
+    const int64_t ihl = can_ihl ? (buf[off + 14] & 0x0F) : 0;
+    const int64_t iplen = ihl * 4;
+    const bool can_proto = cap >= 24;
+    const int proto = can_proto ? buf[off + 14 + 9] : 0;
+
+    bool ethertype_ok = true;
+    if (strict) {
+      ethertype_ok =
+          cap >= 14 && ((buf[off + 12] << 8) | buf[off + 13]) == 0x0800;
+    }
+
+    int64_t poff;
+    if (mode == 0) {  // UDP, packet_dumping.h:87-139
+      ok = L >= 14;
+      ok = ok && (L - 14) >= 20;
+      ok = ok && can_ihl;
+      ok = ok && (L - 14) >= iplen;  // NOTE: no iplen >= 20 check (quirk)
+      ok = ok && can_proto && proto == 17;
+      ok = ok && (L - 14 - iplen) >= 8;
+      if (strict) ok = ok && iplen >= 20 && ethertype_ok;
+      poff = 14 + iplen + 8;  // +8 == sizeof(pointer) coincidence, :133
+    } else {  // TCP, packet_dumping.h:150-188 — no protocol check (quirk)
+      ok = can_ihl;
+      ok = ok && iplen >= 20;
+      const int64_t thoff_idx = off + 14 + iplen + 12;
+      const bool can_thoff = cap >= 14 + iplen + 13;
+      ok = ok && can_thoff;
+      const int64_t tcplen = ok ? ((buf[thoff_idx] >> 4) * 4) : 0;
+      ok = ok && tcplen >= 20;
+      if (strict) ok = ok && can_proto && proto == 6 && ethertype_ok;
+      poff = 14 + iplen + (ok ? ((buf[thoff_idx] >> 4) * 4) : 0);
+    }
+    ok = ok && (L - poff) >= 0;  // C would wrap unsigned; we reject
+    if (ok) {
+      valid[i] = 1;
+      payload_off[i] = poff;
+      payload_len[i] = L - poff;
+    }
+  }
+}
+
+// Scatter variable-length payload slices into a zero-padded [n, lmax] tensor.
+void msm_fill_padded(const uint8_t *buf, const int64_t *starts,
+                     const int64_t *lens, int64_t n, uint8_t *out,
+                     int64_t lmax) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t len = lens[i];
+    if (len > 0) std::memcpy(out + i * lmax, buf + starts[i], (size_t)len);
+  }
+}
+
+}  // extern "C"

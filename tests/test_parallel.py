@@ -1,0 +1,114 @@
+"""Mesh sharding, pipeline, and streaming vs the one-shot scan.
+
+The reference's correctness story for its parallel variants is "same printed
+counts as serial" (SURVEY §4); these tests are that, executed on the 8-device
+CPU mesh (the Vagrant-VM analogue, README.md:19).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from multithreading_string_matching_tpu import (
+    Matcher,
+    extract_payloads,
+    load_patterns,
+    read_pcap,
+)
+from multithreading_string_matching_tpu.parallel.mesh import (
+    count_matches_sharded,
+    make_mesh,
+    shard_batch,
+)
+from multithreading_string_matching_tpu.parallel.pipeline import (
+    count_pcap_pipelined,
+    iter_batches,
+)
+from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+from multithreading_string_matching_tpu.io.live import FileReplaySource
+
+
+@pytest.fixture(scope="module")
+def matcher(strings_path):
+    return Matcher.from_file(strings_path)
+
+
+@pytest.fixture(scope="module")
+def udp1000(reference_dir, matcher):
+    batch = extract_payloads(read_pcap(reference_dir / "udp_1000.pcap"), "udp")
+    counts = matcher.count_batch(batch)
+    return batch, counts
+
+
+def test_sharded_equals_single(reference_dir, matcher, udp1000):
+    batch, want = udp1000
+    for ndev in (1, 2, 8):
+        mesh = make_mesh(jax.devices("cpu")[:ndev])
+        got = count_matches_sharded(
+            matcher.cac, batch.payloads, batch.lengths, mesh,
+            dup_map=matcher.ac.dup_map,
+        )
+        assert (got == want).all(), f"ndev={ndev}"
+
+
+def test_shard_batch_pads_to_divisible():
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    p = np.ones((13, 16), np.uint8)
+    l = np.full(13, 16, np.int32)
+    p2, l2 = shard_batch(p, l, mesh)
+    assert p2.shape[0] % 8 == 0
+    assert l2[13:].sum() == 0  # padding rows are length-0
+
+
+def test_pipeline_equals_oneshot(reference_dir, matcher, udp1000):
+    _, want = udp1000
+    got = count_pcap_pipelined(matcher, reference_dir / "udp_1000.pcap", "udp")
+    assert (got == want).all()
+    # non-default batch size exercises the short-final-batch path
+    got37 = count_pcap_pipelined(
+        matcher, reference_dir / "udp_1000.pcap", "udp", batch_size=37
+    )
+    assert (got37 == want).all()
+
+
+def test_iter_batches_shapes(reference_dir):
+    pcap = read_pcap(reference_dir / "udp.pcap")
+    batches = list(iter_batches(pcap, "udp", batch_size=8))
+    assert len(batches) == 3  # 20 packets / 8
+    for p, l in batches:
+        assert p.shape[0] == 8
+        assert p.shape[1] % 2 == 0
+
+
+def test_stream_matches_oneshot(reference_dir, matcher, udp1000):
+    _, want = udp1000
+    stream = StreamMatcher(matcher, batch_size=10)
+    for part in FileReplaySource(reference_dir / "udp_1000.pcap", batch_size=10):
+        stream.feed_pcap_slice(part, "udp")
+    assert stream.packets_seen == 1000
+    assert (stream.counts() == want).all()
+
+
+def test_stream_long_payload_chunked(matcher):
+    """A payload longer than the stream window goes through the carried-state
+    chunk path; straddling matches must count once."""
+    stream = StreamMatcher(matcher, fixed_len=64)
+    rng = np.random.default_rng(4)
+    payload = rng.integers(0, 256, size=(1, 300)).astype(np.uint8)
+    payload[0, 60:64] = np.frombuffer(b"http", np.uint8)  # straddles 64-edge
+    lengths = np.array([300], np.int32)
+    stream.feed_batch(payload, lengths)
+    want = matcher.count(payload, lengths)
+    assert (stream.counts() == want).all()
+
+
+def test_stream_sigint_flag(matcher):
+    import os, signal
+
+    stream = StreamMatcher(matcher)
+    stream.install_sigint()
+    try:
+        os.kill(os.getpid(), signal.SIGINT)
+        assert stream.stopped
+    finally:
+        stream.uninstall_sigint()
