@@ -120,28 +120,27 @@ def cmd_task(argv: List[str]) -> int:
 
 def cmd_mesh(argv: List[str]) -> int:
     """mpi_dumping.c analogue: packet-sharded SPMD over the device mesh with
-    a psum count merge (no Scatterv, no rank-0 funnel)."""
+    a psum count merge (no Scatterv, no rank-0 funnel).
+
+    Multi-host: set MSM_COORDINATOR / MSM_NUM_PROCESSES / MSM_PROCESS_ID on
+    every host; each host ingests only its own packet range.  Rank 0 prints,
+    as in mpi_dumping.c:208-215."""
     if len(argv) < 2:
         print("USAGE: mesh <file.pcap> <strings.txt> [tcp/udp]")
         return 1
-    from multithreading_string_matching_tpu.io.pcap import read_pcap
-    from multithreading_string_matching_tpu.io.decode import extract_payloads
-    from multithreading_string_matching_tpu.parallel.mesh import (
-        make_mesh,
-        count_matches_sharded,
+    import jax
+
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_distributed,
+        initialize_from_env,
     )
 
+    initialize_from_env()
     mode = _mode_arg(argv[2:])
     matcher = _build(argv[1])
-    pcap = read_pcap(argv[0])
-    batch = extract_payloads(pcap, mode, pad_n_to=128, pad_len_to=8)
-    mesh = make_mesh()
-    start = time.perf_counter()
-    counts = count_matches_sharded(
-        matcher.cac, batch.payloads, batch.lengths, mesh, dup_map=matcher.ac.dup_map
-    )
-    elapsed = time.perf_counter() - start
-    _report(matcher, counts, elapsed)
+    res = count_pcap_distributed(matcher, argv[0], mode)
+    if jax.process_index() == 0:
+        _report(matcher, res.counts, res.elapsed_max_s)
     return 0
 
 

@@ -1,0 +1,170 @@
+"""Multi-host distributed matching — the full mpi_dumping.c replacement.
+
+Reference shape (mpi_dumping.c): MPI_Init (:29), rank 0 reads the WHOLE pcap
+(:107-134), MPI_Scatterv ships fixed 65,539-byte packet records to every
+rank (:161), ranks match their shard (:173-200), MPI_Reduce(SUM) merges
+counts at rank 0 (:202), MPI_Reduce(MAX) merges elapsed (:206).
+
+TPU-native shape (this module):
+
+1. ``jax.distributed.initialize()`` replaces MPI_Init — one JAX process per
+   host, all chips of the pod slice form one global device mesh.
+2. NO Scatterv and NO rank-0 I/O funnel: every host reads only ITS packet
+   range of the capture directly (``read_pcap_range``), so ingest bandwidth
+   scales with hosts instead of being serialized through rank 0 (the
+   reference's scalability ceiling — rank 0 must hold all packets at 64 KiB
+   each).
+3. The pattern program is replicated per host, exactly as every MPI rank
+   re-reads strings.txt and rebuilds its prefix tables (mpi_dumping.c:75-97).
+4. Per-host shards become ONE global array via
+   ``jax.make_array_from_process_local_data``; the count merge is a single
+   ``psum`` riding ICI/DCN (mesh.py), replicated to every host — no
+   root-rank asymmetry.
+5. Elapsed time is max-reduced across hosts (``process_allgather`` + max),
+   the MPI_Reduce(MAX) analogue (mpi_dumping.c:203-206).
+
+Single-process runs degenerate to the local mesh path, so the same code
+serves 1 chip to a full pod.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multithreading_string_matching_tpu.io.pcap import read_pcap, read_pcap_range
+from multithreading_string_matching_tpu.io.decode import extract_payloads
+from multithreading_string_matching_tpu.parallel.mesh import (
+    PACKET_AXIS,
+    _sharded_count,
+    _sharded_count_window,
+    make_mesh,
+)
+
+
+def initialize_from_env() -> bool:
+    """Join the process group if coordinator env vars are present.
+
+    Set ``MSM_COORDINATOR`` (host:port), ``MSM_NUM_PROCESSES``, and
+    ``MSM_PROCESS_ID`` on every host — the mrahtz/mpi-vagrant analogue
+    (README.md:19) without mpirun.  Returns True if distributed mode is on.
+    """
+    coord = os.environ.get("MSM_COORDINATOR")
+    if not coord:
+        return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["MSM_NUM_PROCESSES"]),
+        process_id=int(os.environ["MSM_PROCESS_ID"]),
+    )
+    return True
+
+
+@dataclass
+class DistributedResult:
+    counts: np.ndarray          # over the original (duplicated) pattern list
+    elapsed_max_s: float        # slowest host's extract+scan time (MPI_Wtime analogue)
+    local_packets: int
+    local_payload_bytes: int
+
+
+def count_pcap_distributed(
+    matcher,
+    pcap_path,
+    mode: str = "udp",
+    *,
+    strict: bool = False,
+    engine: str = "window",
+    mesh=None,
+) -> DistributedResult:
+    """Count patterns over a pcap sharded across all participating hosts."""
+    procs = jax.process_count()
+    rank = jax.process_index()
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    # --- per-host ingest of this host's packet range (no rank-0 funnel) ---
+    # Each host walks the record chain (cheap native walk) and keeps only its
+    # contiguous range.
+    total_packets = read_pcap(pcap_path).num_packets
+    share = -(-total_packets // procs)
+    start, stop = rank * share, min(total_packets, (rank + 1) * share)
+    pcap = read_pcap_range(pcap_path, start, stop)
+
+    t0 = time.perf_counter()
+    batch = extract_payloads(pcap, mode, strict=strict, keep_invalid=True)
+
+    # --- agree on a global padded width (hosts may differ) ---
+    local_l = batch.payloads.shape[1]
+    if procs > 1:
+        from jax.experimental import multihost_utils
+
+        all_l = multihost_utils.process_allgather(jnp.asarray([local_l]))
+        global_l = int(np.max(np.asarray(all_l)))
+    else:
+        global_l = local_l
+    global_l = -(-global_l // 128) * 128
+
+    # Pad this host's rows to exactly `share` and width to global_l; padding
+    # rows are length-0 (masked by the scan).
+    payloads = batch.payloads
+    lengths = batch.lengths
+    if payloads.shape[1] < global_l:
+        payloads = np.pad(payloads, ((0, 0), (0, global_l - payloads.shape[1])))
+    rows = -(-share // (n_dev // procs)) * (n_dev // procs)
+    if payloads.shape[0] < rows:
+        pad = rows - payloads.shape[0]
+        payloads = np.pad(payloads, ((0, pad), (0, 0)))
+        lengths = np.pad(lengths, (0, pad))
+
+    # --- assemble the global sharded array from per-host shards ---
+    sharding = NamedSharding(mesh, P(axis))
+    if procs > 1:
+        g_pay = jax.make_array_from_process_local_data(
+            sharding, payloads, (rows * procs, global_l)
+        )
+        g_len = jax.make_array_from_process_local_data(
+            sharding, lengths, (rows * procs,)
+        )
+    else:
+        g_pay = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
+        g_len = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+
+    # --- SPMD scan + psum merge ---
+    if engine == "window":
+        w = matcher.window
+        counts_u = _sharded_count_window(
+            jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
+            jnp.asarray(w.pat_lens), g_pay, g_len, mesh=mesh, axis=axis,
+        )
+    else:
+        cac = matcher.cac
+        counts_u = _sharded_count(
+            cac.goto_flat, cac.emit_ids, cac.emit_sub,
+            g_pay, g_len, dead=cac.dead, mesh=mesh, axis=axis,
+        )
+    dup = matcher.window.dup_map if engine == "window" else matcher.ac.dup_map
+    counts = np.asarray(counts_u)[dup]
+    elapsed = time.perf_counter() - t0
+
+    # --- elapsed = max over hosts (MPI_Reduce MAX analogue) ---
+    if procs > 1:
+        from jax.experimental import multihost_utils
+
+        all_e = multihost_utils.process_allgather(jnp.asarray([elapsed]))
+        elapsed = float(np.max(np.asarray(all_e)))
+
+    return DistributedResult(
+        counts=counts,
+        elapsed_max_s=elapsed,
+        local_packets=pcap.num_packets,
+        local_payload_bytes=int(batch.lengths.sum()),
+    )

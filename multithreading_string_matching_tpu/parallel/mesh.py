@@ -117,6 +117,34 @@ def _sharded_count(
     )(goto_flat, emit_ids, emit_sub, payloads, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_count_window(
+    pat_words: jax.Array,
+    pat_masks: jax.Array,
+    pat_lens: jax.Array,
+    payloads: jax.Array,
+    lengths: jax.Array,
+    mesh: Mesh,
+    axis: str,
+) -> jax.Array:
+    """Window-engine SPMD counting: each device runs the gather-free
+    shifted-window matcher on its packet shard, then one psum merges the
+    per-unique-pattern counts (the fast-path flavor of the MPI_Reduce
+    analogue)."""
+    from multithreading_string_matching_tpu.ops.window import _window_one
+
+    def local(pw, pm, pl, payloads, lengths):
+        counts = _window_one(pw, pm, pl, payloads, lengths, per_packet=False)
+        return jax.lax.psum(counts, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+    )(pat_words, pat_masks, pat_lens, payloads, lengths)
+
+
 def count_matches_sharded(
     cac: CompiledAC,
     payloads,
@@ -124,17 +152,32 @@ def count_matches_sharded(
     mesh: Mesh,
     *,
     dup_map: Optional[np.ndarray] = None,
+    engine: str = "ac",
+    window=None,
 ) -> np.ndarray:
-    """Packet-sharded multi-device counting; bit-identical to the 1-device scan."""
+    """Packet-sharded multi-device counting; bit-identical to the 1-device scan.
+
+    ``engine='window'`` (pass the ``WindowProgram`` as ``window``) uses the
+    fast shifted-window matcher per shard instead of the AC DFA scan.
+    """
     axis = mesh.axis_names[0]
     payloads, lengths = shard_batch(np.asarray(payloads), np.asarray(lengths), mesh)
     sharding = NamedSharding(mesh, P(axis))
     payloads = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
     lengths = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
-    counts = _sharded_count(
-        cac.goto_flat, cac.emit_ids, cac.emit_sub,
-        payloads, lengths, dead=cac.dead, mesh=mesh, axis=axis,
-    )
+    if engine == "window":
+        assert window is not None, "pass window=WindowProgram for engine='window'"
+        counts = _sharded_count_window(
+            jnp.asarray(window.pat_words),
+            jnp.asarray(window.pat_masks),
+            jnp.asarray(window.pat_lens),
+            payloads, lengths, mesh=mesh, axis=axis,
+        )
+    else:
+        counts = _sharded_count(
+            cac.goto_flat, cac.emit_ids, cac.emit_sub,
+            payloads, lengths, dead=cac.dead, mesh=mesh, axis=axis,
+        )
     counts = np.asarray(counts)
     if dup_map is not None:
         counts = counts[dup_map]

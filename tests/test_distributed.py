@@ -1,0 +1,72 @@
+"""Multi-PROCESS distributed path: 2 JAX processes on CPU, real collectives.
+
+This is the closest single-machine analogue to the reference's Vagrant-VM
+MPI testing (README.md:19): separate OS processes, a real coordinator, a
+real psum across process boundaries.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+from multithreading_string_matching_tpu import Matcher, load_patterns
+from multithreading_string_matching_tpu.parallel.distributed import count_pcap_distributed
+
+ref = sys.argv[4]
+m = Matcher(load_patterns(ref + "/strings.txt"))
+res = count_pcap_distributed(m, ref + "/udp_1000.pcap", "udp", engine=sys.argv[6])
+if int(sys.argv[3]) == 0:
+    with open(sys.argv[5], "w") as f:
+        json.dump({"counts": res.counts.tolist(),
+                   "local_packets": res.local_packets}, f)
+"""
+
+
+@pytest.mark.parametrize("engine", ["window", "ac"])
+def test_two_process_distributed(reference_dir, tmp_path, engine):
+    out = tmp_path / "counts.json"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    port = 19765 + (os.getpid() + (0 if engine == "window" else 1)) % 2000
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, "2", str(i),
+             str(reference_dir), str(out), engine],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    import json
+
+    data = json.loads(out.read_text())
+    # Conformance: same counts as the single-device oracle-checked totals.
+    import oracle
+
+    from multithreading_string_matching_tpu import load_patterns
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    want = oracle.oracle_pcap_counts(reference_dir / "udp_1000.pcap", pats, "udp")
+    assert data["counts"] == list(want)
+    assert data["local_packets"] == 500  # this rank's shard, not the whole file
