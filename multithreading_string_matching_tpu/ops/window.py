@@ -85,8 +85,20 @@ GROUP = 8
 
 
 def _window_one(
-    pat_words, pat_masks, pat_lens, payloads, lengths, per_packet: bool
+    pat_words, pat_masks, pat_lens, payloads, lengths, per_packet: bool,
+    min_end: int = 0, min_start: int = 0,
 ):
+    """Core tile matcher.
+
+    ``min_end``: count only matches whose END index is >= min_end.  Used by
+    halo-chunked streaming: a chunk is processed with the previous chunk's
+    last (m_max - 1) bytes prepended, and min_end = halo width assigns every
+    match to exactly one chunk (the one its end falls in) — a match never
+    needs forward bytes, so a backward halo is sufficient and exact.
+    ``min_start``: count only matches starting at/after this index — the
+    very first chunk of a stream has a fabricated all-zero halo, and a
+    NUL-containing pattern must not match into it.
+    """
     n, L = payloads.shape
     U, K = pat_words.shape
     # Right-pad so every shifted window is a static [N, L] slice, then build
@@ -124,6 +136,11 @@ def _window_one(
         # Position validity: the whole pattern must lie inside the payload.
         fit = positions[None, :, :] + pl[:, None, None] <= lengths[None, :, None]
         acc = acc & fit
+        if min_end:
+            # end index = i + m - 1 must fall at/after min_end
+            acc = acc & (positions[None, :, :] + pl[:, None, None] - 1 >= min_end)
+        if min_start:
+            acc = acc & (positions[None, :, :] >= min_start)
         if per_packet:
             outs.append(acc.sum(axis=2, dtype=jnp.int32).T)       # [N, g]
         else:
@@ -182,6 +199,52 @@ def count_matches_window(
     if expand_duplicates:
         counts = jnp.take(counts, jnp.asarray(wp.dup_map), axis=-1)
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("first",))
+def _window_chunk(pat_words, pat_masks, pat_lens, chunk, rel_len, halo, first: bool):
+    H = halo.shape[1]
+    C = chunk.shape[1]
+    x = jnp.concatenate([halo, chunk], axis=1)            # [N, H+C]
+    # Valid bytes: the halo plus whatever of the payload remains; capping at
+    # the array width keeps match ends inside this chunk's real bytes.
+    eff_len = jnp.minimum(jnp.clip(rel_len, 0, None) + H, H + C).astype(jnp.int32)
+    counts = _window_one(
+        pat_words, pat_masks, pat_lens, x, eff_len,
+        per_packet=False, min_end=H, min_start=H if first else 0,
+    )
+    return counts, x[:, -H:]
+
+
+def window_stream_chunk(
+    wp: WindowProgram, chunk, rel_len, halo=None, *, expand_duplicates: bool = True
+):
+    """Scan one chunk of per-lane byte streams with a carried byte halo.
+
+    ``rel_len``: remaining payload bytes from this chunk's first column
+    (values > chunk width mean the payload continues).  ``halo=None`` marks
+    the stream start.  Returns ``(counts, new_halo)``; feeding consecutive
+    chunks sums to exactly the unchunked counts, matches straddling chunk
+    edges included (see _window_one docstring for the assignment argument).
+    """
+    chunk = jnp.asarray(chunk, jnp.uint8)
+    n = chunk.shape[0]
+    H = max(int(wp.max_len) - 1, 1)
+    first = halo is None
+    if first:
+        halo = jnp.zeros((n, H), jnp.uint8)
+    counts, new_halo = _window_chunk(
+        jnp.asarray(wp.pat_words),
+        jnp.asarray(wp.pat_masks),
+        jnp.asarray(wp.pat_lens),
+        chunk,
+        jnp.asarray(rel_len, jnp.int32),
+        halo,
+        first=first,
+    )
+    if expand_duplicates:
+        counts = jnp.take(counts, jnp.asarray(wp.dup_map), axis=-1)
+    return counts, new_halo
 
 
 def count_matches_window_tiles(

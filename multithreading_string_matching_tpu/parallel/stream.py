@@ -35,10 +35,21 @@ DEFAULT_BATCH = 10  # live_openmp_task.c:142
 
 
 class StreamMatcher:
-    def __init__(self, matcher, batch_size: int = DEFAULT_BATCH, fixed_len: int = 2048):
+    """Engine 'window' (default): whole-packet batches via the shifted-window
+    matcher; long payloads chunked with a carried byte halo.  Engine 'ac':
+    the Aho-Corasick path with carried DFA states — same counts."""
+
+    def __init__(
+        self,
+        matcher,
+        batch_size: int = DEFAULT_BATCH,
+        fixed_len: int = 2048,
+        engine: str = "window",
+    ):
         self.matcher = matcher
         self.batch_size = batch_size
         self.fixed_len = fixed_len
+        self.engine = engine
         self._counts: Optional[jax.Array] = None
         self._chunk_states: Optional[jax.Array] = None
         self.packets_seen = 0
@@ -80,30 +91,58 @@ class StreamMatcher:
         if n_pad != n0:
             payloads = np.pad(payloads, ((0, n_pad - n0), (0, 0)))
             lengths = np.pad(lengths, (0, n_pad - n0))
-        counts = count_matches_ac(
-            self.matcher.cac,
-            jnp.asarray(payloads),
-            jnp.asarray(lengths),
-            dup_map=self.matcher.ac.dup_map,
-        )
+        if self.engine == "ac":
+            counts = count_matches_ac(
+                self.matcher.cac,
+                jnp.asarray(payloads),
+                jnp.asarray(lengths),
+                dup_map=self.matcher.ac.dup_map,
+            )
+        else:
+            from multithreading_string_matching_tpu.ops.window import (
+                count_matches_window,
+            )
+
+            counts = count_matches_window(
+                self.matcher.window, payloads, lengths
+            )
         self._counts = counts if self._counts is None else self._counts + counts
 
     def _feed_long(self, payloads: np.ndarray, lengths: np.ndarray):
-        """Chunk the byte axis with carried DFA state (straddle-correct)."""
+        """Chunk the byte axis with carried state (straddle-correct): a byte
+        halo for the window engine, DFA states for the AC engine."""
         n, L = payloads.shape
-        states = jnp.zeros((n,), dtype=jnp.int32)
+        if self.engine == "ac":
+            states = jnp.zeros((n,), dtype=jnp.int32)
+            for start in range(0, L, self.fixed_len):
+                chunk = payloads[:, start : start + self.fixed_len]
+                if chunk.shape[1] < self.fixed_len:
+                    chunk = np.pad(
+                        chunk, ((0, 0), (0, self.fixed_len - chunk.shape[1]))
+                    )
+                rel = np.clip(lengths - start, 0, None).astype(np.int32)
+                counts, states = count_matches_ac(
+                    self.matcher.cac,
+                    jnp.asarray(chunk),
+                    jnp.asarray(rel),
+                    initial_states=states,
+                    dup_map=self.matcher.ac.dup_map,
+                    return_states=True,
+                )
+                self._counts = (
+                    counts if self._counts is None else self._counts + counts
+                )
+            return
+        from multithreading_string_matching_tpu.ops.window import window_stream_chunk
+
+        halo = None
         for start in range(0, L, self.fixed_len):
             chunk = payloads[:, start : start + self.fixed_len]
             if chunk.shape[1] < self.fixed_len:
                 chunk = np.pad(chunk, ((0, 0), (0, self.fixed_len - chunk.shape[1])))
-            rel = np.clip(lengths - start, 0, None).astype(np.int32)
-            counts, states = count_matches_ac(
-                self.matcher.cac,
-                jnp.asarray(chunk),
-                jnp.asarray(rel),
-                initial_states=states,
-                dup_map=self.matcher.ac.dup_map,
-                return_states=True,
+            rel = (lengths - start).astype(np.int32)
+            counts, halo = window_stream_chunk(
+                self.matcher.window, chunk, rel, halo
             )
             self._counts = counts if self._counts is None else self._counts + counts
 

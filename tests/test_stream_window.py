@@ -1,0 +1,87 @@
+"""Halo-chunked window streaming: chunk sums == unchunked counts exactly."""
+
+import numpy as np
+import pytest
+
+from oracle import count_overlapping
+from multithreading_string_matching_tpu.ops.window import (
+    WindowProgram,
+    count_matches_window,
+    window_stream_chunk,
+)
+from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+
+PATS = [b"ab", b"aba", b"b", b"abab", b"ca", b"abcdefgh", b"\x00ab"]
+
+
+def _stream(wp, payloads, lengths, chunk):
+    n, L = payloads.shape
+    halo = None
+    total = None
+    for start in range(0, L, chunk):
+        c = payloads[:, start : start + chunk]
+        if c.shape[1] < chunk:
+            c = np.pad(c, ((0, 0), (0, chunk - c.shape[1])))
+        counts, halo = window_stream_chunk(
+            wp, c, (lengths - start).astype(np.int32), halo
+        )
+        total = np.asarray(counts) if total is None else total + np.asarray(counts)
+    return total
+
+
+@pytest.mark.parametrize("chunk", [8, 16, 64, 128])
+def test_chunked_equals_unchunked(chunk):
+    rng = np.random.default_rng(21)
+    wp = WindowProgram.build(PATS)
+    payloads = rng.integers(0, 3, size=(12, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=12).astype(np.int32)
+    want = np.asarray(count_matches_window(wp, payloads, lengths))
+    got = _stream(wp, payloads, lengths, chunk)
+    assert (got == want).all(), chunk
+
+
+def test_straddling_match_counted_once():
+    wp = WindowProgram.build([b"abcdefgh"])
+    payloads = np.zeros((1, 32), np.uint8)
+    payloads[0, 12:20] = np.frombuffer(b"abcdefgh", np.uint8)  # straddles 16
+    lengths = np.array([32], np.int32)
+    got = _stream(wp, payloads, lengths, 16)
+    assert got.tolist() == [1]
+
+
+def test_nul_pattern_does_not_match_initial_halo():
+    """The stream-start halo is fabricated zeros; \\x00-led patterns must not
+    match into it (min_start guard)."""
+    wp = WindowProgram.build([b"\x00\x00a"])
+    payloads = np.zeros((1, 16), np.uint8)
+    payloads[0, 0] = ord("a")  # stream starts "a..." — no match exists
+    lengths = np.array([16], np.int32)
+    got = _stream(wp, payloads, lengths, 8)
+    # naive: text = "a" + 15 NULs -> pattern "\0\0a" occurs 0 times
+    assert got.tolist() == [0]
+
+
+def test_nul_pattern_across_chunks():
+    wp = WindowProgram.build([b"\x00\x00a"])
+    text = bytes([0, 0]) + b"a" + bytes([0, 0]) + b"a" + b"xx"
+    payloads = np.frombuffer(text, np.uint8)[None, :].copy()
+    lengths = np.array([len(text)], np.int32)
+    want = count_overlapping(text, b"\x00\x00a")
+    got = _stream(wp, payloads, lengths, 4)
+    assert got.tolist() == [want] == [2]
+
+
+def test_stream_matcher_window_engine_long_payload(strings_path):
+    from multithreading_string_matching_tpu import Matcher, load_patterns
+
+    m = Matcher(load_patterns(strings_path))
+    rng = np.random.default_rng(22)
+    payload = rng.integers(0, 256, size=(2, 300)).astype(np.uint8)
+    payload[0, 62:66] = np.frombuffer(b"http", np.uint8)   # straddles 64
+    payload[1, 126:130] = np.frombuffer(b"rpc!", np.uint8)[:4]
+    lengths = np.array([300, 290], np.int32)
+    want = m.count(payload, lengths)
+    for engine in ("window", "ac"):
+        s = StreamMatcher(m, fixed_len=64, engine=engine)
+        s.feed_batch(payload, lengths)
+        assert (s.counts() == want).all(), engine
