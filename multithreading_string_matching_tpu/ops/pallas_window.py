@@ -68,6 +68,8 @@ def _make_kernel(pat_words: np.ndarray, pat_masks: np.ndarray, pat_lens: np.ndar
             for k in range(1, K):
                 if pm[u][k]:
                     acc &= (w[k] & jnp.uint32(pm[u][k])) == jnp.uint32(pw[u][k])
+            # (a per-length shared fit-mask cache was tried here: no speedup,
+            # and the cached masks blow the scoped-VMEM budget on wide tiles)
             acc &= (pos + plens[u]) <= lens
             out_ref[u] += jnp.sum(acc.astype(jnp.int32))
 
@@ -113,7 +115,10 @@ class PallasWindowMatcher:
         if L % 128:
             payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
             L = payloads.shape[1]
-        tn = min(self.row_tile, -(-n // 8) * 8)
+        # VMEM budget: ~10-12 live uint32 [tn, L] temporaries (word views,
+        # rolls, masks) must fit in ~12 MB of scoped VMEM -> cap tn by width.
+        vmem_cap = max(8, (250_000 // L) // 8 * 8)
+        tn = min(self.row_tile, vmem_cap, -(-n // 8) * 8)
         if n % tn:
             pad = tn - n % tn
             payloads = jnp.pad(payloads, ((0, pad), (0, 0)))
