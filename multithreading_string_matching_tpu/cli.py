@@ -191,24 +191,44 @@ def cmd_match(argv: List[str]) -> int:
     p.add_argument("--pcap", required=True)
     p.add_argument("--patterns", required=True)
     p.add_argument("--mode", choices=["udp", "tcp"], default="udp")
-    p.add_argument("--engine", choices=["ac", "kmp"], default="ac")
+    p.add_argument(
+        "--engine", choices=["pallas", "window", "ac", "kmp"], default="pallas"
+    )
     p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
     p.add_argument("--per-packet", action="store_true")
     p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
+    p.add_argument("--config", metavar="FILE", help="load a MatchConfig JSON (flags override)")
     a = p.parse_args(argv)
 
     from multithreading_string_matching_tpu.io.pcap import read_pcap
     from multithreading_string_matching_tpu.io.decode import extract_payloads
     from multithreading_string_matching_tpu.utils.timing import PhaseTimer
+    from multithreading_string_matching_tpu.utils.config import MatchConfig
 
-    matcher = _build(a.patterns, engine=a.engine)
+    cfg = MatchConfig.load(a.config) if a.config else MatchConfig()
+    cfg.pcap = a.pcap or cfg.pcap
+    cfg.patterns = a.patterns or cfg.patterns
+    cfg.mode, cfg.engine, cfg.strict = a.mode, a.engine, a.strict
+    cfg.per_packet = a.per_packet
+    cfg.profile_dir = a.profile or cfg.profile_dir
+    cfg.validate()
+
+    profiler_cm = None
+    if cfg.profile_dir:
+        import jax
+
+        profiler_cm = jax.profiler.trace(cfg.profile_dir)
+        profiler_cm.__enter__()
+
+    matcher = _build(cfg.patterns, engine=cfg.engine)
     timer = PhaseTimer()
     with timer.phase("ingest"):
-        pcap = read_pcap(a.pcap)
+        pcap = read_pcap(cfg.pcap)
     with timer.phase("extract"):
         batch = extract_payloads(
-            pcap, a.mode, strict=a.strict, pad_n_to=128, pad_len_to=8
+            pcap, cfg.mode, strict=cfg.strict, pad_n_to=128, pad_len_to=8
         )
     with timer.phase("scan"):
         if a.sharded:
@@ -217,12 +237,16 @@ def cmd_match(argv: List[str]) -> int:
                 count_matches_sharded,
             )
 
+            eng = "window" if cfg.engine in ("pallas", "window") else "ac"
             counts = count_matches_sharded(
                 matcher.cac, batch.payloads, batch.lengths, make_mesh(),
-                dup_map=matcher.ac.dup_map,
+                dup_map=matcher.window.dup_map if eng == "window" else matcher.ac.dup_map,
+                engine=eng, window=matcher.window,
             )
         else:
-            counts = matcher.count_batch(batch, per_packet=a.per_packet)
+            counts = matcher.count_batch(batch, per_packet=cfg.per_packet)
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
     if a.json:
         import json
 
@@ -244,6 +268,32 @@ def cmd_match(argv: List[str]) -> int:
     return 0
 
 
+def cmd_synth(argv: List[str]) -> int:
+    """Generate a synthetic UDP capture (mega_udp.pcap stand-in).
+
+    USAGE: synth <out.pcap> <num_packets> [payload_len] [strings.txt]
+    """
+    if len(argv) < 2:
+        print("USAGE: synth <out.pcap> <num_packets> [payload_len] [strings.txt]")
+        return 1
+    from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
+    from multithreading_string_matching_tpu.io.patterns import load_patterns
+
+    payload_len = int(argv[2]) if len(argv) > 2 else 1024
+    patterns = load_patterns(argv[3]) if len(argv) > 3 else None
+    total = synth_udp_pcap(
+        argv[0],
+        int(argv[1]),
+        payload_len=payload_len,
+        payload_len_jitter=payload_len // 4,
+        patterns=patterns,
+        plant_rate=0.05,
+        invalid_rate=0.02,
+    )
+    print(f"wrote {argv[0]}: {argv[1]} packets, {total} payload bytes")
+    return 0
+
+
 COMMANDS = {
     "serial": cmd_serial,
     "data": cmd_data,
@@ -252,6 +302,7 @@ COMMANDS = {
     "mesh": cmd_mesh,
     "mpi": cmd_mesh,  # alias: the MPI program's role
     "match": cmd_match,
+    "synth": cmd_synth,
 }
 
 

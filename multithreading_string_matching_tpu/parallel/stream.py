@@ -150,6 +150,29 @@ class StreamMatcher:
         batch = extract_payloads(pcap, mode, keep_invalid=True)
         self.feed_batch(batch.payloads, batch.lengths)
 
+    # -- checkpoint / resume -------------------------------------------------
+    # The reference's live program loses all counts on a hard kill
+    # (live_openmp_task.c prints only after graceful SIGINT).  Streams here
+    # can checkpoint between batches and resume exactly.
+
+    def save(self, path):
+        np.savez(
+            path,
+            counts=self.counts(),
+            packets_seen=np.int64(self.packets_seen),
+            patterns=np.array([p.decode("latin-1") for p in self.matcher.patterns]),
+        )
+
+    def load(self, path):
+        data = np.load(path, allow_pickle=False)
+        pats = [p.encode("latin-1") for p in data["patterns"].tolist()]
+        if pats != self.matcher.patterns:
+            raise ValueError("checkpoint pattern list does not match matcher")
+        import jax.numpy as jnp
+
+        self._counts = jnp.asarray(data["counts"])
+        self.packets_seen = int(data["packets_seen"])
+
     # -- results -----------------------------------------------------------
 
     def counts(self) -> np.ndarray:
