@@ -107,6 +107,27 @@ def main():
             out = matcher.count_prepared(prep)
         elapsed = (time.perf_counter() - t0) / REPS
     tpu_bps = payload_bytes / elapsed
+    # Secondary: sustained rate at production scale (the bundled corpus is
+    # 1.3 MB — launch overhead visible; mega_udp.pcap is absent upstream, so
+    # synthesize its stand-in: 100k packets x ~1 KB).
+    mega_bps = None
+    if engine == "pallas" and not os.environ.get("MSM_BENCH_NO_MEGA"):
+        from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
+
+        mega = pathlib.Path("/tmp/msm_mega.pcap")
+        if not mega.exists():
+            synth_udp_pcap(
+                mega, 100_000, payload_len=1024, payload_len_jitter=256,
+                patterns=patterns, plant_rate=0.05, seed=1,
+            )
+        mb = extract_payloads(read_pcap(mega), "udp")
+        mp = matcher.prepare_batch(mb)
+        r = max(10, REPS // 5)
+        np.asarray(matcher.pallas.count_tiles_repeated(mp.tiles, r))
+        t0 = time.perf_counter()
+        np.asarray(matcher.pallas.count_tiles_repeated(mp.tiles, r))
+        mega_bps = mb.total_payload_bytes / ((time.perf_counter() - t0) / r)
+
     payload_list = [
         batch.payloads[i, : batch.lengths[i]].tobytes()
         for i in range(batch.num_payloads)
@@ -132,6 +153,7 @@ def main():
                 "device": str(jax.devices()[0]),
                 "scan_time_s": round(elapsed, 6),
                 "h2d_time_s": round(h2d_s, 6),
+                "mega_100mb_bytes_per_sec": round(mega_bps, 1) if mega_bps else None,
             }
         )
     )
