@@ -254,6 +254,16 @@ class Matcher:
         )
         return self.count_batch(batch, **kw)
 
+    def find_matches(self, payloads, lengths) -> np.ndarray:
+        """Match offsets: int64[K, 3] rows of (packet, start, unique_pattern_idx).
+
+        ``self.window.dup_map`` maps original pattern indices to the unique
+        indices in column 2; ``self.window.unique_patterns`` hold the bytes.
+        """
+        from multithreading_string_matching_tpu.ops.window import find_matches
+
+        return find_matches(self.window, payloads, lengths)
+
     # -- streaming (carried DFA state across chunks) ----------------------
 
     def streaming_state(self, num_lanes: int) -> jax.Array:

@@ -46,6 +46,7 @@ class WindowProgram(NamedTuple):
     pat_lens: np.ndarray    # int32[U]
     dup_map: np.ndarray     # int32[P] original index -> unique index
     max_len: int            # M (bytes)
+    unique_patterns: tuple  # the deduplicated pattern bytes, build order
 
     @staticmethod
     def build(patterns) -> "WindowProgram":
@@ -75,7 +76,7 @@ class WindowProgram(NamedTuple):
                 mask = np.uint32(0xFFFFFFFF) if nb == 4 else np.uint32((1 << (8 * nb)) - 1)
                 pm[i, w] = mask
                 pw[i, w] = words[w] & mask
-        return WindowProgram(pw, pm, pl, np.asarray(dup, np.int32), m)
+        return WindowProgram(pw, pm, pl, np.asarray(dup, np.int32), m, tuple(uniq))
 
 
 # Patterns are processed in groups of G so the broadcast [G, N, L] compare
@@ -199,6 +200,64 @@ def count_matches_window(
     if expand_duplicates:
         counts = jnp.take(counts, jnp.asarray(wp.dup_map), axis=-1)
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("g0", "g1"))
+def _window_bitmap_group(pat_words, pat_masks, pat_lens, payloads, lengths, g0: int, g1: int):
+    """Match bitmap acc[g, n, i] for one pattern group (offset extraction)."""
+    n, L = payloads.shape
+    U, K = pat_words.shape
+    x = jnp.pad(payloads, ((0, 0), (0, 4 * K + 4))).astype(jnp.uint32)
+    L4 = L + 4 * (K - 1) + 1
+
+    def shifted(j, width):
+        return jax.lax.slice(x, (0, j), (n, j + width))
+
+    w32 = (
+        shifted(0, L4) | (shifted(1, L4) << 8)
+        | (shifted(2, L4) << 16) | (shifted(3, L4) << 24)
+    )
+    pw = pat_words[g0:g1]
+    pm = pat_masks[g0:g1]
+    pl = pat_lens[g0:g1]
+    acc = None
+    for k in range(K):
+        wk = jax.lax.slice(w32, (0, 4 * k), (n, 4 * k + L))
+        hit = (wk[None, :, :] & pm[:, k, None, None]) == pw[:, k, None, None]
+        acc = hit if acc is None else acc & hit
+    positions = jax.lax.broadcasted_iota(jnp.int32, (n, L), 1)
+    fit = positions[None, :, :] + pl[:, None, None] <= lengths[None, :, None]
+    return acc & fit
+
+
+def find_matches(wp: WindowProgram, payloads, lengths, *, group: int = GROUP):
+    """Exact match OFFSETS: int64[K, 3] rows of (packet, start, unique_pattern).
+
+    The reference only ever reports counts; offsets are the natural extra
+    the position-parallel formulation provides (counts == len(rows) per
+    pattern).  Streams pattern groups through a jitted bitmap kernel and
+    nonzeros on the host — intended for inspection/forensics, not the
+    counting hot path.
+    """
+    payloads = jnp.asarray(payloads, jnp.uint8)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    U = wp.pat_words.shape[0]
+    pw = jnp.asarray(wp.pat_words)
+    pm = jnp.asarray(wp.pat_masks)
+    pl = jnp.asarray(wp.pat_lens)
+    rows = []
+    for g0 in range(0, U, group):
+        g1 = min(g0 + group, U)
+        bitmap = np.asarray(
+            _window_bitmap_group(pw, pm, pl, payloads, lengths, g0=g0, g1=g1)
+        )
+        g, n, i = np.nonzero(bitmap)
+        if g.size:
+            rows.append(np.stack([n, i, g + g0], axis=1))
+    if not rows:
+        return np.zeros((0, 3), dtype=np.int64)
+    out = np.concatenate(rows, axis=0)
+    return out[np.lexsort((out[:, 2], out[:, 1], out[:, 0]))]
 
 
 @functools.partial(jax.jit, static_argnames=("first",))
