@@ -21,7 +21,6 @@ import os
 import pathlib
 import struct
 import subprocess
-import sys
 import time
 
 import numpy as np

@@ -9,8 +9,8 @@ configurations over it (cli.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Union
+from dataclasses import dataclass
+from typing import List, Optional, Union
 import os
 
 import jax
@@ -61,12 +61,13 @@ class Matcher:
 
     Engines (identical counts, different execution shapes):
 
-    - ``'window'`` (default): shifted-window word-compare matcher — zero
-      gathers, zero sequential dependency; the TPU speed-of-light path for
-      short patterns (ops/window.py).
+    - ``'pallas'`` (default): the shifted-window word-compare matcher as a
+      hand-tiled VMEM kernel (ops/pallas_window.py) — the roofline path.
+    - ``'window'``: the same algorithm in pure XLA — zero gathers, zero
+      sequential dependency (ops/window.py); portable fallback.
     - ``'ac'``: single Aho-Corasick DFA pass per byte — O(1) work per byte
       regardless of pattern count; wins for very long/many patterns and
-      powers carried-state streaming.
+      powers carried-DFA-state streaming.
     - ``'kmp'``: per-pattern KMP DFAs in lockstep — the reference-shaped
       conformance path.
 
@@ -103,7 +104,7 @@ class Matcher:
         return self._pallas
 
     @staticmethod
-    def from_file(path: Union[str, os.PathLike], engine: str = "ac") -> "Matcher":
+    def from_file(path: Union[str, os.PathLike], engine: str = "pallas") -> "Matcher":
         return Matcher(load_patterns(path), engine=engine)
 
     # -- core counting ----------------------------------------------------
@@ -122,7 +123,7 @@ class Matcher:
         Shapes: ``int32[P]`` or ``int32[N, P]`` with ``per_packet=True``.
         """
         bucketed = self.bucketed if bucketed is None else bucketed
-        if (engine or self.engine) == "pallas":
+        if self._resolve_engine(engine) == "pallas":
             if per_packet:
                 engine = "window"  # the Pallas kernel reduces on-chip; use XLA
             else:
@@ -134,6 +135,19 @@ class Matcher:
                 run_bucketed(fn, payloads, lengths, per_packet=per_packet)
             )
         return np.asarray(fn(payloads, lengths, per_packet=per_packet))
+
+    def _resolve_engine(self, engine: Optional[str]) -> str:
+        """'pallas' quietly degrades to the XLA window matcher on CPU hosts
+        (interpret-mode Pallas is for tests only; MSM_PALLAS_INTERPRET=1
+        forces it)."""
+        engine = engine or self.engine
+        if (
+            engine == "pallas"
+            and jax.default_backend() == "cpu"
+            and not os.environ.get("MSM_PALLAS_INTERPRET")
+        ):
+            return "window"
+        return engine
 
     def _engine_fn(self, engine: Optional[str]):
         engine = engine or self.engine
@@ -204,7 +218,7 @@ class Matcher:
         With ``block=False`` returns the (lazy) device array of summed counts
         so callers can pipeline.
         """
-        engine = engine or self.engine
+        engine = self._resolve_engine(engine)
         if engine == "pallas" and per_packet:
             engine = "window"
         if engine == "pallas":

@@ -45,7 +45,7 @@ def _mode_arg(tokens: List[str], default: str = "udp") -> str:
     raise SystemExit(f"unknown packet type {tokens[0]!r}: expected udp or tcp")
 
 
-def _build(args_patterns: str, engine: str = "ac"):
+def _build(args_patterns: str, engine: str = "pallas"):
     from multithreading_string_matching_tpu.api import Matcher
 
     return Matcher.from_file(args_patterns, engine=engine)

@@ -44,8 +44,6 @@ ihl >= 5 for UDP, and ip_p == IPPROTO_TCP for TCP mode.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 from multithreading_string_matching_tpu.io.pcap import PcapFile

@@ -30,7 +30,7 @@ Built entirely on the host in numpy; the device sees three dense tensors:
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -23,7 +23,7 @@ and it equals ``m`` precisely at positions where an occurrence ends.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
