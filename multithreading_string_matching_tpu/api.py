@@ -98,8 +98,12 @@ class Matcher:
                 PallasWindowMatcher,
             )
 
+            # prepare()/extract_payloads zero-pad rows past their lengths,
+            # which unlocks the kernel's no-fit fast path.
             self._pallas = PallasWindowMatcher(
-                self.window, interpret=jax.default_backend() == "cpu"
+                self.window,
+                interpret=jax.default_backend() == "cpu",
+                assume_zero_padded=True,
             )
         return self._pallas
 
@@ -179,6 +183,15 @@ class Matcher:
         lengths = np.asarray(lengths)
         bucketed = self.bucketed if bucketed is None else bucketed
         tiles, rows = [], []
+
+        def sanitize(tp, tl):
+            # Enforce the staged-batch invariant: bytes past each row's true
+            # length are ZERO (extract_payloads already guarantees this; an
+            # arbitrary caller buffer might not).  The Pallas kernel's no-fit
+            # fast path relies on it.
+            cols = np.arange(tp.shape[1], dtype=np.int64)[None, :]
+            return np.where(cols < tl[:, None], tp, 0).astype(np.uint8)
+
         if bucketed:
             for idx, lt in bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant):
                 tp, tl = payloads[idx, :lt], lengths[idx]
@@ -188,11 +201,13 @@ class Matcher:
                     pad = n_tile - tp.shape[0]
                     tp = np.pad(tp, ((0, pad), (0, 0)))
                     tl = np.pad(tl, (0, pad))
+                tp = sanitize(tp, tl)
                 tiles.append((jnp.asarray(tp, jnp.uint8), jnp.asarray(tl, jnp.int32)))
                 rows.append(idx)
         else:
+            tp = sanitize(payloads, lengths)
             tiles.append(
-                (jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32))
+                (jnp.asarray(tp, jnp.uint8), jnp.asarray(lengths, jnp.int32))
             )
             rows.append(np.arange(payloads.shape[0]))
         return PreparedBatch(

@@ -33,7 +33,19 @@ from jax.experimental.pallas import tpu as pltpu
 from multithreading_string_matching_tpu.ops.window import WindowProgram
 
 
-def _make_kernel(pat_words: np.ndarray, pat_masks: np.ndarray, pat_lens: np.ndarray):
+def _make_kernel(
+    pat_words: np.ndarray,
+    pat_masks: np.ndarray,
+    pat_lens: np.ndarray,
+    use_fit: bool,
+):
+    """``use_fit=False`` is the NUL-free fast path: payload rows are zero-
+    padded past their true length (io/decode + api.prepare guarantee it), so
+    with ZERO-EXTENDING shifted windows any window poking past the payload
+    contains a 0x00 byte and cannot equal a NUL-free pattern — the
+    per-pattern (pos + m <= len) mask (2 ops x U per position) collapses
+    into ~5 shared window-sanitizing ops.  Any pattern containing NUL forces
+    ``use_fit=True`` (exact mask per pattern)."""
     U, K = pat_words.shape
     pw = [[int(pat_words[u, k]) for k in range(K)] for u in range(U)]
     pm = [[int(pat_masks[u, k]) for k in range(K)] for u in range(U)]
@@ -49,28 +61,38 @@ def _make_kernel(pat_words: np.ndarray, pat_masks: np.ndarray, pat_lens: np.ndar
 
         x = payload_ref[:].astype(jnp.uint32)          # [TN, L]
         tn, L = x.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
 
         def roll_left(a, s):  # pltpu.roll wants non-negative shifts
             return pltpu.roll(a, (L - s) % L, 1)
 
-        # Little-endian word starting at every byte position.
-        x1 = roll_left(x, 1)
-        x2 = roll_left(x, 2)
-        x3 = roll_left(x, 3)
-        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]  # w[k] = word at i+4k
-        for k in range(1, K):
-            w.append(roll_left(w[0], 4 * k))
+        def shifted(a, s):
+            """Roll left by s with ZERO fill (no wrap-around)."""
+            return jnp.where(pos < L - s, roll_left(a, s), jnp.uint32(0))
 
-        pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
+        # Little-endian word starting at every byte position, zero-extended
+        # past the row end.
+        if use_fit:
+            x1, x2, x3 = roll_left(x, 1), roll_left(x, 2), roll_left(x, 3)
+            w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
+            for k in range(1, K):
+                w.append(roll_left(w[0], 4 * k))
+        else:
+            x1, x2, x3 = shifted(x, 1), shifted(x, 2), shifted(x, 3)
+            w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
+            for k in range(1, K):
+                w.append(shifted(w[0], 4 * k))
+
         lens = length_ref[:]                            # [TN, 1] int32
         for u in range(U):
             acc = (w[0] & jnp.uint32(pm[u][0])) == jnp.uint32(pw[u][0])
             for k in range(1, K):
                 if pm[u][k]:
                     acc &= (w[k] & jnp.uint32(pm[u][k])) == jnp.uint32(pw[u][k])
-            # (a per-length shared fit-mask cache was tried here: no speedup,
-            # and the cached masks blow the scoped-VMEM budget on wide tiles)
-            acc &= (pos + plens[u]) <= lens
+            if use_fit:
+                # (a per-length shared fit-mask cache was tried: no speedup,
+                # and cached masks blow scoped VMEM on wide tiles)
+                acc &= (pos + plens[u]) <= lens
             out_ref[u] += jnp.sum(acc.astype(jnp.int32))
 
     return kernel
@@ -79,12 +101,25 @@ def _make_kernel(pat_words: np.ndarray, pat_masks: np.ndarray, pat_lens: np.ndar
 class PallasWindowMatcher:
     """Holds the pattern-specialized kernel + a jitted multi-tile dispatcher."""
 
-    def __init__(self, wp: WindowProgram, row_tile: int = 512, interpret: bool = False):
+    def __init__(
+        self,
+        wp: WindowProgram,
+        row_tile: int = 512,
+        interpret: bool = False,
+        assume_zero_padded: bool = False,
+    ):
+        """``assume_zero_padded=True``: caller guarantees every row's bytes at
+        positions >= lengths[i] are zero (io/decode.extract_payloads and
+        api.Matcher.prepare both produce exactly that) — enables the no-fit
+        fast path for NUL-free pattern sets.  With arbitrary payload buffers
+        leave it False."""
         self.wp = wp
         self.row_tile = row_tile
         self.interpret = interpret
         self.num_unique = int(wp.pat_words.shape[0])
-        self._kernel = _make_kernel(wp.pat_words, wp.pat_masks, wp.pat_lens)
+        # NUL-containing patterns can match zero padding -> need exact fit.
+        use_fit = (not assume_zero_padded) or any(0 in p for p in wp.unique_patterns)
+        self._kernel = _make_kernel(wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit)
         self._dup = jnp.asarray(wp.dup_map)
 
         def run_tiles(tiles):
