@@ -32,7 +32,11 @@ from multithreading_string_matching_tpu.ops.window import (
     count_matches_window,
     count_matches_window_tiles,
 )
-from multithreading_string_matching_tpu.ops.bucketing import bucket_plan, run_bucketed
+from multithreading_string_matching_tpu.ops.bucketing import (
+    bucket_plan,
+    quantize_rows,
+    run_bucketed,
+)
 
 # Hardware-friendly padding: lanes are 128 wide; pad the packet axis so the
 # scan's [N] carry tiles cleanly, and the byte axis to the VPU sublane count.
@@ -197,8 +201,9 @@ class Matcher:
                 tp, tl = payloads[idx, :lt], lengths[idx]
                 if tp.shape[1] < lt:  # tensor narrower than the quantized tile
                     tp = np.pad(tp, ((0, 0), (0, lt - tp.shape[1])))
-                if tp.shape[0] < n_tile:
-                    pad = n_tile - tp.shape[0]
+                target = quantize_rows(tp.shape[0])
+                if tp.shape[0] < target:
+                    pad = target - tp.shape[0]
                     tp = np.pad(tp, ((0, pad), (0, 0)))
                     tl = np.pad(tl, (0, pad))
                 tp = sanitize(tp, tl)

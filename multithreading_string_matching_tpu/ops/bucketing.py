@@ -18,23 +18,53 @@ from typing import Callable, Iterator, List, Optional, Tuple
 import numpy as np
 
 
-def bucket_plan(
-    lengths: np.ndarray, n_tile: int = 2048, l_quant: int = 128
-) -> List[Tuple[np.ndarray, int]]:
-    """Partition packets into (row_indices, tile_byte_len) tiles.
+def quantize_rows(n: int) -> int:
+    """Row-count padding target: next power of two up to 1024, then the next
+    multiple of 1024.  Keeps the set of compiled tile shapes logarithmic in
+    corpus size while bounding padded-row waste (<2x small, <7% large)."""
+    n = max(int(n), 8)
+    if n <= 1024:
+        return 1 << (n - 1).bit_length()
+    return -(-n // 1024) * 1024
 
-    Rows are sorted by descending length so each tile's padded length is as
-    tight as its longest member; tile byte lengths are rounded up to
-    ``l_quant`` so at most Lmax/l_quant distinct shapes compile.
+
+def bucket_plan(
+    lengths: np.ndarray,
+    n_tile: int = 2048,
+    l_quant: int = 128,
+    min_rows: Optional[int] = None,
+) -> List[Tuple[np.ndarray, int]]:
+    """Partition packets into (row_indices, tile_byte_len) tiles, one tile
+    per quantized payload *width* class.
+
+    Width classes (multiples of ``l_quant``) keep padded bytes tight against
+    real bytes; one tile per class keeps the number of device dispatches at
+    ~Lmax/l_quant instead of N/rows_per_tile — on remote-attached TPUs the
+    per-dispatch launch cost rivals the scan itself.  Sparse wide classes are
+    merged downward into the accumulating tile until it holds ``min_rows``
+    (default ``n_tile // 4``) rows: scanning a few narrow rows at the wider
+    width costs less than another launch.  Rows inside a tile stay sorted by
+    descending length.
     """
     lengths = np.asarray(lengths)
-    order = np.argsort(-lengths, kind="stable")
-    plan = []
-    for start in range(0, len(order), n_tile):
-        idx = order[start : start + n_tile]
-        lmax = int(lengths[idx].max(initial=0))
-        lt = max(l_quant, -(-max(lmax, 1) // l_quant) * l_quant)
-        plan.append((idx, lt))
+    if min_rows is None:
+        min_rows = max(1, n_tile // 4)
+    merge_budget = 128 * 1024  # extra padded bytes a merge may cost (~a launch)
+    order = np.argsort(-lengths, kind="stable")  # widest first
+    widths = np.maximum(lengths[order], 1)
+    widths = (-(-widths // l_quant) * l_quant).astype(np.int64)
+    bounds = [0, *(np.flatnonzero(np.diff(widths)) + 1), len(order)]
+    plan: List[Tuple[np.ndarray, int]] = []
+    start = 0
+    for b in range(1, len(bounds) - 1):
+        stop = bounds[b]
+        rows_next = bounds[b + 1] - stop
+        waste = rows_next * (int(widths[start]) - int(widths[stop]))
+        if stop - start >= min_rows or waste > merge_budget:
+            plan.append((order[start:stop], int(widths[start])))
+            start = stop
+    if start < len(order):
+        plan.append((order[start:], int(widths[start])))
     return plan
 
 
@@ -63,8 +93,9 @@ def run_bucketed(
     for idx, lt in plan:
         tile_p = payloads[idx, :lt]
         tile_l = lengths[idx]
-        if tile_p.shape[0] < n_tile:  # pad the ragged last tile (rows mask out)
-            pad = n_tile - tile_p.shape[0]
+        target = quantize_rows(tile_p.shape[0])  # padding rows mask out (len 0)
+        if tile_p.shape[0] < target:
+            pad = target - tile_p.shape[0]
             tile_p = np.pad(tile_p, ((0, pad), (0, 0)))
             tile_l = np.pad(tile_l, (0, pad))
         out = count_fn(tile_p, tile_l, per_packet=per_packet)

@@ -79,14 +79,34 @@ def test_nul_padding_cannot_false_match():
 
 def test_bucket_plan_shapes():
     lengths = np.array([5, 300, 17, 0, 129, 64], np.int64)
-    plan = bucket_plan(lengths, n_tile=4, l_quant=128)
-    assert len(plan) == 2
-    idx0, l0 = plan[0]
-    assert l0 == 384  # 300 rounded up
-    assert lengths[idx0].tolist() == [300, 129, 64, 17]
-    idx1, l1 = plan[1]
-    assert l1 == 128
-    assert lengths[idx1].tolist() == [5, 0]
+    # min_rows=1: one tile per quantized width class, widest first.
+    plan = bucket_plan(lengths, l_quant=128, min_rows=1)
+    assert [(lengths[i].tolist(), lt) for i, lt in plan] == [
+        ([300], 384),
+        ([129], 256),
+        ([64, 17, 5, 0], 128),
+    ]
+    # Default min_rows merges sparse wide classes into one tile at the
+    # widest member's quantized width.
+    (idx, lt), = bucket_plan(lengths, l_quant=128)
+    assert lt == 384
+    assert lengths[idx].tolist() == [300, 129, 64, 17, 5, 0]
+    # A dense narrow class stays separate from a sparse wide tile (the
+    # merge would waste more padded bytes than a launch costs).
+    many = np.concatenate([lengths, np.full(600, 40)])
+    plan = bucket_plan(many, l_quant=128, min_rows=4)
+    assert [(len(i), lt) for i, lt in plan] == [(2, 384), (604, 128)]
+
+
+def test_quantize_rows():
+    from multithreading_string_matching_tpu.ops.bucketing import quantize_rows
+
+    assert quantize_rows(1) == 8
+    assert quantize_rows(8) == 8
+    assert quantize_rows(9) == 16
+    assert quantize_rows(1000) == 1024
+    assert quantize_rows(1025) == 2048
+    assert quantize_rows(13768) == 14336
 
 
 def test_bucketed_equals_unbucketed():
