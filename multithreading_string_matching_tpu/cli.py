@@ -237,11 +237,14 @@ def cmd_match(argv: List[str]) -> int:
                 count_matches_sharded,
             )
 
-            eng = "window" if cfg.engine in ("pallas", "window") else "ac"
+            eng = matcher._resolve_engine(cfg.engine)  # pallas degrades on CPU
+            if eng == "kmp":
+                eng = "ac"
             counts = count_matches_sharded(
                 matcher.cac, batch.payloads, batch.lengths, make_mesh(),
-                dup_map=matcher.window.dup_map if eng == "window" else matcher.ac.dup_map,
+                dup_map=matcher.ac.dup_map if eng == "ac" else matcher.window.dup_map,
                 engine=eng, window=matcher.window,
+                pallas_matcher=matcher.pallas if eng == "pallas" else None,
             )
         else:
             counts = matcher.count_batch(batch, per_packet=cfg.per_packet)

@@ -145,6 +145,26 @@ def _sharded_count_window(
     )(pat_words, pat_masks, pat_lens, payloads, lengths)
 
 
+def _sharded_count_pallas(pallas_matcher, payloads, lengths, mesh: Mesh, axis: str):
+    """Pallas-kernel SPMD counting: each device runs the VMEM shifted-window
+    kernel on its packet shard (grid over row tiles), then one psum merges
+    the per-unique-pattern counts.  The multi-chip roofline path — identical
+    counts to the single-chip kernel for any device count."""
+
+    def local(payloads, lengths):
+        counts = pallas_matcher._one_tile(payloads, lengths)
+        return jax.lax.psum(counts, axis)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the checker would otherwise require.
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
+            check_vma=False,
+        )
+    )(payloads, lengths)
+
+
 def count_matches_sharded(
     cac: CompiledAC,
     payloads,
@@ -154,18 +174,28 @@ def count_matches_sharded(
     dup_map: Optional[np.ndarray] = None,
     engine: str = "ac",
     window=None,
+    pallas_matcher=None,
 ) -> np.ndarray:
     """Packet-sharded multi-device counting; bit-identical to the 1-device scan.
 
     ``engine='window'`` (pass the ``WindowProgram`` as ``window``) uses the
-    fast shifted-window matcher per shard instead of the AC DFA scan.
+    fast shifted-window matcher per shard instead of the AC DFA scan;
+    ``engine='pallas'`` (pass a ``PallasWindowMatcher``) runs the VMEM kernel
+    per shard — the multi-chip roofline configuration.
     """
     axis = mesh.axis_names[0]
     payloads, lengths = shard_batch(np.asarray(payloads), np.asarray(lengths), mesh)
     sharding = NamedSharding(mesh, P(axis))
     payloads = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
     lengths = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
-    if engine == "window":
+    if engine == "pallas":
+        assert pallas_matcher is not None, (
+            "pass pallas_matcher=PallasWindowMatcher for engine='pallas'"
+        )
+        counts = _sharded_count_pallas(
+            pallas_matcher, payloads, lengths, mesh=mesh, axis=axis
+        )
+    elif engine == "window":
         assert window is not None, "pass window=WindowProgram for engine='window'"
         counts = _sharded_count_window(
             jnp.asarray(window.pat_words),

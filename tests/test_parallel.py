@@ -51,6 +51,26 @@ def test_sharded_equals_single(reference_dir, matcher, udp1000):
         assert (got == want).all(), f"ndev={ndev}"
 
 
+def test_sharded_pallas_equals_single(matcher, udp1000):
+    """The VMEM kernel under shard_map (interpret-mode on the CPU mesh):
+    per-shard pallas_call + psum must match the one-shot counts."""
+    from multithreading_string_matching_tpu.ops.pallas_window import (
+        PallasWindowMatcher,
+    )
+
+    batch, want = udp1000
+    pm = PallasWindowMatcher(
+        matcher.window, row_tile=64, interpret=True, assume_zero_padded=True
+    )
+    for ndev in (2, 8):
+        mesh = make_mesh(jax.devices("cpu")[:ndev])
+        got = count_matches_sharded(
+            matcher.cac, batch.payloads, batch.lengths, mesh,
+            dup_map=matcher.window.dup_map, engine="pallas", pallas_matcher=pm,
+        )
+        assert (got == want).all(), f"ndev={ndev}"
+
+
 def test_shard_batch_pads_to_divisible():
     mesh = make_mesh(jax.devices("cpu")[:8])
     p = np.ones((13, 16), np.uint8)
