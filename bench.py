@@ -29,7 +29,10 @@ REPO = pathlib.Path(__file__).parent
 REF = pathlib.Path(os.environ.get("REFERENCE_DIR", "/root/reference"))
 PCAP = pathlib.Path(os.environ.get("MSM_BENCH_PCAP", REF / "very_big_udp.pcap"))
 STRINGS = pathlib.Path(os.environ.get("MSM_STRINGS", REF / "strings.txt"))
-REPS = int(os.environ.get("MSM_BENCH_REPS", "100"))
+# Enough chained repeats that the ONE result-fetch round-trip (~28 ms through
+# the remote-device tunnel — not TPU time) stays <5% of the measured window:
+# 500 reps x ~0.15 ms true scan ≈ 75 ms of kernel per fetch.
+REPS = int(os.environ.get("MSM_BENCH_REPS", "500"))
 
 
 def cpu_serial_baseline(payload_list, patterns) -> float:
@@ -121,7 +124,7 @@ def main():
             )
         mb = extract_payloads(read_pcap(mega), "udp")
         mp = matcher.prepare_batch(mb)
-        r = max(10, REPS // 5)
+        r = max(10, REPS // 10)
         np.asarray(matcher.pallas.count_tiles_repeated(mp.tiles, r))
         t0 = time.perf_counter()
         np.asarray(matcher.pallas.count_tiles_repeated(mp.tiles, r))
