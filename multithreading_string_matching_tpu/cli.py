@@ -196,6 +196,10 @@ def cmd_match(argv: List[str]) -> int:
     )
     p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
     p.add_argument("--per-packet", action="store_true")
+    p.add_argument(
+        "--offsets", action="store_true",
+        help="also emit (packet, start, pattern) match positions",
+    )
     p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
     p.add_argument("--json", action="store_true")
     p.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
@@ -248,25 +252,34 @@ def cmd_match(argv: List[str]) -> int:
             )
         else:
             counts = matcher.count_batch(batch, per_packet=cfg.per_packet)
+        offsets = None
+        if a.offsets:
+            offsets = matcher.find_matches(batch.payloads, batch.lengths)
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
     if a.json:
         import json
 
-        print(
-            json.dumps(
-                {
-                    "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
-                    "counts": np.asarray(counts).tolist(),
-                    "packets": batch.num_packets,
-                    "valid_payloads": int(batch.valid.sum()),
-                    "payload_bytes": batch.total_payload_bytes,
-                    "phases": timer.phases,
-                }
-            )
-        )
+        blob = {
+            "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
+            "counts": np.asarray(counts).tolist(),
+            "packets": batch.num_packets,
+            "valid_payloads": int(batch.valid.sum()),
+            "payload_bytes": batch.total_payload_bytes,
+            "phases": timer.phases,
+        }
+        if offsets is not None:
+            blob["offsets"] = offsets.tolist()  # (packet, start, unique_pattern)
+            blob["unique_patterns"] = [
+                pt.decode("latin-1") for pt in matcher.window.unique_patterns
+            ]
+        print(json.dumps(blob))
     else:
         _report(matcher, counts, timer.total)
+        if offsets is not None:
+            uniq = matcher.window.unique_patterns
+            for n, i, u in offsets:
+                print(f"packet {n} @ {i}: {uniq[u].decode('latin-1')}")
         print(f"# {timer.summary()}", file=sys.stderr)
     return 0
 
