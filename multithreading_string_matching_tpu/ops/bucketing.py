@@ -13,7 +13,7 @@ across threads; here the imbalance is removed before launch instead.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
