@@ -2,9 +2,10 @@
 
 Payload lengths are heavy-tailed (very_big_udp.pcap: mean 96 B, max 328 B),
 so a single padded [N, Lmax] launch wastes ~4x the real byte work.  Counting
-is order-independent, so we sort packets by length (host-side, stable),
-split into fixed-size row tiles, and trim each tile's byte axis to its own
-maximum (quantized so only a handful of distinct shapes ever compile).
+is order-independent, so we sort packets by length (host-side, stable) and
+form ONE tile per quantized width class — a handful of launches with padded
+bytes tight against real bytes, and a small compiled-shape set (quantized
+widths x geometrically-quantized row counts).
 
 This is the reference's scheduling problem in tensor form: OpenMP guided
 scheduling (openmp_data.c:128) exists to balance uneven per-packet work
