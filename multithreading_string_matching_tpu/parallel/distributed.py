@@ -94,7 +94,29 @@ def count_pcap_distributed(
     # --- per-host ingest of this host's packet range (no rank-0 funnel) ---
     # Each host walks the record chain (cheap native walk) and keeps only its
     # contiguous range.
-    total_packets = read_pcap(pcap_path).num_packets
+    #
+    # Failure detection (the reference's one distributed error path,
+    # mpi_dumping.c:105-142: rank 0 broadcasts flag=-1 on pcap-open failure so
+    # every rank finalizes cleanly): the ingest-error flag is allgathered as
+    # the FIRST collective, so a host whose open failed never leaves peers
+    # hanging in a later collective — every host raises, none deadlocks.
+    exc: Optional[BaseException] = None
+    try:
+        total_packets = read_pcap(pcap_path).num_packets
+    except (FileNotFoundError, ValueError, OSError) as e:
+        exc, total_packets = e, 0
+    if procs > 1:
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            jnp.asarray([0 if exc is None else 1])
+        )
+        if int(np.asarray(flags).sum()):
+            raise RuntimeError(
+                "pcap ingest failed on at least one host; all hosts aborting"
+            ) from exc
+    elif exc is not None:
+        raise exc
     share = -(-total_packets // procs)
     start, stop = rank * share, min(total_packets, (rank + 1) * share)
     pcap = read_pcap_range(pcap_path, start, stop)

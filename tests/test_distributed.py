@@ -37,6 +37,54 @@ if int(sys.argv[3]) == 0:
 """
 
 
+FAIL_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+from multithreading_string_matching_tpu import Matcher, load_patterns
+from multithreading_string_matching_tpu.parallel.distributed import count_pcap_distributed
+
+m = Matcher(load_patterns(sys.argv[4] + "/strings.txt"))
+# Rank 1 gets a nonexistent pcap: BOTH ranks must abort cleanly (no hang),
+# the mpi_dumping.c:137-142 flag-broadcast behavior.
+path = sys.argv[4] + "/udp_1000.pcap" if sys.argv[3] == "0" else "/nonexistent.pcap"
+try:
+    count_pcap_distributed(m, path, "udp")
+except RuntimeError as e:
+    assert "at least one host" in str(e)
+    sys.exit(42)
+sys.exit(1)  # should not get here
+"""
+
+
+def test_two_process_ingest_failure_aborts_all(reference_dir, tmp_path):
+    """One host's pcap open fails -> every host raises cleanly instead of
+    deadlocking in a later collective (mpi_dumping.c error-flag analogue)."""
+    script = tmp_path / "fail_worker.py"
+    script.write_text(FAIL_WORKER)
+    port = 21765 + os.getpid() % 2000
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, "2", str(i), str(reference_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 42, se.decode()[-2000:]
+
+
 @pytest.mark.parametrize("engine", ["window", "ac"])
 def test_two_process_distributed(reference_dir, tmp_path, engine):
     out = tmp_path / "counts.json"
