@@ -83,7 +83,7 @@ def _parse_global_header(head: bytes):
         swapped, nanos = True, magic == MAGIC_NSEC_BE
     else:
         if head[:4] == b"\x0a\x0d\x0d\x0a":
-            raise ValueError("pcapng files are not supported; convert to classic pcap")
+            return "pcapng"
         raise ValueError(f"not a classic pcap file (magic {head[:4].hex()})")
     _, vmaj, vmin, _tz, _sig, snaplen, linktype = hdr
     if (vmaj, vmin) != (2, 4):
@@ -105,7 +105,11 @@ def read_pcap(
     """
     with open(path, "rb") as f:
         raw = f.read()
-    swapped, nanos, snaplen, linktype = _parse_global_header(raw[:24])
+    parsed = _parse_global_header(raw[:24])
+    if parsed == "pcapng":
+        # libpcap's pcap_open_offline reads pcapng transparently; so do we.
+        return _read_pcapng(raw, strict=strict)
+    swapped, nanos, snaplen, linktype = parsed
     data = np.frombuffer(raw, dtype=np.uint8)
     total = data.shape[0]
 
@@ -153,6 +157,126 @@ def read_pcap(
         linktype=linktype,
         snaplen=snaplen,
         nanos=nanos,
+    )
+
+
+_PCAPNG_BOM = 0x1A2B3C4D
+
+
+def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
+    """Minimal pcapng reader: SHB / IDB / EPB / SPB / obsolete PB blocks.
+
+    The reference gets pcapng support for free from libpcap
+    (``pcap_open_offline`` autodetects the container); this provides the same
+    capability.  Per-section endianness is honored; unknown block types are
+    skipped by their length field.  Timestamps are normalized to
+    microseconds (``if_tsresol`` applied); the linktype is taken from the
+    first interface (the vectorized decoder only interprets Ethernet anyway —
+    packets of other linktypes simply fail the validity predicate).
+    """
+    total = len(raw)
+    pos = 0
+    end = "<"  # per-section; set at each SHB
+    interfaces = []            # (linktype, snaplen, tsresol_divisor_to_usec)
+    offsets, caplens, origlens, tss, tsf = [], [], [], [], []
+    chunks = []                # captured-bytes slices, concatenated at the end
+    buf_pos = 0
+
+    def u32(b, o):
+        return struct.unpack_from(end + "I", b, o)[0]
+
+    while pos + 12 <= total:
+        btype = u32(raw, pos)
+        if btype == 0x0A0D0D0A:  # SHB: re-detect endianness from its BOM
+            if pos + 12 > total:
+                break
+            bom_le = struct.unpack_from("<I", raw, pos + 8)[0]
+            if bom_le == _PCAPNG_BOM:
+                end = "<"
+            elif struct.unpack_from(">I", raw, pos + 8)[0] == _PCAPNG_BOM:
+                end = ">"
+            else:
+                raise ValueError("pcapng SHB with invalid byte-order magic")
+        blen = u32(raw, pos + 4)
+        if blen < 12 or blen % 4 or pos + blen > total:
+            if strict:
+                raise ValueError(f"truncated/invalid pcapng block at byte {pos}")
+            break
+        body = raw[pos + 8 : pos + blen - 4]
+        if btype == 0x00000001:  # IDB
+            linktype = struct.unpack_from(end + "H", body, 0)[0]
+            snaplen = u32(body, 4)
+            tsres_div = 1_000_000  # default 1e-6 ticks -> per-usec divisor 1
+            o = 8
+            while o + 4 <= len(body):  # options
+                code, olen = struct.unpack_from(end + "HH", body, o)
+                if code == 0:
+                    break
+                if code == 9 and olen >= 1:  # if_tsresol
+                    v = body[o + 4]
+                    tsres_div = 2 ** (v & 0x7F) if v & 0x80 else 10 ** v
+                o += 4 + (-(-olen // 4) * 4)
+            interfaces.append((linktype, snaplen, tsres_div))
+        elif btype == 0x00000006:  # Enhanced Packet Block
+            iface, ts_hi, ts_lo, incl, orig = struct.unpack_from(end + "IIIII", body, 0)
+            data = body[20 : 20 + incl]
+            if len(data) < incl:
+                if strict:
+                    raise ValueError(f"pcapng EPB shorter than caplen at byte {pos}")
+                break
+            div = interfaces[iface][2] if iface < len(interfaces) else 1_000_000
+            ticks = (ts_hi << 32) | ts_lo
+            tss.append(ticks // div)
+            tsf.append(((ticks % div) * 1_000_000) // div)  # -> microseconds
+            offsets.append(buf_pos)
+            caplens.append(incl)
+            origlens.append(orig)
+            chunks.append(data)
+            buf_pos += incl
+        elif btype == 0x00000003:  # Simple Packet Block
+            orig = u32(body, 0)
+            snap = interfaces[0][1] if interfaces else 0
+            incl = min(orig, snap) if snap else orig
+            data = body[4 : 4 + incl]
+            offsets.append(buf_pos)
+            caplens.append(len(data))
+            origlens.append(orig)
+            tss.append(0)
+            tsf.append(0)
+            chunks.append(data)
+            buf_pos += len(data)
+        elif btype == 0x00000002:  # obsolete Packet Block
+            _iface, _drops, ts_hi, ts_lo, incl, orig = struct.unpack_from(
+                end + "HHIIII", body, 0
+            )
+            data = body[20 : 20 + incl]
+            offsets.append(buf_pos)
+            caplens.append(len(data))
+            origlens.append(orig)
+            tss.append(ts_hi)
+            tsf.append(ts_lo)
+            chunks.append(data)
+            buf_pos += len(data)
+        # all other block types (NRB, ISB, custom, ...) are skipped
+        pos += blen
+
+    if strict and offsets and not interfaces:
+        raise ValueError("pcapng file has packet blocks but no interface block")
+    linktype = interfaces[0][0] if interfaces else LINKTYPE_ETHERNET
+    snaplen = interfaces[0][1] if interfaces else 65535
+    blob = b"".join(chunks)
+    return PcapFile(
+        buf=np.frombuffer(blob, dtype=np.uint8).copy()
+        if blob
+        else np.zeros(0, dtype=np.uint8),
+        offsets=np.asarray(offsets, dtype=np.int64),
+        caplens=np.asarray(caplens, dtype=np.int64),
+        origlens=np.asarray(origlens, dtype=np.int64),
+        ts_sec=np.asarray(tss, dtype=np.int64),
+        ts_frac=np.asarray(tsf, dtype=np.int64),
+        linktype=linktype,
+        snaplen=snaplen,
+        nanos=False,
     )
 
 

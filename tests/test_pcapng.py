@@ -1,0 +1,92 @@
+"""pcapng container support == classic pcap results (libpcap reads both).
+
+Converts a bundled classic capture into a synthesized pcapng (SHB + IDB +
+EPBs) in both endiannesses and asserts the full pipeline produces identical
+counts.  Also covers Simple Packet Blocks and skipped unknown blocks.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from multithreading_string_matching_tpu import (
+    Matcher,
+    extract_payloads,
+    load_patterns,
+    read_pcap,
+)
+
+
+def _pcapng_from(pcap, end="<", use_spb=False, junk_block=False):
+    """Re-encode a PcapFile's packets as a pcapng byte blob."""
+    out = bytearray()
+
+    def block(btype, body):
+        blen = 12 + len(body)
+        pad = (-len(body)) % 4
+        blen += pad
+        out.extend(struct.pack(end + "II", btype, blen))
+        out.extend(body + b"\x00" * pad)
+        out.extend(struct.pack(end + "I", blen))
+
+    # SHB: BOM, version 1.0, section length -1
+    block(0x0A0D0D0A, struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+    # IDB: linktype, reserved, snaplen (no options)
+    block(0x00000001, struct.pack(end + "HHI", pcap.linktype, 0, pcap.snaplen))
+    if junk_block:
+        block(0x0BADF00D, b"\x00" * 16)  # unknown block type must be skipped
+    for i in range(pcap.num_packets):
+        data = pcap.packet(i).tobytes()
+        if use_spb:
+            block(0x00000003, struct.pack(end + "I", int(pcap.origlens[i])) + data)
+        else:
+            ticks = int(pcap.ts_sec[i]) * 1_000_000 + int(pcap.ts_frac[i])
+            body = struct.pack(
+                end + "IIIII",
+                0, (ticks >> 32) & 0xFFFFFFFF, ticks & 0xFFFFFFFF,
+                len(data), int(pcap.origlens[i]),
+            ) + data
+            block(0x00000006, body)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("end", ["<", ">"])
+@pytest.mark.parametrize("use_spb", [False, True])
+def test_pcapng_counts_equal_classic(reference_dir, tmp_path, end, use_spb):
+    classic = read_pcap(reference_dir / "udp.pcap")
+    ng_path = tmp_path / "udp.pcapng"
+    ng_path.write_bytes(
+        _pcapng_from(classic, end=end, use_spb=use_spb, junk_block=True)
+    )
+    ng = read_pcap(ng_path)
+    assert ng.num_packets == classic.num_packets
+    assert (ng.caplens == classic.caplens).all()
+    for i in range(classic.num_packets):
+        assert np.array_equal(ng.packet(i), classic.packet(i)), i
+
+    m = Matcher(load_patterns(reference_dir / "strings.txt"))
+    want = m.count_batch(extract_payloads(classic, "udp"))
+    got = m.count_batch(extract_payloads(ng, "udp"))
+    assert (got == want).all()
+    assert int(got.sum()) == 39
+
+
+def test_pcapng_timestamps_roundtrip(reference_dir, tmp_path):
+    classic = read_pcap(reference_dir / "udp.pcap")
+    ng_path = tmp_path / "ts.pcapng"
+    ng_path.write_bytes(_pcapng_from(classic))
+    ng = read_pcap(ng_path)
+    assert (ng.ts_sec == classic.ts_sec).all()
+    assert (ng.ts_frac == classic.ts_frac).all()  # both in microseconds
+
+
+def test_pcapng_truncated_strict(reference_dir, tmp_path):
+    classic = read_pcap(reference_dir / "udp.pcap")
+    blob = _pcapng_from(classic)
+    p = tmp_path / "trunc.pcapng"
+    p.write_bytes(blob[: len(blob) - 7])
+    with pytest.raises(ValueError):
+        read_pcap(p)
+    ok = read_pcap(p, strict=False)  # keeps the complete prefix
+    assert 0 < ok.num_packets < classic.num_packets
