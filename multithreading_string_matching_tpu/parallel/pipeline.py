@@ -26,7 +26,7 @@ import numpy as np
 
 from multithreading_string_matching_tpu.io.pcap import PcapFile, read_pcap
 from multithreading_string_matching_tpu.io.decode import extract_payloads
-from multithreading_string_matching_tpu.ops.scan import count_matches_ac
+from multithreading_string_matching_tpu.ops.window import count_matches_window
 
 DEFAULT_BATCH = 100  # openmp_task.c:113
 
@@ -89,13 +89,14 @@ def count_pcap_pipelined(
     """Full-file counting through the batched pipeline; counts are identical
     to the one-shot scan (tested), only the execution schedule differs."""
     pcap = read_pcap(pcap_path)
-    cac = matcher.cac
     total = None
     for payloads, lengths in iter_batches(pcap, mode, batch_size, strict=strict):
         # Async dispatch: does NOT block — device consumes batch k while the
-        # host (producer) extracts batch k+1.
-        counts = count_matches_ac(
-            cac, jnp.asarray(payloads), jnp.asarray(lengths), dup_map=matcher.ac.dup_map
+        # host (producer) extracts batch k+1.  The gather-free window engine
+        # is the batch kernel (the AC scan is ~30x slower on TPU; see
+        # docs/DESIGN.md §1 — counts are identical either way).
+        counts = count_matches_window(
+            matcher.window, jnp.asarray(payloads), jnp.asarray(lengths)
         )
         total = counts if total is None else total + counts
     if total is None:
