@@ -1,0 +1,124 @@
+"""CLI surface: argv contracts, golden output, error paths (component L5).
+
+The reference's only interface is argv + printf; locking this surface in
+tests is the automated version of diffing against serial.c's output.
+"""
+
+import numpy as np
+import pytest
+
+from multithreading_string_matching_tpu.cli import main
+
+GOLDEN_UDP = """Printing the number of appereances of each string throughout the entire pcap file:
+http: 5 times!
+Linux: 5 times!
+NOTIFY: 5 times!
+LOCATION: 5 times!
+id: 7 times!
+rpc: 7 times!
+xml: 5 times!"""
+
+
+def _run(capsys, *argv):
+    code = main(list(argv))
+    out = capsys.readouterr()
+    return code, out.out, out.err
+
+
+def test_serial_golden_output(reference_dir, capsys):
+    code, out, _ = _run(
+        capsys, "serial", str(reference_dir / "udp.pcap"),
+        str(reference_dir / "strings.txt"), "udp",
+    )
+    assert code == 0
+    lines = out.strip().splitlines()
+    assert lines[:-1] == GOLDEN_UDP.splitlines()   # counts, in file order
+    assert lines[-1].startswith("Elapsed time = ")
+
+
+def test_usage_on_missing_args(capsys):
+    code, out, _ = _run(capsys, "serial")
+    assert code == 1
+    assert "USAGE" in out
+
+
+def test_unknown_command(capsys):
+    code, out, _ = _run(capsys, "frobnicate")
+    assert code == 1
+    assert "unknown command" in out
+
+
+def test_no_args_prints_usage(capsys):
+    assert main([]) == 1
+
+
+def test_bad_mode_token(reference_dir, capsys):
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "serial", str(reference_dir / "udp.pcap"),
+            str(reference_dir / "strings.txt"), "sctp",
+        ])
+    assert "unknown packet type" in str(ei.value)
+
+
+def test_missing_pcap(reference_dir, capsys):
+    code, _, err = _run(
+        capsys, "serial", "/nonexistent.pcap", str(reference_dir / "strings.txt")
+    )
+    assert code == 1
+    assert "error opening file" in err
+
+
+def test_not_a_pcap(reference_dir, tmp_path, capsys):
+    bad = tmp_path / "junk.pcap"
+    bad.write_bytes(b"this is not a capture file at all.......")
+    code, _, err = _run(
+        capsys, "serial", str(bad), str(reference_dir / "strings.txt")
+    )
+    assert code == 1
+    assert "not a classic pcap" in err
+
+
+def test_match_json_fields(reference_dir, capsys):
+    import json
+
+    code, out, _ = _run(
+        capsys, "match", "--pcap", str(reference_dir / "tcp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "tcp", "--json",
+    )
+    assert code == 0
+    d = json.loads(out)
+    assert sum(d["counts"]) == 4
+    assert d["counts"][d["patterns"].index("ubuntu")] == 4
+    assert d["packets"] == 13
+    assert set(d["phases"]) >= {"ingest", "extract", "scan"}
+
+
+def test_match_offsets_consistent_with_counts(reference_dir, capsys):
+    import json
+
+    code, out, _ = _run(
+        capsys, "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--offsets", "--json",
+    )
+    assert code == 0
+    d = json.loads(out)
+    assert len(d["offsets"]) == 39
+    # each offset row's pattern really occurs at that position
+    from multithreading_string_matching_tpu import read_pcap, extract_payloads
+
+    batch = extract_payloads(read_pcap(reference_dir / "udp.pcap"), "udp")
+    for n, i, u in d["offsets"][:10]:
+        pat = d["unique_patterns"][u].encode("latin-1")
+        assert batch.payloads[n, i : i + len(pat)].tobytes() == pat
+
+
+def test_thread_count_arg_accepted_and_ignored(reference_dir, capsys):
+    code, out, _ = _run(
+        capsys, "data", str(reference_dir / "udp.pcap"),
+        str(reference_dir / "strings.txt"), "16", "udp",
+    )
+    assert code == 0
+    assert "http: 5 times!" in out
