@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 Workload: the biggest bundled corpus (very_big_udp.pcap unless overridden via
 MSM_BENCH_PCAP), all 97 strings.txt patterns — BASELINE.json configs[2/3]
-shape.  The device kernel is the Aho-Corasick lax.scan path.
+shape.  The device kernel is the Pallas shifted-window matcher (default
+engine; override with MSM_BENCH_ENGINE).
 
 ``vs_baseline`` compares against the reference's serial design point: a
 -O2-compiled C KMP loop (per-pattern, per-payload — serial.c's hot-loop
@@ -31,8 +32,8 @@ PCAP = pathlib.Path(os.environ.get("MSM_BENCH_PCAP", REF / "very_big_udp.pcap"))
 STRINGS = pathlib.Path(os.environ.get("MSM_STRINGS", REF / "strings.txt"))
 # Enough chained repeats that the ONE result-fetch round-trip (~28 ms through
 # the remote-device tunnel — not TPU time) stays <5% of the measured window:
-# 500 reps x ~0.15 ms true scan ≈ 75 ms of kernel per fetch.
-REPS = int(os.environ.get("MSM_BENCH_REPS", "500"))
+# 1000 reps x ~0.15 ms true scan ≈ 150 ms of kernel per fetch.
+REPS = int(os.environ.get("MSM_BENCH_REPS", "1000"))
 
 
 def cpu_serial_baseline(payload_list, patterns) -> float:

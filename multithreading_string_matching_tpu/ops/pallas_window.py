@@ -150,9 +150,13 @@ class PallasWindowMatcher:
         if L % 128:
             payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
             L = payloads.shape[1]
-        # VMEM budget: ~10-12 live uint32 [tn, L] temporaries (word views,
-        # rolls, masks) must fit in ~12 MB of scoped VMEM -> cap tn by width.
-        vmem_cap = max(8, (250_000 // L) // 8 * 8)
+        # VMEM budget: the live set is ~(K + 8) uint32 [tn, L] temporaries
+        # (K shifted word views + payload/pos/len/acc and roll scratch) and
+        # must fit in ~12 MB of scoped VMEM -> cap tn by width AND word count
+        # (long patterns mean more live word views).  K=3 reproduces the
+        # empirically tuned 250k/L cap.
+        K = self.wp.pat_words.shape[1]
+        vmem_cap = max(8, (2_750_000 // ((K + 8) * L)) // 8 * 8)
         tn = min(self.row_tile, vmem_cap, -(-n // 8) * 8)
         if n % tn:
             pad = tn - n % tn

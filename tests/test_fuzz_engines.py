@@ -19,6 +19,9 @@ CASES = [
     (2, 33, 64, 256, [b"\x00", b"\xff\xfe", b"ab\x00cd"]),    # binary + NUL
     (3, 5, 13, 2, [b"abcdefghijkl", b"ab", b"ba", b"ab"]),    # pattern ~= payload len
     (4, 64, 128, 5, [bytes([a, b]) for a in range(3) for b in range(3)]),
+    # 60-byte pattern -> K=15 packed words (the reference caps patterns at
+    # 99 bytes via its fscanf buffer; long patterns must still be exact)
+    (5, 12, 256, 7, [bytes(range(1, 61)), b"\x01\x02", bytes(range(1, 61))]),
 ]
 
 
@@ -29,6 +32,8 @@ def test_engines_match_oracle(seed, n, lmax, alpha, pats):
     lengths = rng.integers(0, lmax + 1, size=n).astype(np.int32)
     lengths[0] = 0          # always include an empty row
     lengths[-1] = lmax      # and a full-width row
+    if len(pats[0]) <= lmax:  # plant a guaranteed hit of the first pattern
+        payloads[-1, : len(pats[0])] = np.frombuffer(pats[0], np.uint8)
     texts = [payloads[i, : lengths[i]].tobytes() for i in range(n)]
     want = np.array(oracle.oracle_counts(texts, pats))
 
