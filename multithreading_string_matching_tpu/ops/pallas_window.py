@@ -38,6 +38,7 @@ def _make_kernel(
     pat_masks: np.ndarray,
     pat_lens: np.ndarray,
     use_fit: bool,
+    grid_dims: int = 1,
 ):
     """``use_fit=False`` is the NUL-free fast path: payload rows are zero-
     padded past their true length (io/decode + api.prepare guarantee it), so
@@ -52,9 +53,11 @@ def _make_kernel(
     plens = [int(x) for x in pat_lens]
 
     def kernel(payload_ref, length_ref, out_ref):
-        i = pl.program_id(0)
+        first = pl.program_id(0) == 0
+        for d in range(1, grid_dims):
+            first &= pl.program_id(d) == 0
 
-        @pl.when(i == 0)
+        @pl.when(first)
         def _():
             for u in range(U):
                 out_ref[u] = 0
@@ -120,6 +123,9 @@ class PallasWindowMatcher:
         # NUL-containing patterns can match zero padding -> need exact fit.
         use_fit = (not assume_zero_padded) or any(0 in p for p in wp.unique_patterns)
         self._kernel = _make_kernel(wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit)
+        self._kernel2 = _make_kernel(
+            wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, grid_dims=2
+        )
         self._dup = jnp.asarray(wp.dup_map)
 
         def run_tiles(tiles):
@@ -129,24 +135,15 @@ class PallasWindowMatcher:
         self._jit_tiles = jax.jit(run_tiles)
 
         def run_repeated(tiles, r):
-            def body(_, total):
-                dep = jnp.minimum(total.sum(), 0)  # value 0, real dependency
-                out = None
-                for p, l in tiles:
-                    o = self._one_tile(p, l + dep)
-                    out = o if out is None else out + o
-                return total + out
-
-            return jax.lax.fori_loop(
-                0, r, body, jnp.zeros((self.num_unique,), jnp.int32)
-            )
+            outs = [self._one_tile_repeated(p, l, r) for p, l in tiles]
+            return functools.reduce(jnp.add, outs)
 
         self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
 
-    def _one_tile(self, payloads, lengths):
+    def _pad_tile(self, payloads, lengths):
+        """Pad to hardware-friendly tiles (padding rows are length-0 / all-
+        zero, which both kernels mask out) and pick the row-tile size."""
         n, L = payloads.shape
-        # Pad to hardware-friendly tiles (padding rows are length-0 and the
-        # fit mask zeroes them out).
         if L % 128:
             payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
             L = payloads.shape[1]
@@ -162,7 +159,11 @@ class PallasWindowMatcher:
             pad = tn - n % tn
             payloads = jnp.pad(payloads, ((0, pad), (0, 0)))
             lengths = jnp.pad(lengths, (0, pad))
-            n = payloads.shape[0]
+        return payloads, lengths.reshape(-1, 1).astype(jnp.int32), tn
+
+    def _one_tile(self, payloads, lengths):
+        payloads, lengths, tn = self._pad_tile(payloads, lengths)
+        n, L = payloads.shape
         return pl.pallas_call(
             self._kernel,
             grid=(n // tn,),
@@ -173,7 +174,28 @@ class PallasWindowMatcher:
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((self.num_unique,), jnp.int32),
             interpret=self.interpret,
-        )(payloads, lengths.reshape(-1, 1).astype(jnp.int32))
+        )(payloads, lengths)
+
+    def _one_tile_repeated(self, payloads, lengths, reps: int):
+        """Scan the tile ``reps`` times inside ONE kernel launch: the repeat
+        axis is the leading grid dimension, so every pass re-streams the tile
+        from HBM through the same VMEM pipeline and accumulates into the SMEM
+        counts.  Grid steps execute unconditionally — nothing to elide, no
+        artificial cross-pass serialization — so this measures the kernel's
+        true sustained rate on a device-resident corpus."""
+        payloads, lengths, tn = self._pad_tile(payloads, lengths)
+        n, L = payloads.shape
+        return pl.pallas_call(
+            self._kernel2,
+            grid=(reps, n // tn),
+            in_specs=[
+                pl.BlockSpec((tn, L), lambda r, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda r, i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((self.num_unique,), jnp.int32),
+            interpret=self.interpret,
+        )(payloads, lengths)
 
     def count_tiles(self, tiles, *, expand_duplicates: bool = True):
         """Counts over device-resident (payloads, lengths) tiles, one dispatch."""
@@ -186,11 +208,12 @@ class PallasWindowMatcher:
         return out
 
     def count_tiles_repeated(self, tiles, repeats: int):
-        """Run the full tile count ``repeats`` times inside one executable,
-        each pass data-dependent on the previous so none can be elided —
-        the honest way to measure steady-state scan time on devices whose
-        per-dispatch round-trip dwarfs the kernel (returns repeats x counts,
-        over unique patterns)."""
+        """Run the full tile count ``repeats`` times inside one executable
+        (one kernel launch per tile, repeats as a grid axis), one fetch —
+        the honest way to measure steady-state scan rate on devices whose
+        per-dispatch round-trip dwarfs the kernel: grid steps always
+        execute, so repeats cannot be elided or deduplicated (returns
+        repeats x counts, over unique patterns)."""
         tiles = tuple(
             (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
         )
