@@ -34,6 +34,7 @@ from multithreading_string_matching_tpu.ops.window import (
 )
 from multithreading_string_matching_tpu.ops.bucketing import (
     bucket_plan,
+    pack_rows,
     quantize_rows,
     run_bucketed,
 )
@@ -57,6 +58,7 @@ class PreparedBatch:
     row_indices: list           # [int64[rows_in_tile]] original row ids per tile
     num_rows: int
     total_payload_bytes: int
+    packed: bool = False        # rows are 0x00-separated payload concatenations
 
 
 @dataclass
@@ -181,10 +183,42 @@ class Matcher:
         bucketed: Optional[bool] = None,
         n_tile: int = 2048,
         l_quant: int = LANE,
+        packed: bool = False,
+        pack_width: int = 2048,
     ) -> PreparedBatch:
-        """Stage a batch on device once (bucketed by length by default)."""
+        """Stage a batch on device once (bucketed by length by default).
+
+        ``packed=True`` sequence-packs payloads into fixed-width rows with a
+        0x00 separator byte between them — padded bytes drop from the 128-
+        lane quantization floor (~1.6x real) to within a few percent of real
+        bytes, which is a proportional scan speedup.  Exact for NUL-free
+        pattern sets ONLY (a window crossing a separator contains 0x00 and
+        cannot match; every engine's state also resets at the separator), so
+        NUL-containing patterns are rejected; per-packet attribution is
+        unavailable in packed form (global counts are identical).
+        """
         payloads = np.asarray(payloads)
         lengths = np.asarray(lengths)
+        if packed:
+            if any(0 in p for p in self.window.unique_patterns):
+                raise ValueError(
+                    "packed staging is exact only for NUL-free patterns"
+                )
+            pk, fill = pack_rows(payloads, lengths, width=pack_width)
+            # Row padding: multiples of 64 only (the kernel pads to its row
+            # tile anyway) — pow2 quantization would waste up to 50% of the
+            # packing gain on mid-sized corpora.
+            target = -(-pk.shape[0] // 64) * 64
+            if pk.shape[0] < target:
+                pk = np.pad(pk, ((0, target - pk.shape[0]), (0, 0)))
+                fill = np.pad(fill, (0, target - fill.shape[0]))
+            return PreparedBatch(
+                tiles=[(jnp.asarray(pk, jnp.uint8), jnp.asarray(fill, jnp.int32))],
+                row_indices=[],
+                num_rows=int(payloads.shape[0]),
+                total_payload_bytes=int(lengths.sum()),
+                packed=True,
+            )
         bucketed = self.bucketed if bucketed is None else bucketed
         tiles, rows = [], []
 
@@ -239,6 +273,11 @@ class Matcher:
         so callers can pipeline.
         """
         engine = self._resolve_engine(engine)
+        if prep.packed and per_packet:
+            raise ValueError(
+                "per-packet counts are unavailable for packed batches "
+                "(prepare(packed=False) for per-packet attribution)"
+            )
         if engine == "pallas" and per_packet:
             engine = "window"
         if engine == "pallas":

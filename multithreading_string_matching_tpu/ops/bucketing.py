@@ -69,6 +69,61 @@ def bucket_plan(
     return plan
 
 
+def pack_rows(
+    payloads: np.ndarray,
+    lengths: np.ndarray,
+    width: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sequence-pack payloads into fixed-width rows with a single 0x00
+    separator byte between segments.
+
+    The padding floor of per-packet rows is the 128-byte lane quantum (~1.6x
+    real bytes on the bundled corpus); packing brings padded bytes to within
+    a few percent of real bytes.  Exactness argument: patterns that contain
+    no NUL byte cannot match a window that crosses a separator (one of its
+    bytes is 0x00), and segments are never split across rows — so counts
+    over packed rows equal counts over the original payloads.  Callers MUST
+    reject NUL-containing patterns (api.Matcher.prepare does).
+
+    Returns ``(packed uint8[R, width], fill int32[R])`` where ``fill`` is
+    each row's used byte count (rows are zero beyond it, preserving the
+    zero-padding invariant the no-fit kernel relies on).
+
+    Packing is next-fit over descending lengths: waste per row is bounded by
+    the smallest pending segment, a few percent in practice.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if lengths.size and int(lengths.max()) > width:
+        raise ValueError(
+            f"payload of {int(lengths.max())} bytes exceeds pack width {width}"
+        )
+    order = np.argsort(-lengths, kind="stable")
+    rows: List[List[int]] = []
+    fills: List[int] = []
+    for idx in order:
+        ln = int(lengths[idx])
+        if ln == 0:
+            continue
+        # next-fit: append to the current row if it fits (with separator)
+        if rows and fills[-1] + 1 + ln <= width:
+            fills[-1] += 1 + ln
+            rows[-1].append(idx)
+        else:
+            rows.append([idx])
+            fills.append(ln)
+    packed = np.zeros((max(len(rows), 1), width), dtype=np.uint8)
+    for r, members in enumerate(rows):
+        pos = 0
+        for idx in members:
+            ln = int(lengths[idx])
+            if pos:
+                pos += 1  # the separator byte is already 0
+            packed[r, pos : pos + ln] = payloads[idx, :ln]
+            pos += ln
+    fill = np.asarray(fills if fills else [0], dtype=np.int32)
+    return packed, fill
+
+
 def run_bucketed(
     count_fn: Callable,
     payloads: np.ndarray,

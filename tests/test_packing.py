@@ -1,0 +1,107 @@
+"""Sequence packing: packed rows give exact counts for NUL-free patterns.
+
+The exactness argument (ops/bucketing.pack_rows): a window crossing the 0x00
+separator contains a NUL and cannot equal a NUL-free pattern; every engine's
+matcher state resets at the separator (AC/KMP fail to root on byte 0);
+segments never split across rows.  These tests attack exactly those seams.
+"""
+
+import numpy as np
+import pytest
+
+import oracle
+from multithreading_string_matching_tpu import Matcher, load_patterns
+from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+
+
+def test_pack_rows_geometry():
+    payloads = np.zeros((4, 10), np.uint8)
+    payloads[0, :3] = 1
+    payloads[1, :5] = 2
+    payloads[2, :10] = 3
+    lengths = np.array([3, 5, 10, 0], np.int64)
+    packed, fill = pack_rows(payloads, lengths, width=16)
+    # desc order: 10, 5, 3; next-fit: row0 = 10 +1+ 5 = 16, row1 = 3
+    assert packed.shape == (2, 16)
+    assert fill.tolist() == [16, 3]
+    assert packed[0, :10].tolist() == [3] * 10
+    assert packed[0, 10] == 0                    # separator
+    assert packed[0, 11:16].tolist() == [2] * 5
+    assert packed[1, :3].tolist() == [1] * 3
+    assert packed[1, 3:].sum() == 0              # zero padding preserved
+
+
+def test_pack_rejects_oversized():
+    with pytest.raises(ValueError):
+        pack_rows(np.zeros((1, 300), np.uint8), np.array([300]), width=128)
+
+
+def test_packed_rejects_nul_patterns():
+    m = Matcher([b"ab", b"a\x00b"])
+    with pytest.raises(ValueError):
+        m.prepare(np.zeros((2, 8), np.uint8), np.array([8, 8]), packed=True)
+
+
+def test_cross_segment_match_killed():
+    """Payload A ends 'ab', payload B starts 'ab'; pattern 'abab' must not
+    match across the packed boundary."""
+    m = Matcher([b"abab", b"ab"])
+    payloads = np.zeros((2, 8), np.uint8)
+    payloads[0, :4] = np.frombuffer(b"xxab", np.uint8)
+    payloads[1, :4] = np.frombuffer(b"abyy", np.uint8)
+    lengths = np.array([4, 4], np.int32)
+    prep = m.prepare(payloads, lengths, packed=True, pack_width=128)
+    import os
+
+    os.environ["MSM_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(m.count_prepared(prep, engine="pallas"))
+    finally:
+        del os.environ["MSM_PALLAS_INTERPRET"]
+    assert got.tolist() == [0, 2]  # 'abab' would be 1 without the separator
+    for engine in ("window", "ac", "kmp"):
+        assert np.asarray(m.count_prepared(prep, engine=engine)).tolist() == [0, 2], engine
+
+
+def test_packed_counts_random_all_engines():
+    rng = np.random.default_rng(11)
+    pats = [b"ab", b"aba", b"b", b"abab", b"ca", b"ab"]
+    m = Matcher(pats)
+    payloads = rng.integers(0, 4, size=(40, 100)).astype(np.uint8)
+    lengths = rng.integers(0, 101, size=40).astype(np.int32)
+    cols = np.arange(100)[None, :]
+    payloads = np.where(cols < lengths[:, None], payloads, 0).astype(np.uint8)
+    texts = [payloads[i, : lengths[i]].tobytes() for i in range(40)]
+    want = np.array(oracle.oracle_counts(texts, pats))
+    prep = m.prepare(payloads, lengths, packed=True, pack_width=256)
+    for engine in ("window", "ac", "kmp"):
+        got = np.asarray(m.count_prepared(prep, engine=engine))
+        assert (got == want).all(), engine
+
+
+def test_packed_conformance_udp1000(reference_dir):
+    from multithreading_string_matching_tpu import extract_payloads, read_pcap
+
+    m = Matcher(load_patterns(reference_dir / "strings.txt"))
+    batch = extract_payloads(read_pcap(reference_dir / "udp_1000.pcap"), "udp")
+    want = m.count_batch(batch)
+    prep = m.prepare_batch(batch, packed=True)
+    got = np.asarray(m.count_prepared(prep, engine="window"))
+    assert (got == want).all()
+    assert int(got.sum()) == 1006
+    # packed efficiency: separator overhead is < 1 byte per payload, and
+    # used bytes dominate the staged tensor (row padding is bounded by the
+    # 64-row alignment + per-row next-fit tails).
+    (pk, fill), = prep.tiles
+    used = int(np.asarray(fill).sum())
+    assert used - batch.total_payload_bytes < batch.num_payloads
+    n_fill_rows = int((np.asarray(fill) > 0).sum())
+    assert used > 0.85 * n_fill_rows * pk.shape[1]
+
+
+def test_packed_forbids_per_packet(reference_dir):
+    m = Matcher(load_patterns(reference_dir / "strings.txt"))
+    payloads = np.zeros((4, 16), np.uint8)
+    prep = m.prepare(payloads, np.full(4, 16, np.int32), packed=True)
+    with pytest.raises(ValueError):
+        m.count_prepared(prep, per_packet=True)
