@@ -88,8 +88,7 @@ def main():
     # padded bytes from the 128-lane floor (~1.6x real) to ~real — exact for
     # the NUL-free strings.txt pattern set (see api.Matcher.prepare).
     t0 = time.perf_counter()
-    packed = engine == "pallas"
-    prep = matcher.prepare_batch(batch, packed=packed)
+    prep = matcher.prepare_batch(batch, packed="auto")
     h2d_s = time.perf_counter() - t0
 
     counts = matcher.count_prepared(prep)  # compile + correctness anchor
@@ -128,7 +127,7 @@ def main():
                 patterns=patterns, plant_rate=0.05, seed=1,
             )
         mb = extract_payloads(read_pcap(mega), "udp")
-        mp = matcher.prepare_batch(mb, packed=True)
+        mp = matcher.prepare_batch(mb, packed="auto")
         r = max(10, REPS // 10)
         np.asarray(matcher.pallas.count_tiles_repeated(mp.tiles, r))
         t0 = time.perf_counter()

@@ -183,7 +183,7 @@ class Matcher:
         bucketed: Optional[bool] = None,
         n_tile: int = 2048,
         l_quant: int = LANE,
-        packed: bool = False,
+        packed: Union[bool, str] = False,
         pack_width: int = 2048,
     ) -> PreparedBatch:
         """Stage a batch on device once (bucketed by length by default).
@@ -196,15 +196,29 @@ class Matcher:
         cannot match; every engine's state also resets at the separator), so
         NUL-containing patterns are rejected; per-packet attribution is
         unavailable in packed form (global counts are identical).
+        ``packed="auto"`` packs only when it beats width-class bucketing by
+        >20% padded bytes (short-payload corpora) and patterns allow it —
+        long payloads near the pack width fragment rows and lose to
+        bucketing.
         """
         payloads = np.asarray(payloads)
         lengths = np.asarray(lengths)
+        pk = fill = None
+        if packed == "auto":
+            packed = False
+            if not any(0 in p for p in self.window.unique_patterns):
+                pk, fill = pack_rows(payloads, lengths, width=pack_width)
+                plan = bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant)
+                bucketed_bytes = sum(quantize_rows(len(i)) * lt for i, lt in plan)
+                packed_bytes = (-(-pk.shape[0] // 64) * 64) * pack_width
+                packed = packed_bytes < 0.8 * bucketed_bytes
         if packed:
-            if any(0 in p for p in self.window.unique_patterns):
-                raise ValueError(
-                    "packed staging is exact only for NUL-free patterns"
-                )
-            pk, fill = pack_rows(payloads, lengths, width=pack_width)
+            if pk is None:
+                if any(0 in p for p in self.window.unique_patterns):
+                    raise ValueError(
+                        "packed staging is exact only for NUL-free patterns"
+                    )
+                pk, fill = pack_rows(payloads, lengths, width=pack_width)
             # Row padding: multiples of 64 only (the kernel pads to its row
             # tile anyway) — pow2 quantization would waste up to 50% of the
             # packing gain on mid-sized corpora.

@@ -89,28 +89,31 @@ def pack_rows(
     each row's used byte count (rows are zero beyond it, preserving the
     zero-padding invariant the no-fit kernel relies on).
 
-    Packing is next-fit over descending lengths: waste per row is bounded by
-    the smallest pending segment, a few percent in practice.
+    Packing is two-pointer over length-sorted segments: each row starts with
+    the largest remaining segment, then fills with the smallest ones that
+    still fit — near-optimal for heavy-tailed packet corpora and O(n).
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     if lengths.size and int(lengths.max()) > width:
         raise ValueError(
             f"payload of {int(lengths.max())} bytes exceeds pack width {width}"
         )
-    order = np.argsort(-lengths, kind="stable")
+    order = np.argsort(lengths, kind="stable")  # ascending
+    order = order[lengths[order] > 0]
     rows: List[List[int]] = []
     fills: List[int] = []
-    for idx in order:
-        ln = int(lengths[idx])
-        if ln == 0:
-            continue
-        # next-fit: append to the current row if it fits (with separator)
-        if rows and fills[-1] + 1 + ln <= width:
-            fills[-1] += 1 + ln
-            rows[-1].append(idx)
-        else:
-            rows.append([idx])
-            fills.append(ln)
+    lo, hi = 0, len(order) - 1
+    while lo <= hi:
+        idx = order[hi]
+        hi -= 1
+        members = [int(idx)]
+        fill = int(lengths[idx])
+        while lo <= hi and fill + 1 + int(lengths[order[lo]]) <= width:
+            members.append(int(order[lo]))
+            fill += 1 + int(lengths[order[lo]])
+            lo += 1
+        rows.append(members)
+        fills.append(fill)
     packed = np.zeros((max(len(rows), 1), width), dtype=np.uint8)
     for r, members in enumerate(rows):
         pos = 0

@@ -21,14 +21,35 @@ def test_pack_rows_geometry():
     payloads[2, :10] = 3
     lengths = np.array([3, 5, 10, 0], np.int64)
     packed, fill = pack_rows(payloads, lengths, width=16)
-    # desc order: 10, 5, 3; next-fit: row0 = 10 +1+ 5 = 16, row1 = 3
+    # two-pointer: row0 = largest(10) + smallest that fits (3) = 14; row1 = 5
     assert packed.shape == (2, 16)
-    assert fill.tolist() == [16, 3]
+    assert fill.tolist() == [14, 5]
     assert packed[0, :10].tolist() == [3] * 10
     assert packed[0, 10] == 0                    # separator
-    assert packed[0, 11:16].tolist() == [2] * 5
-    assert packed[1, :3].tolist() == [1] * 3
-    assert packed[1, 3:].sum() == 0              # zero padding preserved
+    assert packed[0, 11:14].tolist() == [1] * 3
+    assert packed[0, 14:].sum() == 0             # zero padding preserved
+    assert packed[1, :5].tolist() == [2] * 5
+    assert packed[1, 5:].sum() == 0
+
+
+def test_prepare_auto_packs_short_payloads():
+    m = Matcher([b"ab", b"cd"])
+    rng = np.random.default_rng(3)
+    payloads = rng.integers(1, 4, size=(4000, 100)).astype(np.uint8)
+    lengths = rng.integers(20, 101, size=4000).astype(np.int32)  # short rows
+    prep = m.prepare(payloads, lengths, packed="auto")
+    assert prep.packed
+
+    # payloads near the pack width fragment rows: bucketing wins
+    wide = rng.integers(1, 4, size=(100, 1500)).astype(np.uint8)
+    wlen = np.full(100, 1500, np.int32)
+    prep = m.prepare(wide, wlen, packed="auto")
+    assert not prep.packed
+
+    # NUL-containing pattern set: auto never packs
+    m2 = Matcher([b"ab", b"\x00x"])
+    prep = m2.prepare(payloads, lengths, packed="auto")
+    assert not prep.packed
 
 
 def test_pack_rejects_oversized():
