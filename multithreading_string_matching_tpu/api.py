@@ -137,7 +137,9 @@ class Matcher:
             if per_packet:
                 engine = "window"  # the Pallas kernel reduces on-chip; use XLA
             else:
-                prep = self.prepare(payloads, lengths, bucketed=bucketed)
+                prep = self.prepare(
+                    payloads, lengths, bucketed=bucketed, packed="auto"
+                )
                 return self.count_prepared(prep, engine="pallas")
         fn = self._engine_fn(engine)
         if bucketed:
