@@ -159,6 +159,7 @@ def main():
                 "device": str(jax.devices()[0]),
                 "scan_time_s": round(elapsed, 6),
                 "h2d_time_s": round(h2d_s, 6),
+                "staging": "packed" if prep.packed else "bucketed",
                 "mega_100mb_bytes_per_sec": round(mega_bps, 1) if mega_bps else None,
             }
         )
