@@ -62,7 +62,7 @@ def main():
     m = Matcher(load_patterns(strings))
     batch = extract_payloads(read_pcap(pcap), "udp")
     nbytes = batch.total_payload_bytes
-    prep = m.prepare_batch(batch)
+    prep = m.prepare_batch(batch, packed="auto")  # the bench.py staging
     payloads = jnp.asarray(batch.payloads, jnp.uint8)
     lengths = jnp.asarray(batch.lengths, jnp.int32)
     want = m.count_batch(batch)

@@ -34,6 +34,7 @@ from multithreading_string_matching_tpu.ops.window import (
 )
 from multithreading_string_matching_tpu.ops.bucketing import (
     bucket_plan,
+    pack_plan,
     pack_rows,
     quantize_rows,
     run_bucketed,
@@ -205,22 +206,26 @@ class Matcher:
         """
         payloads = np.asarray(payloads)
         lengths = np.asarray(lengths)
-        pk = fill = None
         if packed == "auto":
+            # Decide from lengths alone (pack_plan copies no payload bytes);
+            # decline — never raise — when packing can't apply (NUL patterns,
+            # a payload wider than the pack row) or wouldn't pay.
             packed = False
-            if not any(0 in p for p in self.window.unique_patterns):
-                pk, fill = pack_rows(payloads, lengths, width=pack_width)
+            if (
+                not any(0 in p for p in self.window.unique_patterns)
+                and (lengths.size == 0 or int(lengths.max()) <= pack_width)
+            ):
+                rows_, _ = pack_plan(lengths, pack_width)
                 plan = bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant)
                 bucketed_bytes = sum(quantize_rows(len(i)) * lt for i, lt in plan)
-                packed_bytes = (-(-pk.shape[0] // 64) * 64) * pack_width
+                packed_bytes = (-(-max(len(rows_), 1) // 64) * 64) * pack_width
                 packed = packed_bytes < 0.8 * bucketed_bytes
         if packed:
-            if pk is None:
-                if any(0 in p for p in self.window.unique_patterns):
-                    raise ValueError(
-                        "packed staging is exact only for NUL-free patterns"
-                    )
-                pk, fill = pack_rows(payloads, lengths, width=pack_width)
+            if any(0 in p for p in self.window.unique_patterns):
+                raise ValueError(
+                    "packed staging is exact only for NUL-free patterns"
+                )
+            pk, fill = pack_rows(payloads, lengths, width=pack_width)
             # Row padding: multiples of 64 only (the kernel pads to its row
             # tile anyway) — pow2 quantization would waste up to 50% of the
             # packing gain on mid-sized corpora.

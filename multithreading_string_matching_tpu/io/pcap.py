@@ -180,7 +180,6 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
     interfaces = []            # (linktype, snaplen, tsresol_divisor_to_usec)
     offsets, caplens, origlens, tss, tsf = [], [], [], [], []
     chunks = []                # captured-bytes slices, concatenated at the end
-    buf_pos = 0
 
     def u32(b, o):
         return struct.unpack_from(end + "I", b, o)[0]
@@ -188,8 +187,6 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
     while pos + 12 <= total:
         btype = u32(raw, pos)
         if btype == 0x0A0D0D0A:  # SHB: re-detect endianness from its BOM
-            if pos + 12 > total:
-                break
             bom_le = struct.unpack_from("<I", raw, pos + 8)[0]
             if bom_le == _PCAPNG_BOM:
                 end = "<"
@@ -203,61 +200,17 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
                 raise ValueError(f"truncated/invalid pcapng block at byte {pos}")
             break
         body = raw[pos + 8 : pos + blen - 4]
-        if btype == 0x00000001:  # IDB
-            linktype = struct.unpack_from(end + "H", body, 0)[0]
-            snaplen = u32(body, 4)
-            tsres_div = 1_000_000  # default 1e-6 ticks -> per-usec divisor 1
-            o = 8
-            while o + 4 <= len(body):  # options
-                code, olen = struct.unpack_from(end + "HH", body, o)
-                if code == 0:
-                    break
-                if code == 9 and olen >= 1:  # if_tsresol
-                    v = body[o + 4]
-                    tsres_div = 2 ** (v & 0x7F) if v & 0x80 else 10 ** v
-                o += 4 + (-(-olen // 4) * 4)
-            interfaces.append((linktype, snaplen, tsres_div))
-        elif btype == 0x00000006:  # Enhanced Packet Block
-            iface, ts_hi, ts_lo, incl, orig = struct.unpack_from(end + "IIIII", body, 0)
-            data = body[20 : 20 + incl]
-            if len(data) < incl:
-                if strict:
-                    raise ValueError(f"pcapng EPB shorter than caplen at byte {pos}")
-                break
-            div = interfaces[iface][2] if iface < len(interfaces) else 1_000_000
-            ticks = (ts_hi << 32) | ts_lo
-            tss.append(ticks // div)
-            tsf.append(((ticks % div) * 1_000_000) // div)  # -> microseconds
-            offsets.append(buf_pos)
-            caplens.append(incl)
-            origlens.append(orig)
-            chunks.append(data)
-            buf_pos += incl
-        elif btype == 0x00000003:  # Simple Packet Block
-            orig = u32(body, 0)
-            snap = interfaces[0][1] if interfaces else 0
-            incl = min(orig, snap) if snap else orig
-            data = body[4 : 4 + incl]
-            offsets.append(buf_pos)
-            caplens.append(len(data))
-            origlens.append(orig)
-            tss.append(0)
-            tsf.append(0)
-            chunks.append(data)
-            buf_pos += len(data)
-        elif btype == 0x00000002:  # obsolete Packet Block
-            _iface, _drops, ts_hi, ts_lo, incl, orig = struct.unpack_from(
-                end + "HHIIII", body, 0
+        try:
+            _parse_pcapng_block(
+                btype, body, end, interfaces,
+                offsets, caplens, origlens, tss, tsf, chunks, pos=pos,
             )
-            data = body[20 : 20 + incl]
-            offsets.append(buf_pos)
-            caplens.append(len(data))
-            origlens.append(orig)
-            tss.append(ts_hi)
-            tsf.append(ts_lo)
-            chunks.append(data)
-            buf_pos += len(data)
-        # all other block types (NRB, ISB, custom, ...) are skipped
+        except struct.error as e:
+            if strict:
+                raise ValueError(
+                    f"malformed pcapng block (type 0x{btype:08x}) at byte {pos}"
+                ) from e
+            break
         pos += blen
 
     if strict and offsets and not interfaces:
@@ -278,6 +231,81 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
         snaplen=snaplen,
         nanos=False,
     )
+
+
+def _parse_pcapng_block(
+    btype, body, end, interfaces, offsets, caplens, origlens, tss, tsf, chunks,
+    *, pos,
+):
+    """Dispatch one pcapng block body; raises struct.error / ValueError on
+    malformed content (the caller maps struct.error per strictness)."""
+    buf_pos = offsets[-1] + caplens[-1] if offsets else 0
+
+    def u32(b, o):
+        return struct.unpack_from(end + "I", b, o)[0]
+
+    def ticks_to_usec(ts_hi, ts_lo, iface):
+        div = interfaces[iface][2] if iface < len(interfaces) else 1_000_000
+        ticks = (ts_hi << 32) | ts_lo
+        return ticks // div, ((ticks % div) * 1_000_000) // div
+
+    if btype == 0x00000001:  # IDB
+        linktype = struct.unpack_from(end + "H", body, 0)[0]
+        snaplen = u32(body, 4)
+        tsres_div = 1_000_000  # default 1e-6 ticks -> per-usec divisor 1
+        o = 8
+        while o + 4 <= len(body):  # options
+            code, olen = struct.unpack_from(end + "HH", body, o)
+            if code == 0:
+                break
+            if code == 9 and olen >= 1:  # if_tsresol
+                v = body[o + 4]
+                tsres_div = 2 ** (v & 0x7F) if v & 0x80 else 10 ** v
+            o += 4 + (-(-olen // 4) * 4)
+        interfaces.append((linktype, snaplen, tsres_div))
+    elif btype == 0x00000006:  # Enhanced Packet Block
+        iface, ts_hi, ts_lo, incl, orig = struct.unpack_from(end + "IIIII", body, 0)
+        data = body[20 : 20 + incl]
+        if len(data) < incl:
+            # struct.error: the caller maps it to ValueError (strict) / stop.
+            raise struct.error(f"pcapng EPB shorter than caplen at byte {pos}")
+        sec, frac = ticks_to_usec(ts_hi, ts_lo, iface)
+        tss.append(sec)
+        tsf.append(frac)
+        offsets.append(buf_pos)
+        caplens.append(incl)
+        origlens.append(orig)
+        chunks.append(data)
+    elif btype == 0x00000003:  # Simple Packet Block
+        orig = u32(body, 0)
+        snap = interfaces[0][1] if interfaces else 0
+        incl = min(orig, snap) if snap else orig
+        # A writer that stored fewer bytes than min(orig, snaplen) is
+        # indistinguishable from block padding here (SPB carries no caplen
+        # field); clipping to the body bounds the damage to <=3 pad bytes.
+        data = body[4 : 4 + incl]
+        offsets.append(buf_pos)
+        caplens.append(len(data))
+        origlens.append(orig)
+        tss.append(0)
+        tsf.append(0)
+        chunks.append(data)
+    elif btype == 0x00000002:  # obsolete Packet Block (same ts encoding as EPB)
+        iface, _drops, ts_hi, ts_lo, incl, orig = struct.unpack_from(
+            end + "HHIIII", body, 0
+        )
+        data = body[20 : 20 + incl]
+        if len(data) < incl:
+            raise struct.error(f"pcapng PB shorter than caplen at byte {pos}")
+        sec, frac = ticks_to_usec(ts_hi, ts_lo, iface)
+        offsets.append(buf_pos)
+        caplens.append(incl)
+        origlens.append(orig)
+        tss.append(sec)
+        tsf.append(frac)
+        chunks.append(data)
+    # all other block types (SHB handled by the caller, NRB, ISB, custom,
+    # ...) carry no packets and are skipped
 
 
 def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:

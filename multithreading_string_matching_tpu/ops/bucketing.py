@@ -66,7 +66,16 @@ def bucket_plan(
             start = stop
     if start < len(order):
         plan.append((order[start:], int(widths[start])))
-    return plan
+    # Re-chunk oversized classes: n_tile stays the per-tile row bound so the
+    # XLA window engine's [G, rows, L] intermediates keep a fixed memory
+    # ceiling (a million-packet class must not become one million-row tile).
+    # Pallas doesn't care (its grid streams row blocks), and extra launches
+    # are amortized by the grid-axis repeat design.
+    bounded: List[Tuple[np.ndarray, int]] = []
+    for idx, lt in plan:
+        for s in range(0, len(idx), n_tile):
+            bounded.append((idx[s : s + n_tile], lt))
+    return bounded
 
 
 def pack_rows(
@@ -94,6 +103,27 @@ def pack_rows(
     still fit — near-optimal for heavy-tailed packet corpora and O(n).
     """
     lengths = np.asarray(lengths, dtype=np.int64)
+    rows, fills = pack_plan(lengths, width)
+    packed = np.zeros((max(len(rows), 1), width), dtype=np.uint8)
+    for r, members in enumerate(rows):
+        pos = 0
+        for idx in members:
+            ln = int(lengths[idx])
+            if pos:
+                pos += 1  # the separator byte is already 0
+            packed[r, pos : pos + ln] = payloads[idx, :ln]
+            pos += ln
+    fill = np.asarray(fills if fills else [0], dtype=np.int32)
+    return packed, fill
+
+
+def pack_plan(
+    lengths: np.ndarray, width: int
+) -> Tuple[List[List[int]], List[int]]:
+    """Row assignment for :func:`pack_rows` from lengths alone (no payload
+    bytes touched) — lets callers evaluate packing efficiency before paying
+    the materialization copy.  Returns ``(rows, fills)``."""
+    lengths = np.asarray(lengths, dtype=np.int64)
     if lengths.size and int(lengths.max()) > width:
         raise ValueError(
             f"payload of {int(lengths.max())} bytes exceeds pack width {width}"
@@ -114,17 +144,7 @@ def pack_rows(
             lo += 1
         rows.append(members)
         fills.append(fill)
-    packed = np.zeros((max(len(rows), 1), width), dtype=np.uint8)
-    for r, members in enumerate(rows):
-        pos = 0
-        for idx in members:
-            ln = int(lengths[idx])
-            if pos:
-                pos += 1  # the separator byte is already 0
-            packed[r, pos : pos + ln] = payloads[idx, :ln]
-            pos += ln
-    fill = np.asarray(fills if fills else [0], dtype=np.int32)
-    return packed, fill
+    return rows, fills
 
 
 def run_bucketed(

@@ -151,18 +151,29 @@ def _sharded_count_pallas(pallas_matcher, payloads, lengths, mesh: Mesh, axis: s
     the per-unique-pattern counts.  The multi-chip roofline path — identical
     counts to the single-chip kernel for any device count."""
 
-    def local(payloads, lengths):
-        counts = pallas_matcher._one_tile(payloads, lengths)
-        return jax.lax.psum(counts, axis)
+    # Cache the jitted SPMD program per (mesh, axis) ON the matcher object —
+    # rebuilding jit(shard_map(...)) every call would retrace and, on remote
+    # TPUs, recompile (minutes) per invocation.
+    cache = getattr(pallas_matcher, "_sharded_jit_cache", None)
+    if cache is None:
+        cache = pallas_matcher._sharded_jit_cache = {}
+    fn = cache.get((mesh, axis))
+    if fn is None:
 
-    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
-    # annotation, which the checker would otherwise require.
-    return jax.jit(
-        jax.shard_map(
-            local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
-            check_vma=False,
+        def local(payloads, lengths):
+            counts = pallas_matcher._one_tile(payloads, lengths)
+            return jax.lax.psum(counts, axis)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+        # axes annotation, which the checker would otherwise require.
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
+                check_vma=False,
+            )
         )
-    )(payloads, lengths)
+        cache[(mesh, axis)] = fn
+    return fn(payloads, lengths)
 
 
 def count_matches_sharded(

@@ -120,6 +120,33 @@ def test_packed_conformance_udp1000(reference_dir):
     assert used > 0.85 * n_fill_rows * pk.shape[1]
 
 
+def test_auto_declines_oversized_payload():
+    """A payload wider than the pack row must make 'auto' fall back to
+    bucketing, not raise — it sits on the default count() path."""
+    m = Matcher([b"ab"])
+    payloads = np.zeros((4, 3000), np.uint8)
+    payloads[0, :2] = np.frombuffer(b"ab", np.uint8)
+    lengths = np.full(4, 3000, np.int32)
+    prep = m.prepare(payloads, lengths, packed="auto")
+    assert not prep.packed
+    import os
+
+    os.environ["MSM_PALLAS_INTERPRET"] = "1"
+    try:
+        got = m.count(payloads, lengths)  # pallas path; must not raise
+    finally:
+        del os.environ["MSM_PALLAS_INTERPRET"]
+    assert got[0] == 1
+
+
+def test_bucket_plan_caps_tile_rows():
+    from multithreading_string_matching_tpu.ops.bucketing import bucket_plan
+
+    plan = bucket_plan(np.full(10000, 96), n_tile=2048)
+    assert all(len(i) <= 2048 for i, _ in plan)
+    assert sum(len(i) for i, _ in plan) == 10000
+
+
 def test_packed_forbids_per_packet(reference_dir):
     m = Matcher(load_patterns(reference_dir / "strings.txt"))
     payloads = np.zeros((4, 16), np.uint8)

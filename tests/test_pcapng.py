@@ -81,6 +81,58 @@ def test_pcapng_timestamps_roundtrip(reference_dir, tmp_path):
     assert (ng.ts_frac == classic.ts_frac).all()  # both in microseconds
 
 
+def _raw_block(end, btype, body):
+    blen = 12 + len(body) + ((-len(body)) % 4)
+    return (
+        struct.pack(end + "II", btype, blen)
+        + body + b"\x00" * ((-len(body)) % 4)
+        + struct.pack(end + "I", blen)
+    )
+
+
+def test_pcapng_malformed_block_raises_valueerror(tmp_path):
+    """An EPB with an empty body (blen=12) must raise ValueError, not leak
+    struct.error — CLI error handling and the distributed all-host abort
+    both dispatch on ValueError."""
+    end = "<"
+    blob = (
+        _raw_block(end, 0x0A0D0D0A, struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+        + _raw_block(end, 0x00000001, struct.pack(end + "HHI", 1, 0, 65535))
+        + _raw_block(end, 0x00000006, b"")  # EPB with no fixed header at all
+    )
+    p = tmp_path / "bad.pcapng"
+    p.write_bytes(blob)
+    with pytest.raises(ValueError):
+        read_pcap(p)
+    ok = read_pcap(p, strict=False)  # non-strict: stop at the bad block
+    assert ok.num_packets == 0
+
+
+def test_pcapng_obsolete_packet_block_timestamps(tmp_path):
+    """PB (type 2) carries the same 64-bit tick timestamp as EPB and must
+    decode through if_tsresol, not store ts_hi/ts_lo raw."""
+    end = "<"
+    sec, usec = 1_700_000_000, 123456
+    ticks = sec * 1_000_000 + usec
+    pkt = b"\xaa" * 20
+    body = struct.pack(
+        end + "HHIIII", 0, 0, (ticks >> 32) & 0xFFFFFFFF, ticks & 0xFFFFFFFF,
+        len(pkt), len(pkt),
+    ) + pkt
+    blob = (
+        _raw_block(end, 0x0A0D0D0A, struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+        + _raw_block(end, 0x00000001, struct.pack(end + "HHI", 1, 0, 65535))
+        + _raw_block(end, 0x00000002, body)
+    )
+    p = tmp_path / "pb.pcapng"
+    p.write_bytes(blob)
+    pc = read_pcap(p)
+    assert pc.num_packets == 1
+    assert int(pc.ts_sec[0]) == sec
+    assert int(pc.ts_frac[0]) == usec
+    assert pc.packet(0).tobytes() == pkt
+
+
 def test_pcapng_truncated_strict(reference_dir, tmp_path):
     classic = read_pcap(reference_dir / "udp.pcap")
     blob = _pcapng_from(classic)
