@@ -88,7 +88,7 @@ def main():
     # padded bytes from the 128-lane floor (~1.6x real) to ~real — exact for
     # the NUL-free strings.txt pattern set (see api.Matcher.prepare).
     t0 = time.perf_counter()
-    prep = matcher.prepare_batch(batch, packed="auto")
+    prep = matcher.prepare_batch(batch, packed="auto", n_tile=8192)
     h2d_s = time.perf_counter() - t0
 
     counts = matcher.count_prepared(prep)  # compile + correctness anchor
@@ -127,7 +127,10 @@ def main():
                 patterns=patterns, plant_rate=0.05, seed=1,
             )
         mb = extract_payloads(read_pcap(mega), "udp")
-        mp = matcher.prepare_batch(mb, packed="auto")
+        # n_tile=8192: the 2048-row cap protects the XLA window engine's
+        # memory; the Pallas grid streams row blocks, so bigger tiles just
+        # mean fewer ragged tails.
+        mp = matcher.prepare_batch(mb, packed="auto", n_tile=8192)
         r = max(10, REPS // 10)
         np.asarray(matcher.pallas.count_tiles_repeated(mp.tiles, r))
         t0 = time.perf_counter()
