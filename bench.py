@@ -30,10 +30,10 @@ REPO = pathlib.Path(__file__).parent
 REF = pathlib.Path(os.environ.get("REFERENCE_DIR", "/root/reference"))
 PCAP = pathlib.Path(os.environ.get("MSM_BENCH_PCAP", REF / "very_big_udp.pcap"))
 STRINGS = pathlib.Path(os.environ.get("MSM_STRINGS", REF / "strings.txt"))
-# Enough chained repeats that the ONE result-fetch round-trip (~28 ms through
-# the remote-device tunnel — not TPU time) stays <5% of the measured window:
-# 1000 reps x ~0.15 ms true scan ≈ 150 ms of kernel per fetch.
-REPS = int(os.environ.get("MSM_BENCH_REPS", "1000"))
+# Enough grid-axis repeats that the ONE result-fetch round-trip (~28 ms
+# through the remote-device tunnel — not TPU time) stays <5% of the measured
+# window: 4000 reps x ~0.11 ms device scan ≈ 450 ms of kernel per fetch.
+REPS = int(os.environ.get("MSM_BENCH_REPS", "4000"))
 
 
 def cpu_serial_baseline(payload_list, patterns) -> float:
