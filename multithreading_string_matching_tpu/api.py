@@ -128,18 +128,24 @@ class Matcher:
         per_packet: bool = False,
         engine: Optional[str] = None,
         bucketed: Optional[bool] = None,
+        staging: str = "auto",
     ) -> np.ndarray:
         """Counts over the ORIGINAL pattern list (duplicates as separate entries).
 
         Shapes: ``int32[P]`` or ``int32[N, P]`` with ``per_packet=True``.
+        ``staging``: 'auto' (default; pack when it pays), 'packed', or
+        'bucketed' — affects only the pallas staged path.
         """
         bucketed = self.bucketed if bucketed is None else bucketed
+        if staging not in ("auto", "packed", "bucketed"):
+            raise ValueError(f"unknown staging {staging!r}")
         if self._resolve_engine(engine) == "pallas":
             if per_packet:
                 engine = "window"  # the Pallas kernel reduces on-chip; use XLA
             else:
+                packed = {"auto": "auto", "packed": True, "bucketed": False}[staging]
                 prep = self.prepare(
-                    payloads, lengths, bucketed=bucketed, packed="auto"
+                    payloads, lengths, bucketed=bucketed, packed=packed
                 )
                 return self.count_prepared(prep, engine="pallas")
         fn = self._engine_fn(engine)

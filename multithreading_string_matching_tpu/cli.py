@@ -200,6 +200,10 @@ def cmd_match(argv: List[str]) -> int:
         "--offsets", action="store_true",
         help="also emit (packet, start, pattern) match positions",
     )
+    p.add_argument(
+        "--staging", choices=["auto", "packed", "bucketed"], default="auto",
+        help="device staging policy for the pallas engine",
+    )
     p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
     p.add_argument("--json", action="store_true")
     p.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
@@ -251,7 +255,9 @@ def cmd_match(argv: List[str]) -> int:
                 pallas_matcher=matcher.pallas if eng == "pallas" else None,
             )
         else:
-            counts = matcher.count_batch(batch, per_packet=cfg.per_packet)
+            counts = matcher.count_batch(
+                batch, per_packet=cfg.per_packet, staging=a.staging
+            )
         offsets = None
         if a.offsets:
             offsets = matcher.find_matches(batch.payloads, batch.lengths)
