@@ -115,6 +115,30 @@ def test_match_offsets_consistent_with_counts(reference_dir, capsys):
         assert batch.payloads[n, i : i + len(pat)].tobytes() == pat
 
 
+@pytest.mark.parametrize("cmd", ["serial", "data", "task", "mesh", "live"])
+@pytest.mark.parametrize("fixture,mode,total", [
+    ("udp.pcap", "udp", 39),
+    ("tcp.pcap", "tcp", 4),
+])
+def test_all_subcommands_agree(reference_dir, capsys, cmd, fixture, mode, total):
+    """Every execution mode prints identical counts for the same input —
+    the reference's cross-program validation strategy (SURVEY §4), run as a
+    matrix over subcommand x protocol."""
+    argv = [cmd, str(reference_dir / fixture), str(reference_dir / "strings.txt")]
+    if cmd in ("data", "task", "live"):
+        argv.insert(3, "4")  # thread-count slot
+    argv.append(mode)
+    code = main(argv)
+    out = capsys.readouterr().out
+    assert code == 0
+    got = sum(
+        int(line.rsplit(": ", 1)[1].split()[0])
+        for line in out.splitlines()
+        if line.endswith(" times!")
+    )
+    assert got == total, out
+
+
 def test_thread_count_arg_accepted_and_ignored(reference_dir, capsys):
     code, out, _ = _run(
         capsys, "data", str(reference_dir / "udp.pcap"),
