@@ -57,7 +57,10 @@ def synth_udp_pcap(
                     if len(p) <= ln:
                         off = int(rng.integers(0, ln - len(p) + 1))
                         payload[off : off + len(p)] = np.frombuffer(p, np.uint8)
-                pkt = _eth_ipv4(payload.tobytes(), proto=17)
+                # ~10% of packets carry IP options (ihl=6) so the decoder's
+                # variable-header arithmetic is exercised, not just ihl=5.
+                ihl = 6 if rng.random() < 0.1 else 5
+                pkt = _eth_ipv4(payload.tobytes(), proto=17, ihl=ihl)
                 total_payload += ln
             f.write(struct.pack("<IIII", i, 0, len(pkt), len(pkt)))
             f.write(pkt)
