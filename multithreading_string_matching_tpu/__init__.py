@@ -26,7 +26,7 @@ bytes of each valid payload.
 __version__ = "0.1.0"
 
 from multithreading_string_matching_tpu.io.patterns import load_patterns
-from multithreading_string_matching_tpu.io.pcap import read_pcap
+from multithreading_string_matching_tpu.io.pcap import read_pcap, iter_pcap
 from multithreading_string_matching_tpu.io.decode import extract_payloads, PayloadBatch
 from multithreading_string_matching_tpu.models.kmp import lps_table, kmp_dfa, stack_kmp_dfas
 from multithreading_string_matching_tpu.models.aho_corasick import AhoCorasick
@@ -36,6 +36,7 @@ from multithreading_string_matching_tpu.api import Matcher
 __all__ = [
     "load_patterns",
     "read_pcap",
+    "iter_pcap",
     "extract_payloads",
     "PayloadBatch",
     "lps_table",

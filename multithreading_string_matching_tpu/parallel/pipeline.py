@@ -24,7 +24,7 @@ from typing import Iterator, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from multithreading_string_matching_tpu.io.pcap import PcapFile, read_pcap
+from multithreading_string_matching_tpu.io.pcap import PcapFile, iter_pcap
 from multithreading_string_matching_tpu.io.decode import extract_payloads
 from multithreading_string_matching_tpu.ops.window import count_matches_window
 
@@ -87,18 +87,23 @@ def count_pcap_pipelined(
     strict: bool = False,
 ) -> np.ndarray:
     """Full-file counting through the batched pipeline; counts are identical
-    to the one-shot scan (tested), only the execution schedule differs."""
-    pcap = read_pcap(pcap_path)
+    to the one-shot scan (tested), only the execution schedule differs.
+
+    Ingest is streamed (``io.pcap.iter_pcap``), exactly as the reference's
+    producer pulls packets from libpcap incrementally instead of loading the
+    capture first (openmp_task.c:131-156) — so captures larger than host RAM
+    flow through with bounded residency (one batch + one read buffer)."""
     total = None
-    for payloads, lengths in iter_batches(pcap, mode, batch_size, strict=strict):
-        # Async dispatch: does NOT block — device consumes batch k while the
-        # host (producer) extracts batch k+1.  The gather-free window engine
-        # is the batch kernel (the AC scan is ~30x slower on TPU; see
-        # docs/DESIGN.md §1 — counts are identical either way).
-        counts = count_matches_window(
-            matcher.window, jnp.asarray(payloads), jnp.asarray(lengths)
-        )
-        total = counts if total is None else total + counts
+    for chunk in iter_pcap(pcap_path, batch_packets=batch_size):
+        for payloads, lengths in iter_batches(chunk, mode, batch_size, strict=strict):
+            # Async dispatch: does NOT block — device consumes batch k while
+            # the host (producer) reads + extracts batch k+1.  The gather-free
+            # window engine is the batch kernel (the AC scan is ~30x slower on
+            # TPU; see docs/DESIGN.md §1 — counts are identical either way).
+            counts = count_matches_window(
+                matcher.window, jnp.asarray(payloads), jnp.asarray(lengths)
+            )
+            total = counts if total is None else total + counts
     if total is None:
         return np.zeros(len(matcher.patterns), dtype=np.int32)
     return np.asarray(total)  # single synchronization point

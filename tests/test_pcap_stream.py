@@ -1,0 +1,118 @@
+"""Streaming (bounded-memory) pcap ingest: io.pcap.iter_pcap.
+
+The reference's task program never loads the capture up front — it pulls
+packets from libpcap in batches of 100 (openmp_task.c:131-156).  iter_pcap is
+that ingest shape: batch concatenation must be byte-identical to the one-shot
+read_pcap on every fixture, for classic pcap and pcapng, at any batch size
+and read-buffer size (including buffers smaller than one record, which forces
+the refill path).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from multithreading_string_matching_tpu import Matcher, iter_pcap, load_patterns, read_pcap
+from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_pipelined
+
+from test_pcapng import _pcapng_from
+
+
+def _assert_stream_equals_full(path, full, batch_packets, **kw):
+    batches = list(iter_pcap(path, batch_packets, **kw))
+    assert sum(b.num_packets for b in batches) == full.num_packets
+    for b in batches[:-1]:
+        assert b.num_packets == batch_packets
+    if batches:
+        assert 0 < batches[-1].num_packets <= batch_packets
+    i = 0
+    for b in batches:
+        assert b.linktype == full.linktype
+        for j in range(b.num_packets):
+            assert bytes(b.packet(j)) == bytes(full.packet(i))
+            assert int(b.caplens[j]) == int(full.caplens[i])
+            assert int(b.origlens[j]) == int(full.origlens[i])
+            assert int(b.ts_sec[j]) == int(full.ts_sec[i])
+            assert int(b.ts_frac[j]) == int(full.ts_frac[i])
+            i += 1
+
+
+@pytest.mark.parametrize("name", ["udp.pcap", "tcp.pcap", "udp_1000.pcap"])
+@pytest.mark.parametrize("batch_packets", [1, 7, 100, 10_000])
+def test_stream_equals_one_shot_classic(reference_dir, name, batch_packets):
+    path = reference_dir / name
+    _assert_stream_equals_full(path, read_pcap(path), batch_packets)
+
+
+def test_stream_tiny_read_buffer_forces_refills(reference_dir):
+    """A 64-byte read buffer is smaller than every record: each record header
+    and body straddles refills."""
+    path = reference_dir / "udp.pcap"
+    _assert_stream_equals_full(path, read_pcap(path), 3, read_size=64)
+
+
+@pytest.mark.parametrize("end", ["<", ">"])
+def test_stream_pcapng_equals_one_shot(reference_dir, tmp_path, end):
+    classic = read_pcap(reference_dir / "udp.pcap")
+    ng = tmp_path / "u.pcapng"
+    ng.write_bytes(_pcapng_from(classic, end=end, junk_block=True))
+    _assert_stream_equals_full(ng, read_pcap(ng), 4)
+    _assert_stream_equals_full(ng, read_pcap(ng), 4, read_size=64)
+
+
+def test_stream_truncated_classic(reference_dir, tmp_path):
+    raw = (reference_dir / "udp.pcap").read_bytes()
+    cut = tmp_path / "cut.pcap"
+    cut.write_bytes(raw[: len(raw) - 5])  # clip the last record's tail
+    with pytest.raises(ValueError):
+        list(iter_pcap(cut, 4))
+    tolerant = list(iter_pcap(cut, 4, strict=False))
+    full = read_pcap(reference_dir / "udp.pcap")
+    assert sum(b.num_packets for b in tolerant) == full.num_packets - 1
+
+
+def test_stream_trailing_garbage_classic(reference_dir, tmp_path):
+    raw = (reference_dir / "udp.pcap").read_bytes()
+    bad = tmp_path / "trail.pcap"
+    bad.write_bytes(raw + b"\x01\x02\x03")  # < 16 bytes: not a record header
+    with pytest.raises(ValueError, match="trailing"):
+        list(iter_pcap(bad, 1000))
+    tolerant = list(iter_pcap(bad, 1000, strict=False))
+    assert sum(b.num_packets for b in tolerant) == read_pcap(
+        reference_dir / "udp.pcap"
+    ).num_packets
+
+
+def test_stream_truncated_pcapng(reference_dir, tmp_path):
+    classic = read_pcap(reference_dir / "udp.pcap")
+    blob = _pcapng_from(classic)
+    cut = tmp_path / "cut.pcapng"
+    cut.write_bytes(blob[: len(blob) - 6])
+    with pytest.raises(ValueError):
+        list(iter_pcap(cut, 4))
+    tolerant = list(iter_pcap(cut, 4, strict=False))
+    assert sum(b.num_packets for b in tolerant) == classic.num_packets - 1
+
+
+def test_stream_empty_capture(tmp_path):
+    empty = tmp_path / "empty.pcap"
+    empty.write_bytes(
+        struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    )
+    assert list(iter_pcap(empty, 8)) == []
+
+
+def test_stream_batch_packets_validation(reference_dir):
+    with pytest.raises(ValueError):
+        list(iter_pcap(reference_dir / "udp.pcap", 0))
+
+
+def test_pipelined_counts_unchanged_by_streaming(reference_dir):
+    """The task pipeline now ingests via iter_pcap; totals must still match
+    the one-shot scan (BASELINE.md fixture totals pin this elsewhere too)."""
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    counts = count_pcap_pipelined(matcher, reference_dir / "udp_1000.pcap", "udp")
+    one_shot = matcher.count_pcap(reference_dir / "udp_1000.pcap", "udp")
+    assert (np.asarray(counts) == np.asarray(one_shot)).all()
+    assert int(np.asarray(counts).sum()) == 1006
