@@ -346,11 +346,14 @@ class Matcher:
         mode: str = "udp",
         *,
         strict: bool = False,
+        vlan: bool = False,
+        ipv6: bool = False,
         **kw,
     ) -> np.ndarray:
         pcap = read_pcap(pcap_path)
         batch = extract_payloads(
-            pcap, mode, strict=strict, pad_n_to=LANE, pad_len_to=SUBLANE
+            pcap, mode, strict=strict, vlan=vlan, ipv6=ipv6,
+            pad_n_to=LANE, pad_len_to=SUBLANE,
         )
         return self.count_batch(batch, **kw)
 

@@ -195,6 +195,8 @@ def cmd_match(argv: List[str]) -> int:
         "--engine", choices=["pallas", "window", "ac", "kmp"], default="pallas"
     )
     p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
+    p.add_argument("--vlan", action="store_true", help="skip 802.1Q/802.1ad VLAN tags (up to two)")
+    p.add_argument("--ipv6", action="store_true", help="also decode IPv6 frames (ethertype 0x86dd)")
     p.add_argument("--per-packet", action="store_true")
     p.add_argument(
         "--offsets", action="store_true",
@@ -236,7 +238,8 @@ def cmd_match(argv: List[str]) -> int:
         pcap = read_pcap(cfg.pcap)
     with timer.phase("extract"):
         batch = extract_payloads(
-            pcap, cfg.mode, strict=cfg.strict, pad_n_to=128, pad_len_to=8
+            pcap, cfg.mode, strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
+            pad_n_to=128, pad_len_to=8,
         )
     with timer.phase("scan"):
         if a.sharded:

@@ -39,6 +39,17 @@ Defined divergences from the C code's undefined behavior (see BASELINE.md):
 
 ``strict=True`` turns on the checks the reference forgot: ethertype 0x0800,
 ihl >= 5 for UDP, and ip_p == IPPROTO_TCP for TCP mode.
+
+Beyond-parity extensions (both OFF by default — the defaults reproduce the
+reference's untagged-IPv4-only behavior exactly):
+  - ``vlan=True``: up to two stacked 802.1Q/802.1ad tags (TPID 0x8100 /
+    0x88a8) are skipped, shifting the IP header by 4 bytes per tag.  The
+    reference hard-codes the IP header at byte 14 (packet_dumping.h:94,153),
+    so tagged frames silently fail (or worse, mis-decode) there.
+  - ``ipv6=True``: frames whose ethertype is 0x86dd decode as IPv6 (fixed
+    40-byte header; next-header must be UDP/TCP directly — packets with
+    extension headers are treated as invalid).  IPv4 frames in the same
+    capture keep their normal (compat or strict) predicate.
 """
 
 from __future__ import annotations
@@ -51,10 +62,15 @@ from multithreading_string_matching_tpu.io.pcap import PcapFile
 IPPROTO_UDP = 17
 IPPROTO_TCP = 6
 ETHERTYPE_IPV4 = 0x0800
+ETHERTYPE_IPV6 = 0x86DD
+ETHERTYPE_VLAN = 0x8100   # 802.1Q
+ETHERTYPE_QINQ = 0x88A8   # 802.1ad service tag
 ETH_HLEN = 14
+VLAN_HLEN = 4
 UDP_HLEN = 8
 MIN_IP_HLEN = 20
 MIN_TCP_HLEN = 20
+IPV6_HLEN = 40
 
 
 @dataclass(frozen=True)
@@ -85,16 +101,24 @@ def _safe_byte(buf: np.ndarray, idx: np.ndarray, ok: np.ndarray) -> np.ndarray:
 
 
 def decode_headers(
-    pcap: PcapFile, mode: str, *, strict: bool = False, use_native: bool = True
+    pcap: PcapFile,
+    mode: str,
+    *,
+    strict: bool = False,
+    use_native: bool = True,
+    vlan: bool = False,
+    ipv6: bool = False,
 ):
     """Vectorized validity predicate + payload geometry for every packet.
 
     Returns ``(valid bool[N], payload_off int64[N], payload_len int64[N])``
-    where offsets are relative to each packet's start.
+    where offsets are relative to each packet's start.  ``vlan``/``ipv6``
+    are the opt-in extensions documented in the module docstring; both off
+    (the default) reproduces the reference predicate exactly.
     """
     if mode not in ("udp", "tcp"):
         raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
-    if use_native:
+    if use_native and not (vlan or ipv6):
         from multithreading_string_matching_tpu.io import native
 
         if native.available():
@@ -105,43 +129,84 @@ def decode_headers(
     off = pcap.offsets
     cap = pcap.caplens
     L = pcap.origlens.astype(np.int64)
+    n = off.shape[0]
 
-    # Byte 14 (IP version/IHL) and the protocol byte are needed by both modes.
-    can_read_ihl = cap >= ETH_HLEN + 1
-    vhl = _safe_byte(buf, off + ETH_HLEN, can_read_ihl).astype(np.int64)
+    # L2 header size: fixed 14 in the reference; +4 per skipped VLAN tag.
+    l2 = np.full(n, ETH_HLEN, dtype=np.int64)
+    et = None
+    if vlan or ipv6 or strict:
+        et_off = np.full(n, 12, dtype=np.int64)
+
+        def read_et(o):
+            ok = cap >= o + 2
+            hi = _safe_byte(buf, off + o, ok).astype(np.int64)
+            lo = _safe_byte(buf, off + o + 1, ok).astype(np.int64)
+            return np.where(ok, (hi << 8) | lo, -1)
+
+        et = read_et(et_off)
+        if vlan:
+            for _ in range(2):  # up to two stacked 802.1Q/802.1ad tags
+                is_tag = (et == ETHERTYPE_VLAN) | (et == ETHERTYPE_QINQ)
+                et_off = np.where(is_tag, et_off + VLAN_HLEN, et_off)
+                et = read_et(et_off)
+            l2 = et_off + 2
+
+    # IP version/IHL byte and the IPv4 protocol byte, needed by both modes.
+    can_read_ihl = cap >= l2 + 1
+    vhl = _safe_byte(buf, off + l2, can_read_ihl).astype(np.int64)
     iplen = (vhl & 0x0F) * 4
-    can_read_proto = cap >= ETH_HLEN + 10
-    proto = _safe_byte(buf, off + ETH_HLEN + 9, can_read_proto).astype(np.int64)
+    can_read_proto = cap >= l2 + 10
+    proto = _safe_byte(buf, off + l2 + 9, can_read_proto).astype(np.int64)
 
     ethertype_ok = True
     if strict:
-        can_read_et = cap >= ETH_HLEN
-        et_hi = _safe_byte(buf, off + 12, can_read_et).astype(np.int64)
-        et_lo = _safe_byte(buf, off + 13, can_read_et).astype(np.int64)
-        ethertype_ok = ((et_hi << 8) | et_lo) == ETHERTYPE_IPV4
+        ethertype_ok = et == ETHERTYPE_IPV4
 
     if mode == "udp":
-        valid = L >= ETH_HLEN                                   # check 1
-        valid &= (L - ETH_HLEN) >= MIN_IP_HLEN                  # check 2
+        valid = L >= l2                                         # check 1
+        valid &= (L - l2) >= MIN_IP_HLEN                        # check 2
         valid &= can_read_ihl
-        valid &= (L - ETH_HLEN) >= iplen                        # check 3
+        valid &= (L - l2) >= iplen                              # check 3
         valid &= can_read_proto & (proto == IPPROTO_UDP)        # check 4
-        valid &= (L - ETH_HLEN - iplen) >= UDP_HLEN             # check 5
+        valid &= (L - l2 - iplen) >= UDP_HLEN                   # check 5
         if strict:
             valid &= (iplen >= MIN_IP_HLEN) & ethertype_ok
-        payload_off = ETH_HLEN + iplen + UDP_HLEN
+        payload_off = l2 + iplen + UDP_HLEN
     else:
         valid = can_read_ihl
         valid &= iplen >= MIN_IP_HLEN                           # check 2
-        thoff_idx = off + ETH_HLEN + iplen + 12
-        can_read_thoff = cap >= ETH_HLEN + iplen + 13
+        thoff_idx = off + l2 + iplen + 12
+        can_read_thoff = cap >= l2 + iplen + 13
         valid &= can_read_thoff
         thb = _safe_byte(buf, thoff_idx, valid).astype(np.int64)
         tcplen = (thb >> 4) * 4
         valid &= tcplen >= MIN_TCP_HLEN                         # check 3
         if strict:
             valid &= can_read_proto & (proto == IPPROTO_TCP) & ethertype_ok
-        payload_off = ETH_HLEN + iplen + tcplen
+        payload_off = l2 + iplen + tcplen
+
+    if ipv6:
+        # Frames with ethertype 0x86dd take the IPv6 predicate instead; the
+        # v4 path above (compat or strict) is untouched for everything else.
+        want = IPPROTO_UDP if mode == "udp" else IPPROTO_TCP
+        is_v6 = et == ETHERTYPE_IPV6
+        can_read_next = cap >= l2 + 7
+        next_hdr = _safe_byte(buf, off + l2 + 6, can_read_next).astype(np.int64)
+        v6 = is_v6 & ((L - l2) >= IPV6_HLEN) & can_read_next
+        v6 &= next_hdr == want  # extension-header chains are not followed
+        if mode == "udp":
+            v6 &= (L - l2 - IPV6_HLEN) >= UDP_HLEN
+            v6_off = l2 + IPV6_HLEN + UDP_HLEN
+        else:
+            th6_idx = off + l2 + IPV6_HLEN + 12
+            can_read_th6 = cap >= l2 + IPV6_HLEN + 13
+            v6 &= can_read_th6
+            th6 = _safe_byte(buf, th6_idx, v6).astype(np.int64)
+            tcp6 = (th6 >> 4) * 4
+            v6 &= tcp6 >= MIN_TCP_HLEN
+            v6_off = l2 + IPV6_HLEN + tcp6
+        valid = np.where(is_v6, v6, valid)
+        payload_off = np.where(is_v6, v6_off, payload_off)
 
     payload_len = L - payload_off
     valid &= payload_len >= 0     # C would wrap unsigned; we reject (see module doc)
@@ -188,6 +253,8 @@ def extract_payloads(
     keep_invalid: bool = False,
     pad_len_to: int = 1,
     pad_n_to: int = 1,
+    vlan: bool = False,
+    ipv6: bool = False,
 ) -> PayloadBatch:
     """Decode + slice every packet's payload into a padded device tensor.
 
@@ -202,7 +269,9 @@ def extract_payloads(
     multiples (lanes=128, sublanes) so the scan kernels see aligned tiles.
     Padding rows have length 0 and padding bytes are 0; the scan masks both.
     """
-    valid, poff, plen = decode_headers(pcap, mode, strict=strict)
+    valid, poff, plen = decode_headers(
+        pcap, mode, strict=strict, vlan=vlan, ipv6=ipv6
+    )
 
     # Clip payload reads to the captured bytes (never read past caplen).
     avail = np.maximum(pcap.caplens - poff, 0)

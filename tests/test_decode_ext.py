@@ -1,0 +1,183 @@
+"""Opt-in decoder extensions: 802.1Q/802.1ad VLAN tags and IPv6.
+
+The reference decodes only untagged IPv4 (the IP header is hard-coded at
+byte 14, packet_dumping.h:94,153).  These are beyond-parity extensions and
+must be strictly opt-in: with ``vlan=False, ipv6=False`` the predicate is
+bit-identical to the reference's on every fixture (pinned here).
+"""
+
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from multithreading_string_matching_tpu import (
+    Matcher,
+    extract_payloads,
+    load_patterns,
+    read_pcap,
+)
+from multithreading_string_matching_tpu.io.decode import decode_headers
+
+
+def _write_pcap(path, frames):
+    out = bytearray(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1))
+    for fb in frames:
+        out += struct.pack("<IIII", 0, 0, len(fb), len(fb))
+        out += fb
+    path.write_bytes(out)
+    return path
+
+
+def _eth(inner, ethertype, vlan_tags=()):
+    """dst(6) src(6) [TPID TCI]* ethertype inner."""
+    hdr = b"\xaa" * 6 + b"\xbb" * 6
+    for tpid, tci in vlan_tags:
+        hdr += struct.pack(">HH", tpid, tci)
+    hdr += struct.pack(">H", ethertype)
+    return hdr + inner
+
+
+def _ipv4_udp(payload):
+    ip = struct.pack(
+        ">BBHHHBBH4s4s", (4 << 4) | 5, 0, 20 + 8 + len(payload), 0, 0,
+        64, 17, 0, b"\x01\x02\x03\x04", b"\x05\x06\x07\x08",
+    )
+    udp = struct.pack(">HHHH", 1111, 2222, 8 + len(payload), 0)
+    return ip + udp + payload
+
+
+def _ipv6(next_hdr, l4_and_payload):
+    return struct.pack(
+        ">IHBB16s16s", 6 << 28, len(l4_and_payload), next_hdr, 64,
+        b"\x20" + b"\x00" * 15, b"\x20" + b"\x01" * 15,
+    ) + l4_and_payload
+
+
+def _ipv6_udp(payload):
+    return _ipv6(17, struct.pack(">HHHH", 1111, 2222, 8 + len(payload), 0) + payload)
+
+
+def _ipv6_tcp(payload, data_off=5):
+    tcp = struct.pack(">HHIIBBHHH", 1111, 2222, 0, 0, data_off << 4, 0, 0, 0, 0)
+    tcp += b"\x00" * (data_off * 4 - 20)
+    return _ipv6(6, tcp + payload)
+
+
+PAYLOAD = b"GET http://x HTTP/1.1"
+
+
+def test_vlan_single_tag_udp(tmp_path):
+    frame = _eth(_ipv4_udp(PAYLOAD), 0x0800, vlan_tags=[(0x8100, 0x0064)])
+    pcap = read_pcap(_write_pcap(tmp_path / "v.pcap", [frame]))
+    on = extract_payloads(pcap, "udp", vlan=True)
+    assert int(on.valid.sum()) == 1 and on.payload(0) == PAYLOAD
+    off = extract_payloads(pcap, "udp", vlan=False)
+    # Compat mode mis-reads the TCI as the IP header; whatever it decides,
+    # it must NOT recover the true payload.
+    assert int(off.valid.sum()) == 0 or off.payload(0) != PAYLOAD
+
+
+def test_vlan_qinq_double_tag(tmp_path):
+    frame = _eth(
+        _ipv4_udp(PAYLOAD), 0x0800,
+        vlan_tags=[(0x88A8, 0x0001), (0x8100, 0x0064)],
+    )
+    pcap = read_pcap(_write_pcap(tmp_path / "q.pcap", [frame]))
+    on = extract_payloads(pcap, "udp", vlan=True)
+    assert int(on.valid.sum()) == 1 and on.payload(0) == PAYLOAD
+
+
+def test_vlan_strict_checks_inner_ethertype(tmp_path):
+    good = _eth(_ipv4_udp(PAYLOAD), 0x0800, vlan_tags=[(0x8100, 7)])
+    bad = _eth(_ipv4_udp(PAYLOAD), 0x1234, vlan_tags=[(0x8100, 7)])
+    pcap = read_pcap(_write_pcap(tmp_path / "s.pcap", [good, bad]))
+    valid, _, _ = decode_headers(pcap, "udp", strict=True, vlan=True)
+    assert valid.tolist() == [True, False]
+
+
+def test_ipv6_udp_and_tcp(tmp_path):
+    frames = [
+        _eth(_ipv6_udp(PAYLOAD), 0x86DD),
+        _eth(_ipv6_tcp(PAYLOAD), 0x86DD),
+        _eth(_ipv6_tcp(PAYLOAD, data_off=8), 0x86DD),  # TCP options
+    ]
+    pcap = read_pcap(_write_pcap(tmp_path / "6.pcap", frames))
+    udp_on = extract_payloads(pcap, "udp", ipv6=True)
+    assert udp_on.valid.tolist() == [True, False, False]
+    assert udp_on.payload(0) == PAYLOAD
+    tcp_on = extract_payloads(pcap, "tcp", ipv6=True, keep_invalid=True)
+    assert tcp_on.valid.tolist() == [False, True, True]
+    assert tcp_on.payload(1) == PAYLOAD and tcp_on.payload(2) == PAYLOAD
+    # Off by default: the v6 frames must not decode as v4 payload hits.
+    udp_off = extract_payloads(pcap, "udp", keep_invalid=True)
+    assert all(udp_off.payload(i) != PAYLOAD for i in range(3))
+
+
+def test_ipv6_extension_header_is_invalid(tmp_path):
+    # Hop-by-hop (0) before UDP: chains are not followed -> invalid.
+    hbh = struct.pack(">BB6s", 17, 0, b"\x00" * 6)
+    inner = hbh + struct.pack(">HHHH", 1, 2, 8 + len(PAYLOAD), 0) + PAYLOAD
+    frame = _eth(_ipv6(0, inner), 0x86DD)
+    pcap = read_pcap(_write_pcap(tmp_path / "x.pcap", [frame]))
+    valid, _, _ = decode_headers(pcap, "udp", ipv6=True)
+    assert valid.tolist() == [False]
+
+
+def test_vlan_ipv6_combined(tmp_path):
+    frame = _eth(_ipv6_udp(PAYLOAD), 0x86DD, vlan_tags=[(0x8100, 5)])
+    pcap = read_pcap(_write_pcap(tmp_path / "v6.pcap", [frame]))
+    batch = extract_payloads(pcap, "udp", vlan=True, ipv6=True)
+    assert int(batch.valid.sum()) == 1 and batch.payload(0) == PAYLOAD
+
+
+def test_mixed_corpus_counts_additive(tmp_path, reference_dir):
+    frames = [
+        _eth(_ipv4_udp(b"plain http here"), 0x0800),
+        _eth(_ipv4_udp(b"tagged http here"), 0x0800, vlan_tags=[(0x8100, 9)]),
+        _eth(_ipv6_udp(b"v6 http here"), 0x86DD),
+    ]
+    path = _write_pcap(tmp_path / "m.pcap", frames)
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    assert int(matcher.count_pcap(path, "udp").sum()) == 1
+    assert int(matcher.count_pcap(path, "udp", vlan=True).sum()) == 2
+    assert int(matcher.count_pcap(path, "udp", vlan=True, ipv6=True).sum()) == 3
+
+
+@pytest.mark.parametrize("name,mode,total", [("udp.pcap", "udp", 39), ("tcp.pcap", "tcp", 4)])
+@pytest.mark.parametrize("strict", [False, True])
+def test_extensions_do_not_change_fixture_counts(
+    reference_dir, name, mode, total, strict
+):
+    """Fixtures are untagged IPv4: flags on must be a no-op there (this also
+    cross-checks the numpy extended path against the native compat path,
+    which is skipped whenever vlan/ipv6 is set)."""
+    pcap = read_pcap(reference_dir / name)
+    base = decode_headers(pcap, mode, strict=strict)
+    ext = decode_headers(pcap, mode, strict=strict, vlan=True, ipv6=True)
+    for a, b in zip(base, ext):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    counts = matcher.count_pcap(reference_dir / name, mode, vlan=True, ipv6=True)
+    assert int(np.asarray(counts).sum()) == total
+
+
+def test_cli_vlan_ipv6_flags(tmp_path, reference_dir):
+    frames = [
+        _eth(_ipv4_udp(b"xml one"), 0x0800, vlan_tags=[(0x8100, 3)]),
+        _eth(_ipv6_udp(b"xml two"), 0x86DD),
+    ]
+    path = _write_pcap(tmp_path / "cli.pcap", frames)
+    out = subprocess.run(
+        [sys.executable, "-m", "multithreading_string_matching_tpu", "match",
+         "--pcap", str(path), "--patterns", str(reference_dir / "strings.txt"),
+         "--vlan", "--ipv6", "--engine", "window", "--json"],
+        capture_output=True, text=True, check=True,
+        env={"MSM_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    import json
+
+    blob = json.loads(out.stdout)
+    assert sum(blob["counts"]) == 2
