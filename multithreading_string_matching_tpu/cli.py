@@ -207,6 +207,10 @@ def cmd_match(argv: List[str]) -> int:
         help="device staging policy for the pallas engine",
     )
     p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
+    p.add_argument(
+        "--stream", action="store_true",
+        help="bounded-memory streaming scan (fixed packed tiles; any-size captures)",
+    )
     p.add_argument("--json", action="store_true")
     p.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
     p.add_argument("--config", metavar="FILE", help="load a MatchConfig JSON (flags override)")
@@ -234,6 +238,33 @@ def cmd_match(argv: List[str]) -> int:
 
     matcher = _build(cfg.patterns, engine=cfg.engine)
     timer = PhaseTimer()
+    if a.stream:
+        if a.sharded or cfg.per_packet or a.offsets:
+            raise SystemExit(
+                "--stream is incompatible with --sharded/--per-packet/--offsets"
+            )
+        from multithreading_string_matching_tpu.parallel.pipeline import (
+            count_pcap_streamed,
+        )
+
+        with timer.phase("scan"):
+            counts = count_pcap_streamed(
+                matcher, cfg.pcap, cfg.mode,
+                strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
+            )
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+        if a.json:
+            import json
+
+            print(json.dumps({
+                "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
+                "counts": np.asarray(counts).tolist(),
+                "phases": timer.phases,
+            }))
+        else:
+            _report(matcher, counts, timer.total)
+        return 0
     with timer.phase("ingest"):
         pcap = read_pcap(cfg.pcap)
     with timer.phase("extract"):

@@ -55,6 +55,8 @@ def iter_batches(
     batch_size: int,
     *,
     strict: bool = False,
+    vlan: bool = False,
+    ipv6: bool = False,
     fixed_len: Optional[int] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield fixed-shape (payloads[B, Lfix], lengths[B]) batches.
@@ -65,7 +67,8 @@ def iter_batches(
     for start in range(0, pcap.num_packets, batch_size):
         part = _slice_pcap(pcap, start, start + batch_size)
         batch = extract_payloads(
-            part, mode, strict=strict, keep_invalid=True, pad_n_to=batch_size
+            part, mode, strict=strict, vlan=vlan, ipv6=ipv6,
+            keep_invalid=True, pad_n_to=batch_size,
         )
         payloads, lengths = batch.payloads, batch.lengths
         want = fixed_len or _next_pow2(payloads.shape[1])
@@ -78,6 +81,100 @@ def iter_batches(
         yield payloads, lengths
 
 
+def count_pcap_streamed(
+    matcher,
+    pcap_path,
+    mode: str = "udp",
+    *,
+    batch_packets: int = 8192,
+    tile_rows: int = 4096,
+    pack_width: int = 2048,
+    strict: bool = False,
+    vlan: bool = False,
+    ipv6: bool = False,
+) -> np.ndarray:
+    """Production-rate streaming scan: bounded-memory ingest feeding the
+    fast engine through ONE fixed compiled shape.
+
+    The task pipeline (below) mirrors the reference's 100-packet batches and
+    scans each batch at its own (pow2-bucketed) shape with the XLA window
+    engine — faithful, but neither the batch size nor the engine is what the
+    hardware wants.  This path is the serving shape: stream the capture
+    (``iter_pcap``), sequence-pack payloads into ``[tile_rows, pack_width]``
+    rows (0x00-separated — exact for NUL-free pattern sets, see
+    ops/bucketing.pack_rows), and dispatch each full tile asynchronously to
+    the Pallas kernel (XLA window on CPU hosts).  One executable for the
+    whole run, device-side count accumulation, one fetch at the end; peak
+    host memory is one ingest batch + one tile regardless of capture size.
+
+    Payloads wider than ``pack_width`` (can't pack) are routed per-chunk
+    through the bucketed engine; NUL-containing pattern sets (packing
+    inexact) fall back to :func:`count_pcap_pipelined` entirely.  Counts are
+    bit-identical to the one-shot scan in every case (tested).
+    """
+    if any(0 in p for p in matcher.window.unique_patterns):
+        return count_pcap_pipelined(
+            matcher, pcap_path, mode,
+            strict=strict, vlan=vlan, ipv6=ipv6,
+        )
+    from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+
+    use_pallas = matcher._resolve_engine("pallas") == "pallas"
+    buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
+    fill = np.zeros(tile_rows, dtype=np.int32)
+    r = 0
+    total = None          # device-resident [P] expanded counts
+    over_total = None     # host-side counts for oversized payloads
+
+    def dispatch():
+        # Fresh host buffers each tile: the dispatch is asynchronous and
+        # jnp.asarray may alias a numpy buffer (zero-copy on CPU backends),
+        # so mutating the old tile after dispatch would corrupt the pending
+        # computation.
+        nonlocal total, buf, fill, r
+        if use_pallas:
+            out = matcher.pallas.count_tiles([(buf, fill)])
+        else:
+            out = count_matches_window(
+                matcher.window, jnp.asarray(buf), jnp.asarray(fill)
+            )
+        total = out if total is None else total + out
+        buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
+        fill = np.zeros(tile_rows, dtype=np.int32)
+        r = 0
+
+    for chunk in iter_pcap(pcap_path, batch_packets=batch_packets):
+        batch = extract_payloads(chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6)
+        lens = batch.lengths.astype(np.int64)
+        big = lens > pack_width
+        if big.any():
+            over = matcher.count(batch.payloads[big], batch.lengths[big])
+            over_total = over if over_total is None else over_total + over
+            lens = np.where(big, 0, lens)
+        rows_c, fill_c = pack_rows(batch.payloads, lens, width=pack_width)
+        if not fill_c.any():
+            continue
+        i = 0
+        while i < rows_c.shape[0]:
+            take = min(tile_rows - r, rows_c.shape[0] - i)
+            buf[r : r + take, : rows_c.shape[1]] = rows_c[i : i + take]
+            fill[r : r + take] = fill_c[i : i + take]
+            r += take
+            i += take
+            if r == tile_rows:
+                dispatch()
+    if r:
+        dispatch()
+    counts = (
+        np.asarray(total)
+        if total is not None
+        else np.zeros(len(matcher.patterns), dtype=np.int32)
+    )
+    if over_total is not None:
+        counts = counts + np.asarray(over_total)
+    return counts.astype(np.int32)
+
+
 def count_pcap_pipelined(
     matcher,
     pcap_path,
@@ -85,6 +182,8 @@ def count_pcap_pipelined(
     *,
     batch_size: int = DEFAULT_BATCH,
     strict: bool = False,
+    vlan: bool = False,
+    ipv6: bool = False,
 ) -> np.ndarray:
     """Full-file counting through the batched pipeline; counts are identical
     to the one-shot scan (tested), only the execution schedule differs.
@@ -95,7 +194,9 @@ def count_pcap_pipelined(
     flow through with bounded residency (one batch + one read buffer)."""
     total = None
     for chunk in iter_pcap(pcap_path, batch_packets=batch_size):
-        for payloads, lengths in iter_batches(chunk, mode, batch_size, strict=strict):
+        for payloads, lengths in iter_batches(
+            chunk, mode, batch_size, strict=strict, vlan=vlan, ipv6=ipv6
+        ):
             # Async dispatch: does NOT block — device consumes batch k while
             # the host (producer) reads + extracts batch k+1.  The gather-free
             # window engine is the batch kernel (the AC scan is ~30x slower on

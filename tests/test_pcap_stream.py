@@ -116,3 +116,75 @@ def test_pipelined_counts_unchanged_by_streaming(reference_dir):
     one_shot = matcher.count_pcap(reference_dir / "udp_1000.pcap", "udp")
     assert (np.asarray(counts) == np.asarray(one_shot)).all()
     assert int(np.asarray(counts).sum()) == 1006
+
+
+# -- count_pcap_streamed: fixed-shape packed-tile streaming scan ------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(batch_packets=64, tile_rows=32, pack_width=256),
+        dict(batch_packets=1000, tile_rows=8, pack_width=2048),
+        dict(batch_packets=17, tile_rows=16, pack_width=128),  # forces oversize routing
+    ],
+)
+def test_streamed_counts_equal_one_shot(reference_dir, kw):
+    from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_streamed
+
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    got = count_pcap_streamed(matcher, reference_dir / "udp_1000.pcap", "udp", **kw)
+    want = matcher.count_pcap(reference_dir / "udp_1000.pcap", "udp")
+    assert (np.asarray(got) == np.asarray(want)).all()
+    assert int(np.asarray(got).sum()) == 1006
+
+
+def test_streamed_nul_pattern_fallback(reference_dir):
+    from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_streamed
+
+    matcher = Matcher([b"http", b"\x00\x00"], engine="window")
+    got = count_pcap_streamed(matcher, reference_dir / "udp.pcap", "udp")
+    want = matcher.count_pcap(reference_dir / "udp.pcap", "udp")
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_streamed_empty_and_tcp(reference_dir):
+    from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_streamed
+
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    got = count_pcap_streamed(matcher, reference_dir / "tcp.pcap", "tcp",
+                              batch_packets=5, tile_rows=8, pack_width=512)
+    assert int(np.asarray(got).sum()) == 4
+    # udp mode on tcp.pcap yields zero valid payloads -> all-zero counts.
+    zero = count_pcap_streamed(matcher, reference_dir / "tcp.pcap", "udp")
+    assert int(np.asarray(zero).sum()) == 0
+    assert zero.shape == (len(matcher.patterns),)
+
+
+def test_streamed_pallas_interpret_path(reference_dir, monkeypatch):
+    """Exercise the pallas branch of count_pcap_streamed (interpret on CPU)."""
+    from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_streamed
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="pallas")
+    got = count_pcap_streamed(
+        matcher, reference_dir / "udp.pcap", "udp",
+        batch_packets=8, tile_rows=8, pack_width=512,
+    )
+    assert int(np.asarray(got).sum()) == 39
+
+
+def test_cli_stream_flag(reference_dir):
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "multithreading_string_matching_tpu", "match",
+         "--pcap", str(reference_dir / "udp_1000.pcap"),
+         "--patterns", str(reference_dir / "strings.txt"),
+         "--stream", "--engine", "window", "--json"],
+        capture_output=True, text=True, check=True,
+        env={"MSM_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    assert sum(json.loads(out.stdout)["counts"]) == 1006
