@@ -70,6 +70,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.msm_fill_padded.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
         ]
+        lib.msm_pack_fill.restype = None
+        lib.msm_pack_fill.argtypes = [
+            u8p, ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
+        lib.msm_pack_plan.restype = ctypes.c_int64
+        lib.msm_pack_plan.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -121,6 +130,36 @@ def decode(buf, offsets, caplens, origlens, mode: str, strict: bool):
         0 if mode == "udp" else 1, int(strict), _u8(valid), _i64(poff), _i64(plen),
     )
     return valid.astype(bool), poff, plen
+
+
+def pack(payloads, lengths, width: int):
+    """Native plan+materialize for ops/bucketing.pack_rows (bit-identical to
+    the Python implementation; returns (packed, fills) or None for the
+    no-nonempty-segments case the caller handles)."""
+    lib = get_lib()
+    assert lib is not None
+    payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    order = np.argsort(lengths, kind="stable")
+    order = np.ascontiguousarray(order[lengths[order] > 0], dtype=np.int64)
+    n_ord = order.size
+    if n_ord == 0:
+        return None
+    members = np.empty(n_ord, dtype=np.int64)
+    per_row = np.empty(n_ord, dtype=np.int64)
+    fills = np.empty(n_ord, dtype=np.int64)
+    n_rows = lib.msm_pack_plan(
+        _i64(lengths), _i64(order), n_ord, width,
+        _i64(members), _i64(per_row), _i64(fills),
+    )
+    per_row = per_row[:n_rows]
+    out = np.zeros((n_rows, width), dtype=np.uint8)
+    lib.msm_pack_fill(
+        _u8(payloads), payloads.shape[1] if payloads.ndim == 2 else 0,
+        _i64(lengths), _i64(members), _i64(per_row),
+        n_rows, width, _u8(out),
+    )
+    return out, fills[:n_rows].astype(np.int32)
 
 
 def fill_padded(buf, starts, lens, lmax: int) -> np.ndarray:

@@ -129,4 +129,55 @@ void msm_fill_padded(const uint8_t *buf, const int64_t *starts,
   }
 }
 
+// Two-pointer packing plan over length-sorted segments (the exact
+// ops/bucketing.pack_plan algorithm): each row starts with the largest
+// remaining segment, then fills with the smallest that still fit (+1 for
+// the separator).  order is ascending-length segment indices (zero-length
+// already filtered); outputs the flattened member list, per-row member
+// counts and per-row fills; returns the row count.
+int64_t msm_pack_plan(const int64_t *lengths, const int64_t *order,
+                      int64_t n_ord, int64_t width, int64_t *members,
+                      int64_t *per_row, int64_t *fills) {
+  int64_t lo = 0, hi = n_ord - 1, m = 0, r = 0;
+  while (lo <= hi) {
+    const int64_t idx = order[hi--];
+    members[m++] = idx;
+    int64_t fill = lengths[idx];
+    int64_t cnt = 1;
+    while (lo <= hi && fill + 1 + lengths[order[lo]] <= width) {
+      members[m++] = order[lo];
+      fill += 1 + lengths[order[lo]];
+      lo++;
+      cnt++;
+    }
+    per_row[r] = cnt;
+    fills[r] = fill;
+    r++;
+  }
+  return r;
+}
+
+// Materialize a pack_plan: copy each row's member segments into a
+// zero-initialized [n_rows, width] tensor with one 0x00 separator byte
+// between segments (ops/bucketing.pack_rows semantics).  members is the
+// flattened per-row member index list; per_row gives each row's member
+// count.
+void msm_pack_fill(const uint8_t *payloads, int64_t stride,
+                   const int64_t *lengths, const int64_t *members,
+                   const int64_t *per_row, int64_t n_rows, int64_t width,
+                   uint8_t *out) {
+  int64_t m = 0;
+  for (int64_t r = 0; r < n_rows; r++) {
+    uint8_t *row = out + r * width;
+    int64_t pos = 0;
+    for (int64_t k = 0; k < per_row[r]; k++, m++) {
+      const int64_t idx = members[m];
+      const int64_t len = lengths[idx];
+      if (pos) pos += 1;  // separator byte is already 0
+      std::memcpy(row + pos, payloads + idx * stride, (size_t)len);
+      pos += len;
+    }
+  }
+}
+
 }  // extern "C"

@@ -53,3 +53,38 @@ def test_native_truncated_record(tmp_path):
         read_pcap(f, use_native=True)
     pc = read_pcap(f, strict=False, use_native=True)
     assert pc.num_packets == 0
+
+
+def test_native_pack_equals_python(monkeypatch):
+    """msm_pack_plan/msm_pack_fill must reproduce ops/bucketing.pack_rows'
+    Python plan+materialize exactly (row order, separators, fills) on
+    adversarial length mixes."""
+    from multithreading_string_matching_tpu.ops import bucketing
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 120, 500),               # many zeros
+        rng.integers(1, 2048, 300),              # up to full width
+        np.full(64, 2048),                       # exactly one row each
+        np.array([2048, 1, 1, 1, 2047, 0, 5]),   # boundary fits
+        np.zeros(10, dtype=np.int64),            # nothing to pack
+        np.array([], dtype=np.int64),            # no segments at all
+    ]
+    for lens in cases:
+        lens = np.asarray(lens, dtype=np.int64)
+        pl = rng.integers(1, 256, (max(len(lens), 1), 2048), dtype=np.uint8)[: len(lens)]
+        got = bucketing.pack_rows(pl, lens, 2048)
+        monkeypatch.setenv("MSM_NO_NATIVE", "1")
+        native._lib, native._tried = None, False
+        want = bucketing.pack_rows(pl, lens, 2048)
+        monkeypatch.delenv("MSM_NO_NATIVE")
+        native._lib, native._tried = None, False
+        assert got[0].shape == want[0].shape
+        assert (got[0] == want[0]).all() and (got[1] == want[1]).all()
+
+
+def test_native_pack_rejects_oversize():
+    from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+
+    with pytest.raises(ValueError, match="exceeds pack width"):
+        pack_rows(np.zeros((1, 4096), np.uint8), np.array([3000]), 2048)
