@@ -77,6 +77,11 @@ class Matcher:
       powers carried-DFA-state streaming.
     - ``'kmp'``: per-pattern KMP DFAs in lockstep — the reference-shaped
       conformance path.
+    - ``'auto'``: ``pallas`` (the measured winner at the reference's
+      workload shape — 97 patterns of 2-12 B) unless the pattern set is
+      where the O(U) compare chain loses to the AC DFA's O(1)-per-byte
+      gather: very many patterns or very long ones (docs/DESIGN.md §1 has
+      the crossover arithmetic).
 
     ``bucketed=True`` (default) sorts packets by length into fixed row tiles
     so padded work tracks real bytes (ops/bucketing.py).
@@ -87,14 +92,47 @@ class Matcher:
     bucketed: bool = True
 
     def __post_init__(self):
-        if self.engine not in ("pallas", "window", "ac", "kmp"):
+        if self.engine not in ("auto", "pallas", "window", "ac", "kmp"):
             raise ValueError(f"unknown engine {self.engine!r}")
         self.patterns = [bytes(p) for p in self.patterns]
-        self.ac = AhoCorasick.build(self.patterns)
-        self.cac = CompiledAC.from_automaton(self.ac)
-        self.window = WindowProgram.build(self.patterns)
-        self._kmp_dfas, self._kmp_accept = stack_kmp_dfas(self.patterns)
+        # Automata build lazily and cache: a deployment uses one engine, and
+        # e.g. the stacked per-pattern KMP tables are O(P·max_m·256) —
+        # substantial for large pattern sets that will only ever run AC.
+        self._ac = None
+        self._cac = None
+        self._window = None
+        self._kmp = None
         self._pallas = None  # built lazily (backend-dependent)
+
+    @property
+    def ac(self) -> AhoCorasick:
+        if self._ac is None:
+            self._ac = AhoCorasick.build(self.patterns)
+        return self._ac
+
+    @property
+    def cac(self) -> CompiledAC:
+        if self._cac is None:
+            self._cac = CompiledAC.from_automaton(self.ac)
+        return self._cac
+
+    @property
+    def window(self) -> WindowProgram:
+        if self._window is None:
+            self._window = WindowProgram.build(self.patterns)
+        return self._window
+
+    @property
+    def _kmp_dfas(self):
+        if self._kmp is None:
+            self._kmp = stack_kmp_dfas(self.patterns)
+        return self._kmp[0]
+
+    @property
+    def _kmp_accept(self):
+        if self._kmp is None:
+            self._kmp = stack_kmp_dfas(self.patterns)
+        return self._kmp[1]
 
     @property
     def pallas(self):
@@ -139,7 +177,8 @@ class Matcher:
         bucketed = self.bucketed if bucketed is None else bucketed
         if staging not in ("auto", "packed", "bucketed"):
             raise ValueError(f"unknown staging {staging!r}")
-        if self._resolve_engine(engine) == "pallas":
+        engine = self._resolve_engine(engine)
+        if engine == "pallas":
             if per_packet:
                 engine = "window"  # the Pallas kernel reduces on-chip; use XLA
             else:
@@ -156,10 +195,21 @@ class Matcher:
         return np.asarray(fn(payloads, lengths, per_packet=per_packet))
 
     def _resolve_engine(self, engine: Optional[str]) -> str:
-        """'pallas' quietly degrades to the XLA window matcher on CPU hosts
-        (interpret-mode Pallas is for tests only; MSM_PALLAS_INTERPRET=1
-        forces it)."""
+        """'auto' picks by pattern-set shape; 'pallas' quietly degrades to
+        the XLA window matcher on CPU hosts (interpret-mode Pallas is for
+        tests only; MSM_PALLAS_INTERPRET=1 forces it)."""
         engine = engine or self.engine
+        if engine == "auto":
+            # Window/pallas cost per byte is O(U·K) VPU compares; the AC
+            # scan's per-byte gather is ~370x one compare at the measured
+            # design point (U·K ≈ 260, DESIGN.md §1) — so the DFA only wins
+            # far beyond it.  Very long patterns also blow the unrolled
+            # compare chain's VMEM/compile budget; AC's table grows
+            # gracefully instead.
+            wp = self.window
+            total_words = int(wp.pat_words.shape[0] * wp.pat_words.shape[1])
+            max_len = max((len(p) for p in wp.unique_patterns), default=0)
+            engine = "ac" if total_words > 32_000 or max_len > 256 else "pallas"
         if (
             engine == "pallas"
             and jax.default_backend() == "cpu"

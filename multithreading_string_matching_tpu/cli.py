@@ -192,7 +192,9 @@ def cmd_match(argv: List[str]) -> int:
     p.add_argument("--patterns", required=True)
     p.add_argument("--mode", choices=["udp", "tcp"], default="udp")
     p.add_argument(
-        "--engine", choices=["pallas", "window", "ac", "kmp"], default="pallas"
+        "--engine",
+        choices=["auto", "pallas", "window", "ac", "kmp"],
+        default="pallas",
     )
     p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
     p.add_argument("--vlan", action="store_true", help="skip 802.1Q/802.1ad VLAN tags (up to two)")

@@ -94,3 +94,28 @@ def test_determinism(reference_dir, matcher):
     c1 = matcher.count_batch(batch)
     c2 = matcher.count_batch(batch)
     assert (c1 == c2).all()
+
+
+def test_engine_auto_selection(reference_dir):
+    """'auto' picks the window/pallas family at the reference's workload
+    shape and the AC DFA for pattern sets past the compare-chain crossover
+    (very long or very many patterns); counts are identical either way."""
+    from multithreading_string_matching_tpu import Matcher, load_patterns
+
+    m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="auto")
+    # On a CPU host pallas degrades to the XLA window engine.
+    assert m._resolve_engine(None) in ("pallas", "window")
+    assert int(m.count_pcap(reference_dir / "udp.pcap", "udp").sum()) == 39
+
+    long_pats = [b"A" * 300, b"http"]
+    m_long = Matcher(long_pats, engine="auto")
+    assert m_long._resolve_engine(None) == "ac"
+    got = m_long.count_pcap(reference_dir / "udp.pcap", "udp")
+    want = Matcher(long_pats, engine="window").count_pcap(
+        reference_dir / "udp.pcap", "udp"
+    )
+    assert (got == want).all()
+
+    many = [b"zz%08d" % i for i in range(11_000)]  # 11k x 3 words > 32k
+    m_many = Matcher(many, engine="auto")
+    assert m_many._resolve_engine(None) == "ac"
