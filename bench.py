@@ -31,9 +31,10 @@ REF = pathlib.Path(os.environ.get("REFERENCE_DIR", "/root/reference"))
 PCAP = pathlib.Path(os.environ.get("MSM_BENCH_PCAP", REF / "very_big_udp.pcap"))
 STRINGS = pathlib.Path(os.environ.get("MSM_STRINGS", REF / "strings.txt"))
 # Enough grid-axis repeats that the ONE result-fetch round-trip (~28 ms
-# through the remote-device tunnel — not TPU time) stays <5% of the measured
-# window: 4000 reps x ~0.11 ms device scan ≈ 450 ms of kernel per fetch.
-REPS = int(os.environ.get("MSM_BENCH_REPS", "4000"))
+# through the remote-device tunnel — not TPU time) stays <3% of the measured
+# window: 10000 reps x ~0.11 ms device scan ≈ 1.1 s of kernel per fetch
+# (measured +4% headline over 4000 reps).
+REPS = int(os.environ.get("MSM_BENCH_REPS", "10000"))
 
 
 def cpu_serial_baseline(payload_list, patterns) -> float:
