@@ -89,8 +89,6 @@ def main():
             "bytes_per_sec": round(int(lengths.sum()) / dt, 1),
         }))
     t1 = results[sizes[0]]
-    import jax
-
     virtual = jax.devices()[0].platform == "cpu"
     summary = {
         "metric": "weak_scaling_efficiency",

@@ -95,6 +95,13 @@ class Matcher:
         if self.engine not in ("auto", "pallas", "window", "ac", "kmp"):
             raise ValueError(f"unknown engine {self.engine!r}")
         self.patterns = [bytes(p) for p in self.patterns]
+        # Validate eagerly (cheap) even though automata build lazily: the
+        # caller should hear about a bad pattern list at construction, not
+        # deep inside the first count() after ingesting a capture.
+        if not self.patterns:
+            raise ValueError("patterns must be non-empty")
+        if any(len(p) == 0 for p in self.patterns):
+            raise ValueError("empty pattern")
         # Automata build lazily and cache: a deployment uses one engine, and
         # e.g. the stacked per-pattern KMP tables are O(P·max_m·256) —
         # substantial for large pattern sets that will only ever run AC.
@@ -205,10 +212,12 @@ class Matcher:
             # design point (U·K ≈ 260, DESIGN.md §1) — so the DFA only wins
             # far beyond it.  Very long patterns also blow the unrolled
             # compare chain's VMEM/compile budget; AC's table grows
-            # gracefully instead.
-            wp = self.window
-            total_words = int(wp.pat_words.shape[0] * wp.pat_words.shape[1])
-            max_len = max((len(p) for p in wp.unique_patterns), default=0)
+            # gracefully instead.  Decided from the pattern list alone —
+            # never build the WindowProgram the decision may route away
+            # from (its [U, K] tables are exactly what is too big here).
+            unique = dict.fromkeys(self.patterns)
+            max_len = max(len(p) for p in unique)
+            total_words = len(unique) * -(-max_len // 4)
             engine = "ac" if total_words > 32_000 or max_len > 256 else "pallas"
         if (
             engine == "pallas"

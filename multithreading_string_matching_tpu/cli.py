@@ -249,10 +249,12 @@ def cmd_match(argv: List[str]) -> int:
             count_pcap_streamed,
         )
 
+        stream_stats = {}
         with timer.phase("scan"):
             counts = count_pcap_streamed(
                 matcher, cfg.pcap, cfg.mode,
                 strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
+                engine=cfg.engine, stats=stream_stats,
             )
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
@@ -262,6 +264,7 @@ def cmd_match(argv: List[str]) -> int:
             print(json.dumps({
                 "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
                 "counts": np.asarray(counts).tolist(),
+                **stream_stats,  # packets / valid_payloads / payload_bytes
                 "phases": timer.phases,
             }))
         else:

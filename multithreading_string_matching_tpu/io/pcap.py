@@ -43,6 +43,12 @@ MAGIC_NSEC_BE = 0x4D3CB2A1
 
 LINKTYPE_ETHERNET = 1
 
+# Streaming sanity cap on one record/block: a corrupt length field must
+# error out, not buffer gigabytes before discovering the file ends (the
+# one-shot readers are implicitly bounded by having the whole file in hand).
+# Far above any real capture record (snaplen caps packets at 64 KiB-ish).
+_MAX_STREAM_RECORD = 1 << 28
+
 _GLOBAL_HDR = struct.Struct("<IHHiIII")
 _GLOBAL_HDR_BE = struct.Struct(">IHHiIII")
 
@@ -390,7 +396,7 @@ def iter_pcap(
                     )
                 break
             sec, frac, incl, orig = rec.unpack_from(pend, pos)
-            if not refill(16 + incl):
+            if incl > _MAX_STREAM_RECORD or not refill(16 + incl):
                 if strict:
                     raise ValueError(
                         f"truncated pcap record: needs {incl} bytes, "
@@ -460,12 +466,11 @@ def _iter_pcapng_stream(
         tss.clear(); tsf.clear(); chunks.clear()
         return out
 
+    saw_packets = False
     while True:
         if not refill(12):
-            if len(pend) - pos and strict:
-                raise ValueError(
-                    f"truncated/invalid pcapng block at byte {file_off}"
-                )
+            # The one-shot reader's `while pos + 12 <= total` silently
+            # ignores a sub-12-byte tail even in strict mode; match it.
             break
         # The SHB type is an endianness palindrome, so reading it with the
         # previous section's byte order still detects a new section.
@@ -479,7 +484,7 @@ def _iter_pcapng_stream(
             else:
                 raise ValueError("pcapng SHB with invalid byte-order magic")
         blen = struct.unpack_from(end + "I", pend, pos + 4)[0]
-        if blen < 12 or blen % 4 or not refill(blen):
+        if blen < 12 or blen % 4 or blen > _MAX_STREAM_RECORD or not refill(blen):
             if strict:
                 raise ValueError(
                     f"truncated/invalid pcapng block at byte {file_off}"
@@ -500,14 +505,15 @@ def _iter_pcapng_stream(
             break
         pos += blen
         file_off += blen
-        if offsets and strict and not interfaces:
-            raise ValueError(
-                "pcapng file has packet blocks but no interface block"
-            )
+        saw_packets = saw_packets or bool(offsets)
         if len(offsets) >= batch_packets:
             yield flush()
     if offsets:
         yield flush()
+    # Interface presence is checked at EOF, exactly like the one-shot
+    # reader — an IDB may legally arrive after the first packet block.
+    if strict and saw_packets and not interfaces:
+        raise ValueError("pcapng file has packet blocks but no interface block")
 
 
 def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:

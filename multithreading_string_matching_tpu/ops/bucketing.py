@@ -104,13 +104,22 @@ def pack_rows(
     """
     payloads = np.asarray(payloads)
     lengths = np.asarray(lengths, dtype=np.int64)
+    if lengths.size:
+        lmax = int(lengths.max())
+        if lmax > width:
+            raise ValueError(
+                f"payload of {lmax} bytes exceeds pack width {width}"
+            )
+        # Guard BOTH paths: the native memcpy would read past the row
+        # (heap garbage into scan tiles), the Python slice would raise a
+        # cryptic broadcast error mid-pack.
+        if lmax > payloads.shape[1]:
+            raise ValueError(
+                f"length {lmax} exceeds payload tensor width {payloads.shape[1]}"
+            )
     from multithreading_string_matching_tpu.io import native
 
     if native.available():
-        if lengths.size and int(lengths.max()) > width:
-            raise ValueError(
-                f"payload of {int(lengths.max())} bytes exceeds pack width {width}"
-            )
         got = native.pack(payloads, lengths, width)
         if got is not None:
             return got

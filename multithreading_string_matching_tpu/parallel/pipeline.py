@@ -92,9 +92,16 @@ def count_pcap_streamed(
     strict: bool = False,
     vlan: bool = False,
     ipv6: bool = False,
+    engine: Optional[str] = None,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Production-rate streaming scan: bounded-memory ingest feeding the
     fast engine through ONE fixed compiled shape.
+
+    ``engine`` defaults to the matcher's engine; every engine accepts the
+    packed tiles (their automata all fail at the 0x00 separator, so counts
+    are identical — tested).  Pass a dict as ``stats`` to receive packet /
+    valid-payload / byte totals accumulated during ingest.
 
     The task pipeline (below) mirrors the reference's 100-packet batches and
     scans each batch at its own (pow2-bucketed) shape with the XLA window
@@ -119,7 +126,9 @@ def count_pcap_streamed(
         )
     from multithreading_string_matching_tpu.ops.bucketing import pack_rows
 
-    use_pallas = matcher._resolve_engine("pallas") == "pallas"
+    engine = matcher._resolve_engine(engine)
+    use_pallas = engine == "pallas"
+    engine_fn = None if use_pallas else matcher._engine_fn(engine)
     buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
     fill = np.zeros(tile_rows, dtype=np.int32)
     r = 0
@@ -135,20 +144,26 @@ def count_pcap_streamed(
         if use_pallas:
             out = matcher.pallas.count_tiles([(buf, fill)])
         else:
-            out = count_matches_window(
-                matcher.window, jnp.asarray(buf), jnp.asarray(fill)
+            out = engine_fn(
+                jnp.asarray(buf), jnp.asarray(fill), per_packet=False
             )
         total = out if total is None else total + out
         buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
         fill = np.zeros(tile_rows, dtype=np.int32)
         r = 0
 
+    n_packets = n_valid = n_bytes = 0
     for chunk in iter_pcap(pcap_path, batch_packets=batch_packets):
         batch = extract_payloads(chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6)
+        n_packets += batch.num_packets
+        n_valid += int(batch.valid.sum())
+        n_bytes += batch.total_payload_bytes
         lens = batch.lengths.astype(np.int64)
         big = lens > pack_width
         if big.any():
-            over = matcher.count(batch.payloads[big], batch.lengths[big])
+            over = matcher.count(
+                batch.payloads[big], batch.lengths[big], engine=engine
+            )
             over_total = over if over_total is None else over_total + over
             lens = np.where(big, 0, lens)
         rows_c, fill_c = pack_rows(batch.payloads, lens, width=pack_width)
@@ -165,6 +180,10 @@ def count_pcap_streamed(
                 dispatch()
     if r:
         dispatch()
+    if stats is not None:
+        stats.update(
+            packets=n_packets, valid_payloads=n_valid, payload_bytes=n_bytes
+        )
     counts = (
         np.asarray(total)
         if total is not None

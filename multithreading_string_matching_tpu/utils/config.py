@@ -39,7 +39,7 @@ class MatchConfig:
     def validate(self) -> "MatchConfig":
         if self.mode not in ("udp", "tcp"):
             raise ValueError(f"mode must be udp or tcp, got {self.mode!r}")
-        if self.engine not in ("pallas", "window", "ac", "kmp"):
+        if self.engine not in ("auto", "pallas", "window", "ac", "kmp"):
             raise ValueError(f"unknown engine {self.engine!r}")
         for f_ in ("batch_size", "stream_batch", "stream_window", "n_tile",
                    "l_quant", "row_tile"):

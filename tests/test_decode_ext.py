@@ -181,3 +181,19 @@ def test_cli_vlan_ipv6_flags(tmp_path, reference_dir):
 
     blob = json.loads(out.stdout)
     assert sum(blob["counts"]) == 2
+
+
+def test_cli_engine_auto_accepted(reference_dir):
+    """Regression: MatchConfig.validate once rejected the --engine auto the
+    CLI advertises."""
+    import json as json_
+
+    out = subprocess.run(
+        [sys.executable, "-m", "multithreading_string_matching_tpu", "match",
+         "--pcap", str(reference_dir / "udp.pcap"),
+         "--patterns", str(reference_dir / "strings.txt"),
+         "--engine", "auto", "--json"],
+        capture_output=True, text=True, check=True,
+        env={"MSM_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    assert sum(json_.loads(out.stdout)["counts"]) == 39

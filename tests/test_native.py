@@ -88,3 +88,23 @@ def test_native_pack_rejects_oversize():
 
     with pytest.raises(ValueError, match="exceeds pack width"):
         pack_rows(np.zeros((1, 4096), np.uint8), np.array([3000]), 2048)
+
+
+def test_pack_rejects_length_beyond_payload_width():
+    """Regression: the native memcpy would read heap bytes past the payload
+    row where the Python path raised; both must raise the same ValueError."""
+    from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+
+    pl = np.full((4, 100), 0x41, np.uint8)
+    lens = np.array([150, 10, 10, 10], dtype=np.int64)
+    with pytest.raises(ValueError, match="exceeds payload tensor width"):
+        pack_rows(pl, lens, 2048)
+
+
+def test_matcher_validates_patterns_eagerly():
+    from multithreading_string_matching_tpu import Matcher
+
+    with pytest.raises(ValueError, match="non-empty"):
+        Matcher([])
+    with pytest.raises(ValueError, match="empty pattern"):
+        Matcher([b"ok", b""])

@@ -188,3 +188,63 @@ def test_cli_stream_flag(reference_dir):
         env={"MSM_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"},
     )
     assert sum(json.loads(out.stdout)["counts"]) == 1006
+
+
+# -- review-finding regressions ---------------------------------------------
+
+
+def test_stream_pcapng_idb_after_epb_matches_one_shot(tmp_path):
+    """An IDB arriving after the first packet block is legal for read_pcap
+    (its interface check runs at EOF); the streamed walk must accept it
+    too."""
+    out = bytearray()
+
+    def block(btype, body):
+        blen = 12 + len(body) + ((-len(body)) % 4)
+        out.extend(struct.pack("<II", btype, blen))
+        out.extend(body + b"\x00" * ((-len(body)) % 4))
+        out.extend(struct.pack("<I", blen))
+
+    block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    data = b"\xab" * 60
+    block(0x00000006, struct.pack("<IIIII", 0, 0, 0, len(data), len(data)) + data)
+    block(0x00000001, struct.pack("<HHI", 1, 0, 65535))
+    p = tmp_path / "late_idb.pcapng"
+    p.write_bytes(bytes(out))
+    full = read_pcap(p)
+    assert full.num_packets == 1
+    _assert_stream_equals_full(p, full, 4)
+
+
+def test_stream_pcapng_tiny_tail_ignored_like_one_shot(tmp_path, reference_dir):
+    classic = read_pcap(reference_dir / "udp.pcap")
+    blob = _pcapng_from(classic) + b"\x01\x02\x03"  # < 12 bytes of tail
+    p = tmp_path / "tail.pcapng"
+    p.write_bytes(blob)
+    full = read_pcap(p)  # one-shot silently ignores the tail
+    _assert_stream_equals_full(p, full, 7)
+
+
+def test_stream_corrupt_record_length_bounded(tmp_path):
+    """A flipped caplen field must error promptly, not buffer gigabytes."""
+    hdr = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    rec = struct.pack("<IIII", 0, 0, (1 << 28) + 16, 60) + b"\x00" * 60
+    p = tmp_path / "corrupt.pcap"
+    p.write_bytes(hdr + rec)
+    with pytest.raises(ValueError, match="truncated pcap record"):
+        list(iter_pcap(p, 4))
+    assert list(iter_pcap(p, 4, strict=False)) == []
+
+
+def test_streamed_honors_engine_selection(reference_dir):
+    from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_streamed
+
+    matcher = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    stats = {}
+    got = count_pcap_streamed(
+        matcher, reference_dir / "udp.pcap", "udp", engine="ac", stats=stats
+    )
+    want = matcher.count_pcap(reference_dir / "udp.pcap", "udp", engine="ac")
+    assert (np.asarray(got) == np.asarray(want)).all()
+    assert int(np.asarray(got).sum()) == 39
+    assert stats["packets"] == 20 and stats["payload_bytes"] == 3347
