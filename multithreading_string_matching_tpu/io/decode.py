@@ -50,6 +50,14 @@ reference's untagged-IPv4-only behavior exactly):
     40-byte header; next-header must be UDP/TCP directly — packets with
     extension headers are treated as invalid).  IPv4 frames in the same
     capture keep their normal (compat or strict) predicate.
+  - Link-layer awareness (always on; affects only captures the reference
+    could never decode, which hard-codes Ethernet): Linux cooked SLL
+    (linktype 113, 16-byte header, protocol at offset 14), raw IP
+    (101/12/14, no L2 header, IP version nibble selects v4/v6), and BSD
+    NULL/loopback (0, 4-byte host-endian family word — both byte orders
+    accepted, as libpcap does).  Unknown linktypes fall back to the
+    Ethernet layout, preserving the reference's treat-everything-as-
+    Ethernet behavior on the bundled fixtures (linktype 1).
 """
 
 from __future__ import annotations
@@ -67,6 +75,10 @@ ETHERTYPE_VLAN = 0x8100   # 802.1Q
 ETHERTYPE_QINQ = 0x88A8   # 802.1ad service tag
 ETH_HLEN = 14
 VLAN_HLEN = 4
+LINKTYPE_ETHERNET = 1
+LINKTYPE_NULL = 0          # BSD loopback: 4-byte family word
+LINKTYPE_SLL = 113         # Linux cooked capture v1: 16-byte header
+RAW_IP_LINKTYPES = (101, 12, 14)  # LINKTYPE_RAW and its BSD aliases
 UDP_HLEN = 8
 MIN_IP_HLEN = 20
 MIN_TCP_HLEN = 20
@@ -118,7 +130,10 @@ def decode_headers(
     """
     if mode not in ("udp", "tcp"):
         raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
-    if use_native and not (vlan or ipv6):
+    lt = pcap.linktype
+    if use_native and not (vlan or ipv6) and lt not in (
+        LINKTYPE_SLL, LINKTYPE_NULL, *RAW_IP_LINKTYPES
+    ):
         from multithreading_string_matching_tpu.io import native
 
         if native.available():
@@ -131,11 +146,23 @@ def decode_headers(
     L = pcap.origlens.astype(np.int64)
     n = off.shape[0]
 
-    # L2 header size: fixed 14 in the reference; +4 per skipped VLAN tag.
-    l2 = np.full(n, ETH_HLEN, dtype=np.int64)
-    et = None
-    if vlan or ipv6 or strict:
-        et_off = np.full(n, 12, dtype=np.int64)
+    # Link-layer geometry: where the ethertype/protocol field sits (if any)
+    # and where the IP header starts.  Ethernet is also the fallback for
+    # unknown linktypes — the reference treats everything as Ethernet.
+    if lt == LINKTYPE_SLL:
+        et_base, l2_base = 14, 16
+    elif lt in RAW_IP_LINKTYPES:
+        et_base, l2_base = None, 0
+    elif lt == LINKTYPE_NULL:
+        et_base, l2_base = None, 4
+    else:
+        et_base, l2_base = 12, ETH_HLEN
+
+    # L2 header size: fixed per linktype; +4 per skipped VLAN tag.
+    l2 = np.full(n, l2_base, dtype=np.int64)
+    is_v6 = strict_v4_ok = None
+    if et_base is not None and (vlan or ipv6 or strict):
+        et_off = np.full(n, et_base, dtype=np.int64)
 
         def read_et(o):
             ok = cap >= o + 2
@@ -150,6 +177,29 @@ def decode_headers(
                 et_off = np.where(is_tag, et_off + VLAN_HLEN, et_off)
                 et = read_et(et_off)
             l2 = et_off + 2
+        is_v6 = et == ETHERTYPE_IPV6
+        strict_v4_ok = et == ETHERTYPE_IPV4
+    elif lt == LINKTYPE_NULL and (ipv6 or strict):
+        # 4-byte AF_* family word, written in the CAPTURING host's byte
+        # order — accept either, as libpcap's own readers do.
+        fam_ok = cap >= 4
+        b = [_safe_byte(buf, off + k, fam_ok).astype(np.int64) for k in range(4)]
+        fam_le = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+        fam_be = b[3] | (b[2] << 8) | (b[1] << 16) | (b[0] << 24)
+
+        def fam_in(vals):
+            m = np.zeros(n, dtype=bool)
+            for v in vals:
+                m |= (fam_le == v) | (fam_be == v)
+            return m & fam_ok
+
+        is_v6 = fam_in((24, 28, 30))  # AF_INET6 on BSD/macOS/Linux captures
+        strict_v4_ok = fam_in((2,))   # AF_INET
+    elif lt in RAW_IP_LINKTYPES and (ipv6 or strict):
+        ver_ok = cap >= 1
+        ver = _safe_byte(buf, off, ver_ok).astype(np.int64) >> 4
+        is_v6 = ver_ok & (ver == 6)
+        strict_v4_ok = ver_ok & (ver == 4)
 
     # IP version/IHL byte and the IPv4 protocol byte, needed by both modes.
     can_read_ihl = cap >= l2 + 1
@@ -159,8 +209,8 @@ def decode_headers(
     proto = _safe_byte(buf, off + l2 + 9, can_read_proto).astype(np.int64)
 
     ethertype_ok = True
-    if strict:
-        ethertype_ok = et == ETHERTYPE_IPV4
+    if strict and strict_v4_ok is not None:
+        ethertype_ok = strict_v4_ok
 
     if mode == "udp":
         valid = L >= l2                                         # check 1
@@ -185,11 +235,11 @@ def decode_headers(
             valid &= can_read_proto & (proto == IPPROTO_TCP) & ethertype_ok
         payload_off = l2 + iplen + tcplen
 
-    if ipv6:
-        # Frames with ethertype 0x86dd take the IPv6 predicate instead; the
+    if ipv6 and is_v6 is not None:
+        # Frames the link layer marks as IPv6 (ethertype 0x86dd / AF_INET6
+        # family / raw version nibble) take the IPv6 predicate instead; the
         # v4 path above (compat or strict) is untouched for everything else.
         want = IPPROTO_UDP if mode == "udp" else IPPROTO_TCP
-        is_v6 = et == ETHERTYPE_IPV6
         can_read_next = cap >= l2 + 7
         next_hdr = _safe_byte(buf, off + l2 + 6, can_read_next).astype(np.int64)
         v6 = is_v6 & ((L - l2) >= IPV6_HLEN) & can_read_next

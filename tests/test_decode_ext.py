@@ -197,3 +197,72 @@ def test_cli_engine_auto_accepted(reference_dir):
         env={"MSM_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"},
     )
     assert sum(json_.loads(out.stdout)["counts"]) == 39
+
+
+# -- link-layer awareness (SLL / raw IP / NULL loopback) ---------------------
+
+
+def _write_pcap_lt(path, frames, linktype):
+    out = bytearray(
+        struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, linktype)
+    )
+    for fb in frames:
+        out += struct.pack("<IIII", 0, 0, len(fb), len(fb))
+        out += fb
+    path.write_bytes(out)
+    return path
+
+
+def _sll(inner, protocol):
+    # pkttype(2) arphrd(2) lladdrlen(2) addr(8) protocol(2)
+    return struct.pack(">HHH8sH", 0, 1, 6, b"\xaa" * 8, protocol) + inner
+
+
+def test_linktype_sll_udp(tmp_path):
+    frames = [_sll(_ipv4_udp(PAYLOAD), 0x0800)]
+    pcap = read_pcap(_write_pcap_lt(tmp_path / "sll.pcap", frames, 113))
+    batch = extract_payloads(pcap, "udp")
+    assert int(batch.valid.sum()) == 1 and batch.payload(0) == PAYLOAD
+    # strict mode reads the SLL protocol field; IPv6-over-SLL also decodes
+    strict = extract_payloads(pcap, "udp", strict=True)
+    assert int(strict.valid.sum()) == 1
+    v6 = [_sll(_ipv6_udp(PAYLOAD), 0x86DD)]
+    p6 = read_pcap(_write_pcap_lt(tmp_path / "sll6.pcap", v6, 113))
+    b6 = extract_payloads(p6, "udp", ipv6=True)
+    assert int(b6.valid.sum()) == 1 and b6.payload(0) == PAYLOAD
+
+
+def test_linktype_raw_ip(tmp_path):
+    frames = [_ipv4_udp(PAYLOAD), _ipv6_udp(PAYLOAD)]
+    pcap = read_pcap(_write_pcap_lt(tmp_path / "raw.pcap", frames, 101))
+    v4only = extract_payloads(pcap, "udp", keep_invalid=True)
+    assert v4only.valid.tolist() == [True, False]
+    assert v4only.payload(0) == PAYLOAD
+    both = extract_payloads(pcap, "udp", ipv6=True, keep_invalid=True)
+    assert both.valid.tolist() == [True, True]
+    assert both.payload(1) == PAYLOAD
+    strict = extract_payloads(pcap, "udp", strict=True, keep_invalid=True)
+    assert strict.valid.tolist() == [True, False]
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_linktype_null_loopback(tmp_path, endian):
+    frames = [
+        struct.pack(endian + "I", 2) + _ipv4_udp(PAYLOAD),
+        struct.pack(endian + "I", 30) + _ipv6_udp(PAYLOAD),
+    ]
+    pcap = read_pcap(_write_pcap_lt(tmp_path / f"null{ord(endian)}.pcap", frames, 0))
+    batch = extract_payloads(pcap, "udp", ipv6=True, keep_invalid=True)
+    assert batch.valid.tolist() == [True, True]
+    assert batch.payload(0) == PAYLOAD and batch.payload(1) == PAYLOAD
+    strict = extract_payloads(pcap, "udp", strict=True, keep_invalid=True)
+    assert strict.valid.tolist() == [True, False]  # v6 needs ipv6=True
+
+
+def test_unknown_linktype_keeps_ethernet_fallback(tmp_path):
+    """Reference behavior: everything not specially handled decodes as
+    Ethernet (the fixtures are linktype 1; this pins the fallback)."""
+    frames = [_eth(_ipv4_udp(PAYLOAD), 0x0800)]
+    pcap = read_pcap(_write_pcap_lt(tmp_path / "odd.pcap", frames, 147))
+    batch = extract_payloads(pcap, "udp")
+    assert int(batch.valid.sum()) == 1 and batch.payload(0) == PAYLOAD
