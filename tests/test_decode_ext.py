@@ -266,3 +266,156 @@ def test_unknown_linktype_keeps_ethernet_fallback(tmp_path):
     pcap = read_pcap(_write_pcap_lt(tmp_path / "odd.pcap", frames, 147))
     batch = extract_payloads(pcap, "udp")
     assert int(batch.valid.sum()) == 1 and batch.payload(0) == PAYLOAD
+
+
+# -- randomized differential fuzz: vectorized decode vs a per-packet oracle --
+
+
+def _oracle_extract(pkt, origlen, mode, lt, strict, vlan, ipv6):
+    """Independent, sequential re-statement of the extended predicate.
+
+    Mirrors io/decode.py's documented semantics (including the reference's
+    v4 quirks) one packet at a time — a divergence means the vectorized
+    masks are wrong somewhere.
+    """
+    cap = len(pkt)
+    L = origlen
+
+    def byte(i):
+        return pkt[i] if 0 <= i < cap else None
+
+    # link layer
+    if lt == 113:
+        et_off, l2 = 14, 16
+    elif lt in (101, 12, 14):
+        et_off, l2 = None, 0
+    elif lt == 0:
+        et_off, l2 = None, 4
+    else:
+        et_off, l2 = 12, 14
+
+    et = None
+    if et_off is not None:
+        def read_et(o):
+            return (pkt[o] << 8) | pkt[o + 1] if cap >= o + 2 else -1
+
+        et = read_et(et_off)
+        if vlan:
+            for _ in range(2):
+                if et in (0x8100, 0x88A8):
+                    et_off += 4
+                    et = read_et(et_off)
+            l2 = et_off + 2
+        is_v6 = et == 0x86DD
+        v4_ok = et == 0x0800
+    elif lt == 0:
+        if cap >= 4:
+            fam_le = int.from_bytes(pkt[:4], "little")
+            fam_be = int.from_bytes(pkt[:4], "big")
+            is_v6 = fam_le in (24, 28, 30) or fam_be in (24, 28, 30)
+            v4_ok = 2 in (fam_le, fam_be)
+        else:
+            is_v6 = v4_ok = False
+    else:  # raw IP
+        is_v6 = cap >= 1 and (pkt[0] >> 4) == 6
+        v4_ok = cap >= 1 and (pkt[0] >> 4) == 4
+
+    if ipv6 and is_v6:
+        want = 17 if mode == "udp" else 6
+        if L - l2 < 40 or byte(l2 + 6) is None or byte(l2 + 6) != want:
+            return None
+        if mode == "udp":
+            if L - l2 - 40 < 8:
+                return None
+            poff = l2 + 40 + 8
+        else:
+            th = byte(l2 + 40 + 12)
+            if th is None:
+                return None
+            tcplen = (th >> 4) * 4
+            if tcplen < 20:
+                return None
+            poff = l2 + 40 + tcplen
+        if L - poff < 0:
+            return None
+        return poff, L - poff
+
+    vhl = byte(l2)
+    iplen = (vhl & 0x0F) * 4 if vhl is not None else 0
+    proto = byte(l2 + 9)
+    if mode == "udp":
+        ok = (
+            L >= l2 and L - l2 >= 20 and vhl is not None
+            and L - l2 >= iplen and proto == 17 and L - l2 - iplen >= 8
+        )
+        if strict:
+            ok = ok and iplen >= 20 and v4_ok
+        poff = l2 + iplen + 8
+    else:
+        ok = vhl is not None and iplen >= 20
+        th = byte(l2 + iplen + 12)
+        ok = ok and th is not None
+        tcplen = (th >> 4) * 4 if th is not None else 0
+        ok = ok and tcplen >= 20
+        if strict:
+            ok = ok and proto == 6 and v4_ok
+        poff = l2 + iplen + tcplen
+    if not ok or L - poff < 0:
+        return None
+    return poff, L - poff
+
+
+@pytest.mark.parametrize("lt", [1, 113, 101, 0, 147])
+@pytest.mark.parametrize("mode", ["udp", "tcp"])
+def test_fuzz_extended_decode_vs_oracle(tmp_path, lt, mode):
+    rng = np.random.default_rng(lt * 31 + (mode == "tcp"))
+    frames = []
+    for _ in range(300):
+        kind = rng.integers(0, 6)
+        payload = bytes(rng.integers(0, 256, rng.integers(0, 40), dtype=np.uint8))
+        if kind == 0:  # pure random bytes
+            frame = bytes(rng.integers(0, 256, rng.integers(0, 80), dtype=np.uint8))
+        else:
+            inner = {
+                1: lambda: _ipv4_udp(payload),
+                2: lambda: _ipv6_udp(payload),
+                3: lambda: _ipv6_tcp(payload),
+                4: lambda: _ipv4_udp(payload),
+                5: lambda: _ipv6_udp(payload),
+            }[int(kind)]()
+            if lt == 113:
+                frame = _sll(inner, int(rng.choice([0x0800, 0x86DD, 0x1234])))
+            elif lt in (101,):
+                frame = inner
+            elif lt == 0:
+                fam = int(rng.choice([2, 24, 30, 99]))
+                order = "<" if rng.integers(0, 2) else ">"
+                frame = struct.pack(order + "I", fam) + inner
+            else:
+                tags = []
+                if rng.integers(0, 2):
+                    tags.append((0x8100, int(rng.integers(0, 4096))))
+                et = int(rng.choice([0x0800, 0x86DD, 0x1234]))
+                frame = _eth(inner, et, vlan_tags=tags)
+            if rng.integers(0, 4) == 0:  # random truncation
+                frame = frame[: rng.integers(0, len(frame) + 1)]
+        frames.append(frame)
+    path = _write_pcap_lt(tmp_path / f"fuzz_{lt}_{mode}.pcap", frames, lt)
+    pcap = read_pcap(path)
+    for strict in (False, True):
+        batch = extract_payloads(
+            pcap, mode, strict=strict, vlan=True, ipv6=True, keep_invalid=True
+        )
+        for i, frame in enumerate(frames):
+            want = _oracle_extract(
+                frame, len(frame), mode, lt, strict, vlan=True, ipv6=True
+            )
+            if want is None:
+                assert not batch.valid[i], (lt, mode, strict, i)
+            else:
+                poff, plen = want
+                assert batch.valid[i], (lt, mode, strict, i)
+                assert int(batch.lengths[i]) == min(plen, max(len(frame) - poff, 0)), (
+                    lt, mode, strict, i,
+                )
+                assert batch.payload(i) == frame[poff : poff + int(batch.lengths[i])]
