@@ -184,6 +184,9 @@ class Matcher:
         bucketed = self.bucketed if bucketed is None else bucketed
         if staging not in ("auto", "packed", "bucketed"):
             raise ValueError(f"unknown staging {staging!r}")
+        if np.shape(payloads)[0] == 0:
+            shape = (0, len(self.patterns)) if per_packet else (len(self.patterns),)
+            return np.zeros(shape, dtype=np.int32)
         engine = self._resolve_engine(engine)
         if engine == "pallas":
             if per_packet:
@@ -271,26 +274,34 @@ class Matcher:
         """
         payloads = np.asarray(payloads)
         lengths = np.asarray(lengths)
+        pre_plan = None
         if packed == "auto":
             # Decide from lengths alone (pack_plan copies no payload bytes);
             # decline — never raise — when packing can't apply (NUL patterns,
-            # a payload wider than the pack row) or wouldn't pay.
+            # a payload wider than the pack row) or wouldn't pay.  The plan
+            # computed for the decision is reused by the materialization.
             packed = False
             if (
                 not any(0 in p for p in self.window.unique_patterns)
                 and (lengths.size == 0 or int(lengths.max()) <= pack_width)
             ):
-                rows_, _ = pack_plan(lengths, pack_width)
+                from multithreading_string_matching_tpu.io import native
+
+                if native.available():
+                    n_rows = native.plan_rows(lengths, pack_width)
+                else:
+                    pre_plan = pack_plan(lengths, pack_width)
+                    n_rows = len(pre_plan[0])
                 plan = bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant)
                 bucketed_bytes = sum(quantize_rows(len(i)) * lt for i, lt in plan)
-                packed_bytes = (-(-max(len(rows_), 1) // 64) * 64) * pack_width
+                packed_bytes = (-(-max(n_rows, 1) // 64) * 64) * pack_width
                 packed = packed_bytes < 0.8 * bucketed_bytes
         if packed:
             if any(0 in p for p in self.window.unique_patterns):
                 raise ValueError(
                     "packed staging is exact only for NUL-free patterns"
                 )
-            pk, fill = pack_rows(payloads, lengths, width=pack_width)
+            pk, fill = pack_rows(payloads, lengths, width=pack_width, plan=pre_plan)
             # Row padding: multiples of 64 only (the kernel pads to its row
             # tile anyway) — pow2 quantization would waste up to 50% of the
             # packing gain on mid-sized corpora.
@@ -358,6 +369,11 @@ class Matcher:
         With ``block=False`` returns the (lazy) device array of summed counts
         so callers can pipeline.
         """
+        if not prep.tiles:  # zero-row batch bucketed into zero tiles
+            shape = (prep.num_rows, len(self.patterns)) if per_packet else (
+                len(self.patterns),
+            )
+            return np.zeros(shape, dtype=np.int32)
         engine = self._resolve_engine(engine)
         if prep.packed and per_packet:
             raise ValueError(

@@ -190,11 +190,11 @@ def cmd_match(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="match")
     p.add_argument("--pcap", required=True)
     p.add_argument("--patterns", required=True)
-    p.add_argument("--mode", choices=["udp", "tcp"], default="udp")
+    p.add_argument("--mode", choices=["udp", "tcp"], default=None)
     p.add_argument(
         "--engine",
         choices=["auto", "pallas", "window", "ac", "kmp"],
-        default="pallas",
+        default=None,
     )
     p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
     p.add_argument("--vlan", action="store_true", help="skip 802.1Q/802.1ad VLAN tags (up to two)")
@@ -224,12 +224,22 @@ def cmd_match(argv: List[str]) -> int:
     from multithreading_string_matching_tpu.utils.config import MatchConfig
 
     cfg = MatchConfig.load(a.config) if a.config else MatchConfig()
+    # Flags override the config ONLY when explicitly given (mode/engine parse
+    # with default=None; the boolean flags can only turn features on, so an
+    # unset flag never clobbers a config-file True).
     cfg.pcap = a.pcap or cfg.pcap
     cfg.patterns = a.patterns or cfg.patterns
-    cfg.mode, cfg.engine, cfg.strict = a.mode, a.engine, a.strict
-    cfg.per_packet = a.per_packet
+    cfg.mode = a.mode or cfg.mode
+    cfg.engine = a.engine or cfg.engine
+    cfg.strict = a.strict or cfg.strict
+    cfg.per_packet = a.per_packet or cfg.per_packet
     cfg.profile_dir = a.profile or cfg.profile_dir
     cfg.validate()
+    if a.sharded and cfg.per_packet:
+        raise SystemExit("--sharded is incompatible with --per-packet "
+                         "(the mesh path reduces counts on-device)")
+    if cfg.per_packet and not a.json:
+        raise SystemExit("--per-packet produces an [N, P] matrix: use --json")
 
     profiler_cm = None
     if cfg.profile_dir:

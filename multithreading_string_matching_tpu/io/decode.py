@@ -108,6 +108,10 @@ class PayloadBatch:
 
 def _safe_byte(buf: np.ndarray, idx: np.ndarray, ok: np.ndarray) -> np.ndarray:
     """Gather buf[idx] where ok, else 0 — without out-of-bounds reads."""
+    if buf.shape[0] == 0:
+        # A capture whose packets all have caplen 0 parses to an empty byte
+        # buffer but nonzero packet count; every gather is then invalid.
+        return np.zeros(np.shape(idx), dtype=np.uint8)
     clipped = np.where(ok, idx, 0)
     return np.where(ok, buf[np.minimum(clipped, buf.shape[0] - 1)], 0)
 

@@ -132,14 +132,11 @@ def decode(buf, offsets, caplens, origlens, mode: str, strict: bool):
     return valid.astype(bool), poff, plen
 
 
-def pack(payloads, lengths, width: int):
-    """Native plan+materialize for ops/bucketing.pack_rows (bit-identical to
-    the Python implementation; returns (packed, fills) or None for the
-    no-nonempty-segments case the caller handles)."""
+def _pack_plan(lengths: np.ndarray, width: int):
+    """Run msm_pack_plan; returns (members, per_row, fills, n_rows) or None
+    when there is nothing to pack."""
     lib = get_lib()
     assert lib is not None
-    payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
-    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     order = np.argsort(lengths, kind="stable")
     order = np.ascontiguousarray(order[lengths[order] > 0], dtype=np.int64)
     n_ord = order.size
@@ -152,6 +149,28 @@ def pack(payloads, lengths, width: int):
         _i64(lengths), _i64(order), n_ord, width,
         _i64(members), _i64(per_row), _i64(fills),
     )
+    return members, per_row, fills, int(n_rows)
+
+
+def plan_rows(lengths, width: int) -> int:
+    """Row count the packing plan would produce (for staging-policy
+    decisions) without materializing any bytes."""
+    got = _pack_plan(np.ascontiguousarray(lengths, dtype=np.int64), width)
+    return got[3] if got is not None else 0
+
+
+def pack(payloads, lengths, width: int):
+    """Native plan+materialize for ops/bucketing.pack_rows (bit-identical to
+    the Python implementation; returns (packed, fills) or None for the
+    no-nonempty-segments case the caller handles)."""
+    lib = get_lib()
+    assert lib is not None
+    payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    got = _pack_plan(lengths, width)
+    if got is None:
+        return None
+    members, per_row, fills, n_rows = got
     per_row = per_row[:n_rows]
     out = np.zeros((n_rows, width), dtype=np.uint8)
     lib.msm_pack_fill(

@@ -519,13 +519,18 @@ def _iter_pcapng_stream(
 def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:
     """Read only packets [start, stop) — the per-host sharded-ingest primitive.
 
-    The distributed path (parallel/mesh.py) has each host read its own packet
-    range directly, instead of the reference's rank-0-reads-everything +
-    MPI_Scatterv funnel (mpi_dumping.c:107-161).  The record chain still has
-    to be walked (records are variable length), but only the selected range's
-    bytes are retained.
+    The distributed path (parallel/distributed.py) has each host read its own
+    packet range, instead of the reference's rank-0-reads-everything +
+    MPI_Scatterv funnel (mpi_dumping.c:107-161).  Callers that already hold
+    the parsed capture should use :func:`slice_pcap` directly and avoid a
+    second file walk.
     """
-    full = read_pcap(path)
+    return slice_pcap(read_pcap(path), start, stop)
+
+
+def slice_pcap(full: PcapFile, start: int, stop: int) -> PcapFile:
+    """Packets [start, stop) of an already-parsed capture; the byte buffer is
+    narrowed (copied) to just the selected range so the rest can be freed."""
     start = max(0, start)
     stop = min(full.num_packets, stop)
     if start >= stop:

@@ -82,6 +82,8 @@ def pack_rows(
     payloads: np.ndarray,
     lengths: np.ndarray,
     width: int = 2048,
+    *,
+    plan: Optional[Tuple[List[List[int]], List[int]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sequence-pack payloads into fixed-width rows with a single 0x00
     separator byte between segments.
@@ -127,7 +129,9 @@ def pack_rows(
             np.zeros((1, width), dtype=np.uint8),
             np.zeros(1, dtype=np.int32),
         )
-    rows, fills = pack_plan(lengths, width)
+    # ``plan`` lets a caller that already ran pack_plan (e.g. the staging
+    # policy decision) skip the duplicate argsort + two-pointer walk.
+    rows, fills = plan if plan is not None else pack_plan(lengths, width)
     # Per-segment slice copies: measurably faster than any numpy
     # fancy-indexed scatter (contiguous memcpy per segment vs per-element
     # index arithmetic — 0.4 s vs 15 s on a 72 MB corpus).
@@ -193,6 +197,17 @@ def run_bucketed(
     payloads = np.asarray(payloads)
     lengths = np.asarray(lengths)
     plan = bucket_plan(lengths, n_tile=n_tile, l_quant=l_quant)
+    if not plan:
+        # Zero-row batch: one dummy tile yields the correctly-shaped zeros
+        # (global counts of nothing are zero; per-packet rows slice empty).
+        out = np.asarray(
+            count_fn(
+                np.zeros((8, 8), np.uint8),
+                np.zeros(8, np.int32),
+                per_packet=per_packet,
+            )
+        )
+        return out[:0] if per_packet else out
     total = None
     rows = []
     row_idx = []

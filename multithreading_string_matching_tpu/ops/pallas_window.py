@@ -199,6 +199,9 @@ class PallasWindowMatcher:
 
     def count_tiles(self, tiles, *, expand_duplicates: bool = True):
         """Counts over device-resident (payloads, lengths) tiles, one dispatch."""
+        if not tiles:
+            n = len(self.wp.dup_map) if expand_duplicates else self.num_unique
+            return jnp.zeros((n,), jnp.int32)
         tiles = tuple(
             (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
         )

@@ -315,6 +315,11 @@ def count_matches_window_tiles(
 ):
     """Count over a tuple of device-resident (payloads, lengths) tiles with a
     single dispatch (see ops/bucketing.py for why tiles exist)."""
+    if not tiles:
+        if per_packet:
+            return []
+        n = len(wp.dup_map) if expand_duplicates else wp.pat_words.shape[0]
+        return jnp.zeros((n,), jnp.int32)
     tiles = tuple((jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles)
     out = _window_count_tiles(
         jnp.asarray(wp.pat_words),

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from multithreading_string_matching_tpu.io.pcap import read_pcap, read_pcap_range
+from multithreading_string_matching_tpu.io.pcap import read_pcap, slice_pcap
 from multithreading_string_matching_tpu.io.decode import extract_payloads
 from multithreading_string_matching_tpu.parallel.mesh import (
     PACKET_AXIS,
@@ -101,8 +101,10 @@ def count_pcap_distributed(
     # the FIRST collective, so a host whose open failed never leaves peers
     # hanging in a later collective — every host raises, none deadlocks.
     exc: Optional[BaseException] = None
+    full = None
     try:
-        total_packets = read_pcap(pcap_path).num_packets
+        full = read_pcap(pcap_path)
+        total_packets = full.num_packets
     except (FileNotFoundError, ValueError, OSError) as e:
         exc, total_packets = e, 0
     if procs > 1:
@@ -119,7 +121,8 @@ def count_pcap_distributed(
         raise exc
     share = -(-total_packets // procs)
     start, stop = rank * share, min(total_packets, (rank + 1) * share)
-    pcap = read_pcap_range(pcap_path, start, stop)
+    pcap = slice_pcap(full, start, stop)
+    del full  # keep only this host's byte range resident
 
     t0 = time.perf_counter()
     batch = extract_payloads(pcap, mode, strict=strict, keep_invalid=True)

@@ -20,6 +20,7 @@ checks :attr:`stopped`, drains, and reports.
 
 from __future__ import annotations
 
+import os
 import signal
 from typing import Optional
 
@@ -155,15 +156,21 @@ class StreamMatcher:
     # (live_openmp_task.c prints only after graceful SIGINT).  Streams here
     # can checkpoint between batches and resume exactly.
 
-    def save(self, path):
+    def save(self, path) -> str:
         np.savez(
             path,
             counts=self.counts(),
             packets_seen=np.int64(self.packets_seen),
             patterns=np.array([p.decode("latin-1") for p in self.matcher.patterns]),
         )
+        # np.savez appends .npz to extension-less paths; return the real one.
+        path = str(path)
+        return path if path.endswith(".npz") else path + ".npz"
 
     def load(self, path):
+        path = str(path)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"  # accept the same path save() was called with
         data = np.load(path, allow_pickle=False)
         pats = [p.encode("latin-1") for p in data["patterns"].tolist()]
         if pats != self.matcher.patterns:

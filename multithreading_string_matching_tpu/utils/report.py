@@ -26,6 +26,12 @@ def format_report(
     sniffed: Optional[int] = None,
     oops_line: bool = False,
 ) -> str:
+    counts = np.asarray(counts)
+    if counts.ndim != 1:
+        raise ValueError(
+            f"format_report needs per-pattern [P] counts, got shape "
+            f"{counts.shape} (per-packet matrices belong in --json output)"
+        )
     lines = []
     if sniffed is not None:
         # live_openmp_task.c:228-229
