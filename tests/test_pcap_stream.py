@@ -248,3 +248,16 @@ def test_streamed_honors_engine_selection(reference_dir):
     assert (np.asarray(got) == np.asarray(want)).all()
     assert int(np.asarray(got).sum()) == 39
     assert stats["packets"] == 20 and stats["payload_bytes"] == 3347
+
+
+def test_stream_multi_section_pcapng_mixed_endianness(tmp_path, reference_dir):
+    """Two sections (SHBs) with opposite byte orders in one file: both the
+    one-shot and streamed readers must parse all packets of both."""
+    a = read_pcap(reference_dir / "udp.pcap")
+    blob = _pcapng_from(a, end="<") + _pcapng_from(a, end=">")
+    p = tmp_path / "two_sections.pcapng"
+    p.write_bytes(blob)
+    full = read_pcap(p)
+    assert full.num_packets == 2 * a.num_packets
+    _assert_stream_equals_full(p, full, 7)
+    _assert_stream_equals_full(p, full, 7, read_size=64)
