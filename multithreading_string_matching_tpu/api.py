@@ -190,13 +190,15 @@ class Matcher:
         engine = self._resolve_engine(engine)
         if engine == "pallas":
             if per_packet:
-                engine = "window"  # the Pallas kernel reduces on-chip; use XLA
-            else:
-                packed = {"auto": "auto", "packed": True, "bucketed": False}[staging]
-                prep = self.prepare(
-                    payloads, lengths, bucketed=bucketed, packed=packed
-                )
-                return self.count_prepared(prep, engine="pallas")
+                # Per-packet attribution needs row<->packet identity, so no
+                # packing — bucketed tiles through the per-row kernel.
+                prep = self.prepare(payloads, lengths, bucketed=bucketed)
+                return self.count_prepared(prep, engine="pallas", per_packet=True)
+            packed = {"auto": "auto", "packed": True, "bucketed": False}[staging]
+            prep = self.prepare(
+                payloads, lengths, bucketed=bucketed, packed=packed
+            )
+            return self.count_prepared(prep, engine="pallas")
         fn = self._engine_fn(engine)
         if bucketed:
             return np.asarray(
@@ -381,7 +383,11 @@ class Matcher:
                 "(prepare(packed=False) for per-packet attribution)"
             )
         if engine == "pallas" and per_packet:
-            engine = "window"
+            outs = self.pallas.count_tiles_per_row(prep.tiles)
+            merged = np.zeros((prep.num_rows, len(self.patterns)), dtype=np.int32)
+            for idx, o in zip(prep.row_indices, outs):
+                merged[idx] = np.asarray(o)[: len(idx)]
+            return merged
         if engine == "pallas":
             out = self.pallas.count_tiles(prep.tiles)
             return np.asarray(out) if block else out

@@ -39,6 +39,7 @@ def _make_kernel(
     pat_lens: np.ndarray,
     use_fit: bool,
     grid_dims: int = 1,
+    per_row: bool = False,
 ):
     """``use_fit=False`` is the NUL-free fast path: payload rows are zero-
     padded past their true length (io/decode + api.prepare guarantee it), so
@@ -53,14 +54,15 @@ def _make_kernel(
     plens = [int(x) for x in pat_lens]
 
     def kernel(payload_ref, length_ref, out_ref):
-        first = pl.program_id(0) == 0
-        for d in range(1, grid_dims):
-            first &= pl.program_id(d) == 0
+        if not per_row:
+            first = pl.program_id(0) == 0
+            for d in range(1, grid_dims):
+                first &= pl.program_id(d) == 0
 
-        @pl.when(first)
-        def _():
-            for u in range(U):
-                out_ref[u] = 0
+            @pl.when(first)
+            def _():
+                for u in range(U):
+                    out_ref[u] = 0
 
         x = payload_ref[:].astype(jnp.uint32)          # [TN, L]
         tn, L = x.shape
@@ -96,7 +98,12 @@ def _make_kernel(
                 # (a per-length shared fit-mask cache was tried: no speedup,
                 # and cached masks blow scoped VMEM on wide tiles)
                 acc &= (pos + plens[u]) <= lens
-            out_ref[u] += jnp.sum(acc.astype(jnp.int32))
+            if per_row:
+                # Per-packet attribution: each grid step owns its row block
+                # of the [N, U] output — no cross-step accumulation.
+                out_ref[:, u] = jnp.sum(acc.astype(jnp.int32), axis=1)
+            else:
+                out_ref[u] += jnp.sum(acc.astype(jnp.int32))
 
     return kernel
 
@@ -125,6 +132,9 @@ class PallasWindowMatcher:
         self._kernel = _make_kernel(wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit)
         self._kernel2 = _make_kernel(
             wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, grid_dims=2
+        )
+        self._kernel_rows = _make_kernel(
+            wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, per_row=True
         )
         self._dup = jnp.asarray(wp.dup_map)
 
@@ -196,6 +206,38 @@ class PallasWindowMatcher:
             out_shape=jax.ShapeDtypeStruct((self.num_unique,), jnp.int32),
             interpret=self.interpret,
         )(payloads, lengths)
+
+    def _one_tile_rows(self, payloads, lengths):
+        """Per-row counts int32[n_padded, U]; each grid step writes its own
+        row block (no cross-step state, no zeroing pass)."""
+        payloads, lengths, tn = self._pad_tile(payloads, lengths)
+        n, L = payloads.shape
+        return pl.pallas_call(
+            self._kernel_rows,
+            grid=(n // tn,),
+            in_specs=[
+                pl.BlockSpec((tn, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tn, self.num_unique), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, self.num_unique), jnp.int32),
+            interpret=self.interpret,
+        )(payloads, lengths)
+
+    def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
+        """Per-packet counts, one int32[rows_i, U or P] array per tile (rows
+        are the tile's padded row count; padding rows count zero).  The
+        per-packet analogue of count_tiles — attribution at kernel rate
+        instead of degrading to the XLA window engine."""
+        outs = []
+        for p, l in tiles:
+            out = self._one_tile_rows(
+                jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)
+            )
+            if expand_duplicates:
+                out = jnp.take(out, self._dup, axis=-1)
+            outs.append(out)
+        return outs
 
     def count_tiles(self, tiles, *, expand_duplicates: bool = True):
         """Counts over device-resident (payloads, lengths) tiles, one dispatch."""

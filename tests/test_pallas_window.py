@@ -62,3 +62,57 @@ def test_matcher_pallas_engine(reference_dir):
     c = m.count_batch(batch)
     assert int(c.sum()) == 39
     assert (c == m.count_batch(batch, engine="window")).all()
+
+
+def test_per_row_kernel_matches_window_per_packet(reference_dir):
+    """The per-row Pallas kernel (per-packet attribution at kernel rate)
+    must equal the XLA window engine's per-packet counts, including on
+    bucketed multi-tile preps with padding rows and duplicate patterns."""
+    import os
+
+    os.environ["MSM_PALLAS_INTERPRET"] = "1"
+    try:
+        from multithreading_string_matching_tpu import (
+            Matcher, extract_payloads, load_patterns, read_pcap,
+        )
+
+        m = Matcher(load_patterns(reference_dir / "strings.txt"))
+        batch = extract_payloads(
+            read_pcap(reference_dir / "udp.pcap"), "udp",
+            pad_n_to=128, pad_len_to=8,
+        )
+        got = m.count(batch.payloads, batch.lengths, per_packet=True)
+        want = m.count(
+            batch.payloads, batch.lengths, per_packet=True, engine="window"
+        )
+        assert got.shape == want.shape
+        assert (got == want).all()
+        assert int(got.sum()) == 39
+    finally:
+        del os.environ["MSM_PALLAS_INTERPRET"]
+
+
+def test_per_row_kernel_nul_pattern_fit_path(reference_dir):
+    """NUL-containing patterns force the exact-fit kernel; per-row counts
+    must stay correct (padding rows count zero)."""
+    import os
+
+    import numpy as np
+
+    os.environ["MSM_PALLAS_INTERPRET"] = "1"
+    try:
+        from multithreading_string_matching_tpu import Matcher
+
+        rng = np.random.default_rng(5)
+        payloads = rng.integers(0, 256, (13, 96), dtype=np.uint8).astype(np.uint8)
+        lengths = rng.integers(0, 97, 13).astype(np.int32)
+        cols = np.arange(96)[None, :]
+        payloads = np.where(cols < lengths[:, None], payloads, 0).astype(np.uint8)
+        payloads[0, :2] = (0, 0)
+        lengths[0] = max(lengths[0], 4)
+        m = Matcher([b"\x00\x00", b"ab", b"ab"])
+        got = m.count(payloads, lengths, per_packet=True)
+        want = m.count(payloads, lengths, per_packet=True, engine="window")
+        assert (got == want).all()
+    finally:
+        del os.environ["MSM_PALLAS_INTERPRET"]
