@@ -1,0 +1,86 @@
+"""Worked example: a minimal IDS-style alerter on the framework.
+
+Loads a signature list, scans a capture (file or live interface), and
+prints one alert line per match occurrence with packet number, byte
+offset, and the matched signature — the kind of tool the reference's five
+C programs approximate with count-only output.
+
+    python examples/ids_demo.py <capture.pcap|iface> <signatures.txt> [udp|tcp]
+
+On a capture file it runs the one-shot scan + offset extraction; on an
+interface (requires CAP_NET_RAW) it streams until Ctrl-C and prints the
+count report on shutdown, like live_openmp_task.c.
+"""
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+if os.environ.get("MSM_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from multithreading_string_matching_tpu import (
+    Matcher,
+    extract_payloads,
+    load_patterns,
+    read_pcap,
+)
+
+
+def scan_file(path, patterns_path, mode):
+    matcher = Matcher(load_patterns(patterns_path), engine="auto")
+    batch = extract_payloads(
+        read_pcap(path), mode, pad_n_to=128, pad_len_to=8, vlan=True, ipv6=True
+    )
+    counts = matcher.count_batch(batch)
+    rows = matcher.find_matches(batch.payloads, batch.lengths)
+    uniq = matcher.window.unique_patterns
+    for pkt, start, u in np.asarray(rows):
+        sig = uniq[u].decode("latin-1")
+        print(f"ALERT packet={pkt} offset={start} signature={sig!r}")
+    total = int(np.asarray(counts).sum())
+    print(f"# {total} matches in {batch.num_packets} packets "
+          f"({batch.total_payload_bytes} payload bytes)")
+    return 0
+
+
+def scan_live(iface, patterns_path, mode):
+    from multithreading_string_matching_tpu.io.live import LiveSource
+    from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+    from multithreading_string_matching_tpu.utils.report import format_report
+
+    matcher = Matcher(load_patterns(patterns_path), engine="auto")
+    stream = StreamMatcher(matcher)
+    stream.install_sigint()
+    try:
+        with LiveSource(iface) as src:
+            for pcap_slice in src:
+                stream.feed_pcap_slice(pcap_slice, mode=mode)
+                if stream.stopped:
+                    break
+    finally:
+        stream.uninstall_sigint()
+    print(format_report(matcher.patterns, stream.counts(), None,
+                        sniffed=stream.packets_seen, oops_line=True))
+    return 0
+
+
+def main(argv):
+    if len(argv) < 2:
+        print(__doc__)
+        return 1
+    target, patterns_path = argv[0], argv[1]
+    mode = argv[2] if len(argv) > 2 else "udp"
+    if os.path.exists(target):
+        return scan_file(target, patterns_path, mode)
+    return scan_live(target, patterns_path, mode)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

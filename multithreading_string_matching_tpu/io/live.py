@@ -114,6 +114,13 @@ class LiveSource:
             self._sock.close()
             self._sock = None
 
+    def __enter__(self) -> "LiveSource":
+        self.open()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def stop(self):
         self.stopped = True
 

@@ -146,3 +146,16 @@ def test_prepare_auto_plan_reuse_matches_explicit(reference_dir, monkeypatch):
         assert (np.asarray(pa) == np.asarray(pe)).all()
         assert (np.asarray(la) == np.asarray(le)).all()
     native._lib, native._tried = None, False
+
+
+def test_ids_demo_example(reference_dir):
+    """The worked example in examples/ must run end-to-end and find the
+    fixture's 39 matches."""
+    out = subprocess.run(
+        [sys.executable, "examples/ids_demo.py",
+         str(reference_dir / "udp.pcap"), str(reference_dir / "strings.txt"), "udp"],
+        capture_output=True, text=True, check=True,
+        env=CLI_ENV, cwd="/root/repo",
+    )
+    assert "# 39 matches in 20 packets" in out.stdout
+    assert out.stdout.count("ALERT ") == 39
