@@ -166,7 +166,9 @@ def cmd_live(argv: List[str]) -> int:
     print("Starting the sniffing process...")
     try:
         for batch in source:
-            stream.feed_pcap_slice(batch, mode)
+            # bpf_filter: only protocol-matching packets count as sniffed,
+            # like the reference's pcap_setfilter("udp"/"tcp") capture path.
+            stream.feed_pcap_slice(batch, mode, bpf_filter=True)
             if stream.stopped:
                 if hasattr(source, "stop"):
                     source.stop()

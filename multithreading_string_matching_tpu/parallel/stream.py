@@ -147,9 +147,25 @@ class StreamMatcher:
             )
             self._counts = counts if self._counts is None else self._counts + counts
 
-    def feed_pcap_slice(self, pcap: PcapFile, mode: str = "udp"):
+    def feed_pcap_slice(
+        self, pcap: PcapFile, mode: str = "udp", *, bpf_filter: bool = False
+    ):
+        """``bpf_filter=True`` reproduces the live program's capture-filter
+        semantics (live_openmp_task.c:127): only protocol-matching packets
+        enter the stream at all, so ``packets_seen`` counts what the BPF
+        filter passed — not everything the wire carried.  Match counts are
+        identical either way (non-protocol packets extract no payload)."""
         batch = extract_payloads(pcap, mode, keep_invalid=True)
-        self.feed_batch(batch.payloads, batch.lengths)
+        payloads, lengths = batch.payloads, batch.lengths
+        if bpf_filter:
+            from multithreading_string_matching_tpu.io.decode import (
+                bpf_protocol_mask,
+            )
+
+            mask = bpf_protocol_mask(pcap, mode)
+            payloads, lengths = payloads[mask], lengths[mask]
+        if payloads.shape[0]:
+            self.feed_batch(payloads, lengths)
 
     # -- checkpoint / resume -------------------------------------------------
     # The reference's live program loses all counts on a hard kill

@@ -85,3 +85,27 @@ def test_stream_matcher_window_engine_long_payload(strings_path):
         s = StreamMatcher(m, fixed_len=64, engine=engine)
         s.feed_batch(payload, lengths)
         assert (s.counts() == want).all(), engine
+
+
+def test_bpf_filter_sniffed_semantics(reference_dir):
+    """With bpf_filter=True (the live CLI's mode), packets_seen counts only
+    protocol-matching packets — the reference's pcap_setfilter semantics
+    (live_openmp_task.c:127) — while match counts stay identical."""
+    from multithreading_string_matching_tpu import Matcher, load_patterns, read_pcap
+    from multithreading_string_matching_tpu.io.decode import bpf_protocol_mask
+    from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+
+    m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    pcap = read_pcap(reference_dir / "udp_1000.pcap")
+    expected = int(bpf_protocol_mask(pcap, "udp").sum())
+    assert 0 < expected < pcap.num_packets  # 330 of 1000 on this fixture
+
+    filt = StreamMatcher(m)
+    filt.feed_pcap_slice(pcap, "udp", bpf_filter=True)
+    assert filt.packets_seen == expected
+
+    plain = StreamMatcher(m)
+    plain.feed_pcap_slice(pcap, "udp")
+    assert plain.packets_seen == pcap.num_packets
+    assert (filt.counts() == plain.counts()).all()
+    assert int(filt.counts().sum()) == 1006
