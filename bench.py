@@ -37,8 +37,10 @@ STRINGS = pathlib.Path(os.environ.get("MSM_STRINGS", REF / "strings.txt"))
 REPS = int(os.environ.get("MSM_BENCH_REPS", "10000"))
 
 
-def cpu_serial_baseline(payload_list, patterns) -> float:
-    """bytes/s of the C serial KMP loop on this machine (cached per corpus)."""
+def cpu_serial_baseline(payload_list, patterns):
+    """(bytes/s, total_matches) of the C serial KMP loop on this machine.
+    The compiled binary is cached; the payload dump and the timed run
+    re-execute each invocation."""
     src = REPO / "multithreading_string_matching_tpu" / "native" / "serial_baseline.c"
     exe = pathlib.Path("/tmp/msm_serial_baseline")
     if not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime:
@@ -109,10 +111,30 @@ def main():
         uniq = np.asarray(matcher.pallas.count_tiles(prep.tiles, expand_duplicates=False))
         assert (rep == uniq * REPS).all(), "chained repeats disagree"
     else:
+        # Chain data-dependent repeats inside ONE executable (same honesty
+        # rule as the pallas path: per-dispatch round-trips and identical-
+        # argument deduplication would otherwise make the number fiction).
+        import jax as _jax
+        import jax.numpy as jnp
+
+        fn = matcher._engine_fn(matcher._resolve_engine(engine))
+        payloads_d = jnp.asarray(batch.payloads)
+        lengths_d = jnp.asarray(batch.lengths)
+        reps = {"window": 200, "ac": 10, "kmp": 2}.get(engine, 50)
+
+        @_jax.jit
+        def run():
+            def body(_, total):
+                dep = jnp.minimum(total.sum(), 0).astype(jnp.int32)
+                return total + fn(payloads_d, lengths_d + dep, per_packet=False)
+            zero = jnp.zeros((len(matcher.patterns),), jnp.int32)
+            return _jax.lax.fori_loop(0, reps, body, zero)
+
+        out = np.asarray(run())  # compile + warm
+        assert (out == np.asarray(counts) * reps).all(), "chained repeats disagree"
         t0 = time.perf_counter()
-        for _ in range(REPS):
-            out = matcher.count_prepared(prep)
-        elapsed = (time.perf_counter() - t0) / REPS
+        np.asarray(run())
+        elapsed = (time.perf_counter() - t0) / reps
     tpu_bps = payload_bytes / elapsed
     # Secondary: sustained rate at production scale (the bundled corpus is
     # 1.3 MB — launch overhead visible; mega_udp.pcap is absent upstream, so

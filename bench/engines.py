@@ -79,7 +79,6 @@ def main():
     results["pallas"] = dt
 
     wp = m.window
-    pw, pm, pl = map(jnp.asarray, (wp.pat_words, wp.pat_masks, wp.pat_lens))
 
     out, dt = chained(
         lambda dep: count_matches_window(wp, payloads, lengths + dep), 100

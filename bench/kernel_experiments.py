@@ -9,8 +9,16 @@ Variants (same shapes, same data):
   unroll8     — gather + hist, 8 bytes per scan step (less scan overhead)
 
 Run:  python bench/kernel_experiments.py [N] [L] [reps]
+
+Measurement caveat (see CLAUDE.md / DESIGN.md §7): timeit() repeats
+identical fetched calls, which is only honest when the measured kernel is
+much slower than the ~28 ms remote round-trip — true for these >=40 ms AC
+variants (error <2 ms/call), NOT for sub-ms kernels.  Sub-ms comparisons
+must use the chained-repeat pattern (bench/engines.py `chained`,
+PallasWindowMatcher.count_tiles_repeated).
 """
 
+import pathlib
 import sys
 import time
 
@@ -18,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 from multithreading_string_matching_tpu.io.patterns import load_patterns
 from multithreading_string_matching_tpu.models.aho_corasick import AhoCorasick

@@ -37,7 +37,11 @@ import numpy as np  # noqa: E402
 def main():
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # Prefer real multi-device hardware; fall back to the forced-count
+    # virtual CPU mesh only when fewer than two real devices are attached.
+    devices = jax.devices()
+    if len(devices) < 2 or devices[0].platform == "cpu":
+        devices = jax.devices("cpu")
     from multithreading_string_matching_tpu import (
         Matcher,
         extract_payloads,
@@ -57,8 +61,7 @@ def main():
     per_dev_rows = 2048  # constant per-device work (weak scaling)
     reps = int(os.environ.get("MSM_SCALING_REPS", "5"))
 
-    devices = jax.devices("cpu")
-    sizes = [n for n in (1, 2, 4, 8, 16) if n <= min(N_DEV, len(devices))]
+    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(devices)]
     results = {}
     for n in sizes:
         rows = per_dev_rows * n
@@ -89,7 +92,7 @@ def main():
             "bytes_per_sec": round(int(lengths.sum()) / dt, 1),
         }))
     t1 = results[sizes[0]]
-    virtual = jax.devices()[0].platform == "cpu"
+    virtual = devices[0].platform == "cpu"
     summary = {
         "metric": "weak_scaling_efficiency",
         "per_device_rows": per_dev_rows,

@@ -281,7 +281,10 @@ def window_stream_chunk(
     """Scan one chunk of per-lane byte streams with a carried byte halo.
 
     ``rel_len``: remaining payload bytes from this chunk's first column
-    (values > chunk width mean the payload continues).  ``halo=None`` marks
+    (values > chunk width mean the payload continues; NEGATIVE values are a
+    supported input meaning the lane's payload ended in an earlier chunk —
+    callers pass raw ``lengths - start`` without clipping, and the fit masks
+    treat any non-positive remainder as an empty lane).  ``halo=None`` marks
     the stream start.  Returns ``(counts, new_halo)``; feeding consecutive
     chunks sums to exactly the unchunked counts, matches straddling chunk
     edges included (see _window_one docstring for the assignment argument).

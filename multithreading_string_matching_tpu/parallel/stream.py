@@ -153,8 +153,15 @@ class StreamMatcher:
         """``bpf_filter=True`` reproduces the live program's capture-filter
         semantics (live_openmp_task.c:127): only protocol-matching packets
         enter the stream at all, so ``packets_seen`` counts what the BPF
-        filter passed — not everything the wire carried.  Match counts are
-        identical either way (non-protocol packets extract no payload)."""
+        filter passed — not everything the wire carried.
+
+        Count caveat, faithful to the reference: in udp mode counts are
+        identical either way (the extraction predicate already requires
+        proto==17).  In tcp COMPAT mode the extractor has no protocol check
+        (packet_dumping.h:150-188), so an unfiltered scan can count matches
+        inside non-TCP packets that the filter excludes — exactly how the
+        reference's BPF-filtered live program can differ from its own
+        serial program on quirky captures."""
         batch = extract_payloads(pcap, mode, keep_invalid=True)
         payloads, lengths = batch.payloads, batch.lengths
         if bpf_filter:

@@ -136,16 +136,20 @@ def test_prepare_auto_plan_reuse_matches_explicit(reference_dir, monkeypatch):
     import multithreading_string_matching_tpu.io.native as native
 
     native._lib, native._tried = None, False
-    m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
-    pcap = read_pcap(reference_dir / "udp_1000.pcap")
-    batch = extract_payloads(pcap, "udp")
-    auto = m.prepare_batch(batch, packed="auto")
-    explicit = m.prepare_batch(batch, packed=True)
-    assert auto.packed and explicit.packed
-    for (pa, la), (pe, le) in zip(auto.tiles, explicit.tiles):
-        assert (np.asarray(pa) == np.asarray(pe)).all()
-        assert (np.asarray(la) == np.asarray(le)).all()
-    native._lib, native._tried = None, False
+    try:
+        m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+        pcap = read_pcap(reference_dir / "udp_1000.pcap")
+        batch = extract_payloads(pcap, "udp")
+        auto = m.prepare_batch(batch, packed="auto")
+        explicit = m.prepare_batch(batch, packed=True)
+        assert auto.packed and explicit.packed
+        for (pa, la), (pe, le) in zip(auto.tiles, explicit.tiles):
+            assert (np.asarray(pa) == np.asarray(pe)).all()
+            assert (np.asarray(la) == np.asarray(le)).all()
+    finally:
+        # A failed assert must not leave the module caching "no native lib"
+        # for the rest of the session (test_native.py would silently skip).
+        native._lib, native._tried = None, False
 
 
 def test_ids_demo_example(reference_dir):

@@ -70,17 +70,23 @@ def test_native_pack_equals_python(monkeypatch):
         np.zeros(10, dtype=np.int64),            # nothing to pack
         np.array([], dtype=np.int64),            # no segments at all
     ]
-    for lens in cases:
-        lens = np.asarray(lens, dtype=np.int64)
-        pl = rng.integers(1, 256, (max(len(lens), 1), 2048), dtype=np.uint8)[: len(lens)]
-        got = bucketing.pack_rows(pl, lens, 2048)
-        monkeypatch.setenv("MSM_NO_NATIVE", "1")
+    try:
+        for lens in cases:
+            lens = np.asarray(lens, dtype=np.int64)
+            pl = rng.integers(
+                1, 256, (max(len(lens), 1), 2048), dtype=np.uint8
+            )[: len(lens)]
+            got = bucketing.pack_rows(pl, lens, 2048)
+            monkeypatch.setenv("MSM_NO_NATIVE", "1")
+            native._lib, native._tried = None, False
+            want = bucketing.pack_rows(pl, lens, 2048)
+            monkeypatch.delenv("MSM_NO_NATIVE")
+            native._lib, native._tried = None, False
+            assert got[0].shape == want[0].shape
+            assert (got[0] == want[0]).all() and (got[1] == want[1]).all()
+    finally:
+        # Never leave the no-native state cached for later tests.
         native._lib, native._tried = None, False
-        want = bucketing.pack_rows(pl, lens, 2048)
-        monkeypatch.delenv("MSM_NO_NATIVE")
-        native._lib, native._tried = None, False
-        assert got[0].shape == want[0].shape
-        assert (got[0] == want[0]).all() and (got[1] == want[1]).all()
 
 
 def test_native_pack_rejects_oversize():

@@ -49,7 +49,12 @@ def test_repeated_chain(pwm):
     assert (rep == one * 3).all()
 
 
-def test_matcher_pallas_engine(reference_dir):
+def test_matcher_pallas_engine(reference_dir, monkeypatch):
+    # MSM_PALLAS_INTERPRET keeps this on the ACTUAL pallas fixture path
+    # (count_prepared's staged tiles + dup expansion) — without it the CPU
+    # test mesh silently degrades pallas->window and the test compares the
+    # window engine with itself.
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
     from multithreading_string_matching_tpu import (
         Matcher,
         extract_payloads,
@@ -58,6 +63,7 @@ def test_matcher_pallas_engine(reference_dir):
     )
 
     m = Matcher(load_patterns(reference_dir / "strings.txt"))  # default: pallas
+    assert m._resolve_engine(None) == "pallas"
     batch = extract_payloads(read_pcap(reference_dir / "udp.pcap"), "udp")
     c = m.count_batch(batch)
     assert int(c.sum()) == 39

@@ -109,3 +109,39 @@ def test_bpf_filter_sniffed_semantics(reference_dir):
     assert plain.packets_seen == pcap.num_packets
     assert (filt.counts() == plain.counts()).all()
     assert int(filt.counts().sum()) == 1006
+
+
+def test_bpf_filter_tcp_quirk_divergence(tmp_path):
+    """tcp compat mode has NO protocol check, so an unfiltered stream counts
+    matches inside a UDP packet with plausible TCP nibbles; the BPF filter
+    excludes that packet — the same divergence the reference's BPF-filtered
+    live program has from its own serial program."""
+    import struct
+
+    from multithreading_string_matching_tpu import Matcher, read_pcap
+
+    payload = b"needle"
+    # IPv4 packet with proto=17 (UDP) whose L4 bytes happen to form a
+    # plausible TCP header: byte 12 of the pseudo-TCP header is 0x50
+    # (data offset 5 -> 20-byte header), so the quirky TCP extractor
+    # accepts it and scans bytes 54+ as "payload".
+    ip = struct.pack(
+        ">BBHHHBBH4s4s", 0x45, 0, 20 + 20 + len(payload), 0, 0,
+        64, 17, 0, b"\x01\x02\x03\x04", b"\x05\x06\x07\x08",
+    )
+    l4 = b"\x00" * 12 + b"\x50" + b"\x00" * 7  # 20 bytes, th_off byte = 0x50
+    frame = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", 0x0800) + ip + l4 + payload
+    raw = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    raw += struct.pack("<IIII", 0, 0, len(frame), len(frame)) + frame
+    p = tmp_path / "quirk.pcap"
+    p.write_bytes(raw)
+
+    m = Matcher([b"needle"], engine="window")
+    pcap = read_pcap(p)
+    plain = StreamMatcher(m)
+    plain.feed_pcap_slice(pcap, "tcp")
+    filt = StreamMatcher(m)
+    filt.feed_pcap_slice(pcap, "tcp", bpf_filter=True)
+    assert int(plain.counts().sum()) == 1   # the quirky extractor scans it
+    assert int(filt.counts().sum()) == 0    # BPF 'tcp' never delivers it
+    assert plain.packets_seen == 1 and filt.packets_seen == 0
