@@ -114,3 +114,41 @@ def test_matcher_validates_patterns_eagerly():
         Matcher([])
     with pytest.raises(ValueError, match="empty pattern"):
         Matcher([b"ok", b""])
+
+
+@pytest.mark.parametrize("mode", ["udp", "tcp"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_native_decode_fuzz_vs_numpy(tmp_path, mode, strict):
+    """Random adversarial frames (truncations, garbage, both protocols):
+    the C++ compat decode must agree with the numpy spec path bit-for-bit,
+    not just on the bundled fixtures."""
+    import struct
+
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+
+    rng = np.random.default_rng(97 + (mode == "tcp") + 2 * strict)
+    out = bytearray(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1))
+    for _ in range(400):
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            frame = bytes(rng.integers(0, 256, rng.integers(0, 90), dtype=np.uint8))
+        else:
+            proto = 17 if kind == 1 else 6
+            ihl = int(rng.choice([0, 4, 5, 6, 15]))
+            payload = bytes(rng.integers(0, 256, rng.integers(0, 40), dtype=np.uint8))
+            ip = struct.pack(
+                ">BBHHHBBH4s4s", (4 << 4) | ihl, 0, 0, 0, 0, 64, proto, 0,
+                b"\x01" * 4, b"\x02" * 4,
+            ) + b"\x00" * max(0, ihl * 4 - 20)
+            l4 = bytes(rng.integers(0, 256, 20, dtype=np.uint8))
+            frame = b"\xaa" * 12 + struct.pack(">H", 0x0800) + ip + l4 + payload
+            if rng.integers(0, 3) == 0:
+                frame = frame[: rng.integers(0, len(frame) + 1)]
+        out += struct.pack("<IIII", 0, 0, len(frame), len(frame)) + frame
+    p = tmp_path / f"fuzz_native_{mode}_{strict}.pcap"
+    p.write_bytes(bytes(out))
+    pcap = read_pcap(p)
+    nat = decode_headers(pcap, mode, strict=strict, use_native=True)
+    py = decode_headers(pcap, mode, strict=strict, use_native=False)
+    for a, b in zip(nat, py):
+        assert (np.asarray(a) == np.asarray(b)).all()
