@@ -1,15 +1,24 @@
-"""Pattern-count scaling: where the O(U) compare chain meets the O(1) DFA.
+"""Pattern-count scaling: unrolled kernel vs table kernel vs the AC DFA.
 
-The pallas/window engines do ~U masked word compares per byte position; the
-AC scan does one table gather per byte regardless of pattern count.
-``Matcher(engine="auto")`` switches at >32k pattern words (api.py) — this
-harness measures both engines across synthetic pattern-set sizes so that
-threshold rests on data, not arithmetic.  Patterns are length-8 (2 words),
-mutually non-matching, over a synthetic ~10 MB corpus.
+Three engines, three regimes:
+
+- ``pallas-unrolled`` (ops/pallas_window.py): pattern words baked into the
+  instruction stream — fastest per byte, but the HLO grows with the pattern
+  set, so compile time is ~quadratic in total words (220 s at 1.5k words on
+  the remote compiler).  Practical ceiling ~512 words; measured here only up
+  to 768 patterns.
+- ``pallas-table`` (ops/pallas_table.py): pattern words streamed through
+  SMEM — same ~1/U throughput scaling, O(1) compile time, no ceiling until
+  the AC crossover.
+- ``ac`` (ops/scan.py): one transition gather per byte independent of U, but
+  the gather is ~370x one compare and the table outgrows cache as U grows.
+
+``Matcher`` picks unrolled/table at PALLAS_TABLE_WORDS and pallas/ac at 32k
+words (api.py) — this harness measures all three across pattern-set sizes so
+those thresholds rest on data.  Patterns are length-8 (2 words), mutually
+non-matching, over a synthetic ~10 MB corpus.
 
 Run on the TPU:  python bench/crossover.py
-Each pattern-set size compiles its own specialized kernel (the pattern set
-is baked in as immediates), so the first run pays several remote compiles.
 """
 
 import json
@@ -23,6 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Unrolled-kernel compile cost explodes past this (that is the point of the
+# table kernel); skip it above.
+UNROLLED_MAX_U = 768
+
 
 def main():
     jax.config.update(
@@ -35,6 +48,12 @@ def main():
         Matcher, extract_payloads, read_pcap,
     )
     from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
+    from multithreading_string_matching_tpu.ops.pallas_table import (
+        PallasTableMatcher,
+    )
+    from multithreading_string_matching_tpu.ops.pallas_window import (
+        PallasWindowMatcher,
+    )
     from multithreading_string_matching_tpu.ops.scan import count_matches_ac
 
     corpus = pathlib.Path("/tmp/msm_crossover.pcap")
@@ -44,52 +63,61 @@ def main():
     batch = extract_payloads(read_pcap(corpus), "udp")
     nbytes = batch.total_payload_bytes
 
-    for U in (16, 64, 256, 768):
+    for U in (16, 64, 256, 768, 3072, 12288):
         pats = [b"pt%06d" % i for i in range(U)]
         m = Matcher(pats)
         prep = m.prepare_batch(batch, packed="auto")
+        row = {"patterns": U, "pattern_words": U * 2}
+
+        def measure(matcher, reps):
+            t0 = time.perf_counter()
+            out = np.asarray(matcher.count_tiles_repeated(prep.tiles, reps))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(matcher.count_tiles_repeated(prep.tiles, reps))
+            return (time.perf_counter() - t0) / reps, compile_s, out / reps
 
         reps = max(20, 40_960 // U)
-        t0 = time.perf_counter()
-        np.asarray(m.pallas.count_tiles_repeated(prep.tiles, reps))  # compile
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(m.pallas.count_tiles_repeated(prep.tiles, reps))
-        pallas_dt = (time.perf_counter() - t0) / reps
+        table = PallasTableMatcher(m.window, assume_zero_padded=True)
+        t_dt, t_compile, t_counts = measure(table, reps)
+        row["table_bytes_per_sec"] = round(nbytes / t_dt, 1)
+        row["table_compile_s"] = round(t_compile, 1)
+
+        if U <= UNROLLED_MAX_U:
+            unrolled = PallasWindowMatcher(m.window, assume_zero_padded=True)
+            u_dt, u_compile, u_counts = measure(unrolled, reps)
+            row["unrolled_bytes_per_sec"] = round(nbytes / u_dt, 1)
+            row["unrolled_compile_s"] = round(u_compile, 1)
+            assert (u_counts == t_counts).all(), "table != unrolled counts"
 
         payloads = jnp.asarray(batch.payloads, jnp.uint8)
         lengths = jnp.asarray(batch.lengths, jnp.int32)
 
         # AC: chained data-dependent repeats inside one executable (DESIGN §7)
-        def make_out(dep):
-            return count_matches_ac(
-                m.cac, payloads, lengths + dep, dup_map=m.ac.dup_map
-            )
-
         ac_reps = 5
 
         @jax.jit
         def run_ac():
             def body(_, total):
                 dep = jnp.minimum(total.sum(), 0).astype(jnp.int32)
-                return total + make_out(dep)
+                return total + count_matches_ac(
+                    m.cac, payloads, lengths + dep, dup_map=m.ac.dup_map
+                )
             return jax.lax.fori_loop(
                 0, ac_reps, body, jnp.zeros((U,), jnp.int32)
             )
 
-        np.asarray(run_ac())
+        ac_counts = np.asarray(run_ac())
+        assert (ac_counts == np.asarray(t_counts)[m.window.dup_map] * ac_reps).all() or \
+            (ac_counts / ac_reps == np.asarray(t_counts)[m.window.dup_map]).all(), \
+            "ac != table counts"
         t0 = time.perf_counter()
         np.asarray(run_ac())
         ac_dt = (time.perf_counter() - t0) / ac_reps
+        row["ac_bytes_per_sec"] = round(nbytes / ac_dt, 1)
+        row["table_over_ac"] = round(ac_dt / t_dt, 2)
 
-        print(json.dumps({
-            "patterns": U,
-            "pattern_words": U * 2,
-            "pallas_bytes_per_sec": round(nbytes / pallas_dt, 1),
-            "ac_bytes_per_sec": round(nbytes / ac_dt, 1),
-            "pallas_over_ac": round(ac_dt / pallas_dt, 2),
-            "pallas_compile_s": round(compile_s, 1),
-        }), flush=True)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

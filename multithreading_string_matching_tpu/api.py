@@ -141,18 +141,40 @@ class Matcher:
             self._kmp = stack_kmp_dfas(self.patterns)
         return self._kmp[1]
 
+    # Above this many total pattern words the unrolled kernel's baked-in
+    # compare chain stops being practical (compile time grows ~quadratically:
+    # 46 s at 512 words, 220 s at 1.5k on the remote compiler — DESIGN.md §1)
+    # and the SMEM table-driven kernel takes over (O(1) compile in pattern
+    # count, same compare algebra).  MSM_PALLAS_TABLE=1/0 forces either.
+    PALLAS_TABLE_WORDS = 512
+
     @property
     def pallas(self):
-        """The pattern-specialized Pallas kernel (interpreted on CPU)."""
+        """The pattern-specialized Pallas kernel (interpreted on CPU).
+
+        Small pattern sets get the unrolled kernel (pattern words as
+        immediates — fastest); large sets get the table-driven kernel
+        (pattern words streamed through SMEM — constant compile time).
+        """
         if self._pallas is None:
             import jax
             from multithreading_string_matching_tpu.ops.pallas_window import (
                 PallasWindowMatcher,
             )
+            from multithreading_string_matching_tpu.ops.pallas_table import (
+                PallasTableMatcher,
+            )
 
+            total_words = int((self.window.pat_masks != 0).sum())
+            force = os.environ.get("MSM_PALLAS_TABLE")
+            use_table = (
+                total_words > self.PALLAS_TABLE_WORDS if force is None
+                else force not in ("0", "")
+            )
+            cls = PallasTableMatcher if use_table else PallasWindowMatcher
             # prepare()/extract_payloads zero-pad rows past their lengths,
             # which unlocks the kernel's no-fit fast path.
-            self._pallas = PallasWindowMatcher(
+            self._pallas = cls(
                 self.window,
                 interpret=jax.default_backend() == "cpu",
                 assume_zero_padded=True,

@@ -1,0 +1,371 @@
+"""Table-driven Pallas kernel — the large-pattern-set window matcher.
+
+The unrolled kernel (ops/pallas_window.py) bakes every pattern word into the
+instruction stream as an immediate.  That is unbeatable for the reference's
+97 patterns (strings.txt), but the compare chain is materialized in the HLO,
+so compile time grows ~quadratically with total pattern words (measured
+220 s at 1.5k words on the remote compiler — docs/DESIGN.md §1) and every
+pattern-set change recompiles.  This kernel keeps the same algorithm — the
+shifted-window masked word compare that implements kmp_matcher's overlap
+semantics (reference serial.c:190-215) — but reads the pattern set from
+memory:
+
+- pattern word/mask/len tables stream through SMEM blocks (``PB`` patterns
+  per grid step along a pattern-block grid axis),
+- an unrolled ``lax.fori_loop`` walks the block's patterns; each iteration
+  broadcasts K scalar SMEM reads against the [TN, L] shifted uint32 window
+  views built once per payload tile (still zero gathers, zero carried
+  state).  The trip count is STATIC (the whole block, padded slots
+  included) and the loop is unrolled 8-wide — both matter: a dynamic bound
+  or a serial loop leaves the VPU idle between the per-pattern reduction
+  trees, which costs ~an order of magnitude,
+- the pattern set is partitioned by word count K, one specialized kernel per
+  class, so every compare in the loop is live (a mixed-length set costs
+  sum_c U_c*K_c compares, not U*K_max).
+
+Padded pattern slots (mask 0 → compare trivially true) accumulate garbage
+counts into output slots the host slices off; classes smaller than one block
+shrink their block to the class, so the waste is bounded by the last
+partial block of each class.
+
+Compile time is O(K_max) — independent of pattern count — which extends the
+window formulation's fast path from the unrolled kernel's practical ~512-word
+ceiling to the multi-thousand-pattern regime where the Aho-Corasick DFA
+(whose per-byte gather is ~370x one compare, DESIGN.md §1) is the only other
+option.  api.Matcher picks between the two kernels by pattern-set size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multithreading_string_matching_tpu.ops.window import WindowProgram
+
+# Patterns per SMEM block: multiples of 128 satisfy Mosaic's rank-1 block
+# rule; 128 keeps partial-block waste ≤127 pattern slots per class while the
+# per-block window-view rebuild (~15 vector ops) stays ~1% of block compute.
+PATTERN_BLOCK = 128
+# In-loop unroll factor: independent compare/reduce chains per loop step so
+# the VPU pipelines across patterns instead of stalling on each pattern's
+# reduction tree.
+UNROLL = 8
+
+
+def _window_views(payload_ref, K: int, use_fit: bool):
+    """[TN, L] little-endian uint32 word views starting at every byte
+    position, one per pattern-word offset (same construction as the unrolled
+    kernel; see ops/pallas_window.py for the wrap-around/zero-fill algebra)."""
+    x = payload_ref[:].astype(jnp.uint32)
+    tn, L = x.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
+
+    def roll_left(a, s):
+        return pltpu.roll(a, (L - s) % L, 1)
+
+    def shifted(a, s):
+        return jnp.where(pos < L - s, roll_left(a, s), jnp.uint32(0))
+
+    if use_fit:
+        x1, x2, x3 = roll_left(x, 1), roll_left(x, 2), roll_left(x, 3)
+        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
+        for k in range(1, K):
+            w.append(roll_left(w[0], 4 * k))
+    else:
+        x1, x2, x3 = shifted(x, 1), shifted(x, 2), shifted(x, 3)
+        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
+        for k in range(1, K):
+            w.append(shifted(w[0], 4 * k))
+    return w, pos
+
+
+def _make_table_kernel(K: int, use_fit: bool, with_reps: bool, unroll: int = UNROLL):
+    """Grid: (pattern_blocks[, reps], row_tiles) — row tiles iterate fastest,
+    so each pattern block's SMEM counts are zeroed once (first row tile of
+    its first rep) and accumulate over every row tile (x reps)."""
+
+    def kernel(words_ref, masks_ref, lens_ref, payload_ref, length_ref,
+               out_ref):
+        first = pl.program_id(1) == 0 if not with_reps else (
+            (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+        )
+        PB = out_ref.shape[0]
+
+        @pl.when(first)
+        def _():
+            def zero(u, c):
+                out_ref[u, 0] = 0
+                return c
+
+            jax.lax.fori_loop(0, PB, zero, 0)
+
+        w, pos = _window_views(payload_ref, K, use_fit)
+        lens = length_ref[:]                     # [TN, 1] int32
+
+        # Manual UNROLL-wide body (Mosaic's fori_loop only lowers unroll=1
+        # or full unroll): UNROLL independent compare/reduce chains per loop
+        # step keep the VPU pipelined across patterns.  pb is always a
+        # multiple of UNROLL (both are multiples of 8).
+        def body(g, c):
+            base = g * unroll
+            for t in range(unroll):
+                u = base + t
+                acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
+                for k in range(1, K):
+                    acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
+                if use_fit:
+                    acc &= (pos + lens_ref[u, 0]) <= lens
+                out_ref[u, 0] = out_ref[u, 0] + jnp.sum(acc.astype(jnp.int32))
+            return c
+
+        jax.lax.fori_loop(0, PB // unroll, body, 0)
+
+    return kernel
+
+
+def _make_table_kernel_rows(K: int, use_fit: bool, unroll: int = UNROLL):
+    """Per-row variant: grid (pattern_blocks, row_tiles); each step owns its
+    [PB, TN] block of the transposed [U, N] output (no cross-step state)."""
+
+    def kernel(words_ref, masks_ref, lens_ref, payload_ref, length_ref,
+               out_ref):
+        PB = out_ref.shape[0]
+        w, pos = _window_views(payload_ref, K, use_fit)
+        lens = length_ref[:]
+
+        def body(g, c):
+            base = g * unroll
+            for t in range(unroll):
+                u = base + t
+                acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
+                for k in range(1, K):
+                    acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
+                if use_fit:
+                    acc &= (pos + lens_ref[u, 0]) <= lens
+                out_ref[u, :] = jnp.sum(acc.astype(jnp.int32), axis=1)
+            return c
+
+        jax.lax.fori_loop(0, PB // unroll, body, 0)
+
+    return kernel
+
+
+class _PatternClass:
+    """One word-count class: contiguous tables padded to whole SMEM blocks.
+
+    A class smaller than one block shrinks its block to the (8-padded) class
+    size — a block equal to the whole array satisfies Mosaic's block rules
+    at any size, and small classes then carry ≤7 padded slots."""
+
+    def __init__(self, K: int, words: np.ndarray, masks: np.ndarray,
+                 lens: np.ndarray, block: int, unroll: int = UNROLL):
+        self.K = K
+        self.num = words.shape[0]
+        # pb must be a multiple of the kernel's unroll width (the loop runs
+        # PB // unroll groups) — which also covers the sublane-8 padding.
+        q = max(unroll, 8)
+        block = -(-block // q) * q
+        self.pb = min(block, -(-self.num // q) * q)
+        self.nblocks = -(-self.num // self.pb)
+        pad = self.nblocks * self.pb - self.num
+        self.words = np.pad(words[:, :K], ((0, pad), (0, 0)))
+        self.masks = np.pad(masks[:, :K], ((0, pad), (0, 0)))
+        self.lens = np.pad(lens, (0, pad)).reshape(-1, 1).astype(np.int32)
+
+
+class PallasTableMatcher:
+    """Drop-in alternative to PallasWindowMatcher for large pattern sets:
+    same count/repeat/per-row surface, pattern tables in SMEM instead of the
+    instruction stream."""
+
+    def __init__(
+        self,
+        wp: WindowProgram,
+        row_tile: int = 512,
+        interpret: bool = False,
+        assume_zero_padded: bool = False,
+        pattern_block: int = PATTERN_BLOCK,
+        unroll: int = UNROLL,
+        vmem_budget: int = 2_750_000,
+    ):
+        self.wp = wp
+        self.row_tile = row_tile
+        self.unroll = unroll
+        self.vmem_budget = vmem_budget
+        self.interpret = interpret
+        self.num_unique = int(wp.pat_words.shape[0])
+        self.pattern_block = pattern_block
+        use_fit = (not assume_zero_padded) or any(
+            0 in p for p in wp.unique_patterns
+        )
+        self.use_fit = use_fit
+
+        # Partition unique patterns by word count (stable, so the sorted
+        # order is reproducible); remember how to get back to build order.
+        kcounts = np.asarray([-(-int(l) // 4) for l in wp.pat_lens])
+        order = np.argsort(kcounts, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        self._inv = jnp.asarray(inv.astype(np.int32))
+
+        self.classes = []
+        sorted_k = kcounts[order]
+        for K in sorted(set(sorted_k.tolist())):
+            sel = order[sorted_k == K]
+            self.classes.append(
+                _PatternClass(
+                    int(K),
+                    wp.pat_words[sel],
+                    wp.pat_masks[sel],
+                    wp.pat_lens[sel],
+                    pattern_block,
+                    unroll=unroll,
+                )
+            )
+        self._kernels = {
+            c.K: _make_table_kernel(c.K, use_fit, with_reps=False, unroll=unroll)
+            for c in self.classes
+        }
+        self._kernels_rep = {
+            c.K: _make_table_kernel(c.K, use_fit, with_reps=True, unroll=unroll)
+            for c in self.classes
+        }
+        self._kernels_rows = {
+            c.K: _make_table_kernel_rows(c.K, use_fit, unroll=unroll)
+            for c in self.classes
+        }
+        self._maxK = max(c.K for c in self.classes)
+
+        def run_tiles(tiles):
+            outs = [self._one_tile(p, l) for p, l in tiles]
+            return jnp.take(functools.reduce(jnp.add, outs), self._inv)
+
+        self._jit_tiles = jax.jit(run_tiles)
+
+        def run_repeated(tiles, r):
+            outs = [self._one_tile(p, l, reps=r) for p, l in tiles]
+            return jnp.take(functools.reduce(jnp.add, outs), self._inv)
+
+        self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
+
+    def _pad_tile(self, payloads, lengths):
+        """Same padding/VMEM-budget rule as the unrolled kernel (the live
+        set is ~(K + 8) uint32 [tn, L] temporaries)."""
+        n, L = payloads.shape
+        if L % 128:
+            payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
+            L = payloads.shape[1]
+        K = self._maxK
+        vmem_cap = max(8, (self.vmem_budget // ((K + 8) * L)) // 8 * 8)
+        tn = min(self.row_tile, vmem_cap, -(-n // 8) * 8)
+        if n % tn:
+            pad = tn - n % tn
+            payloads = jnp.pad(payloads, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+        return payloads, lengths.reshape(-1, 1).astype(jnp.int32), tn
+
+    def _class_call(self, c: _PatternClass, kernel, payloads, lengths, tn,
+                    reps=None):
+        n, L = payloads.shape
+        if reps is None:
+            grid = (c.nblocks, n // tn)
+            pat_ix = lambda j, i: (j, 0)
+            vec_ix = lambda j, i: (i, 0)
+        else:
+            grid = (c.nblocks, reps, n // tn)
+            pat_ix = lambda j, r, i: (j, 0)
+            vec_ix = lambda j, r, i: (i, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((c.pb, 1), lambda *ix: (ix[0], 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, 1), jnp.int32),
+            interpret=self.interpret,
+        )(
+            jnp.asarray(c.words), jnp.asarray(c.masks), jnp.asarray(c.lens),
+            payloads, lengths,
+        )
+
+    def _one_tile(self, payloads, lengths, reps=None):
+        """Counts in SORTED-unique order, concatenated across classes."""
+        payloads, lengths, tn = self._pad_tile(payloads, lengths)
+        outs = []
+        for c in self.classes:
+            kern = self._kernels[c.K] if reps is None else self._kernels_rep[c.K]
+            out = self._class_call(c, kern, payloads, lengths, tn, reps=reps)
+            outs.append(out[: c.num, 0])
+        return jnp.concatenate(outs)
+
+    def _one_tile_rows(self, payloads, lengths):
+        payloads, lengths, tn = self._pad_tile(payloads, lengths)
+        n, L = payloads.shape
+        outs = []
+        for c in self.classes:
+            out = pl.pallas_call(
+                self._kernels_rows[c.K],
+                grid=(c.nblocks, n // tn),
+                in_specs=[
+                    pl.BlockSpec((c.pb, c.K), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((c.pb, c.K), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((c.pb, 1), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tn, L), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((c.pb, tn), lambda j, i: (j, i)),
+                out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, n), jnp.int32),
+                interpret=self.interpret,
+            )(
+                jnp.asarray(c.words), jnp.asarray(c.masks),
+                jnp.asarray(c.lens), payloads, lengths,
+            )
+            outs.append(out[: c.num])
+        return jnp.take(jnp.concatenate(outs), self._inv, axis=0).T  # [n, U]
+
+    # -- public surface (mirrors PallasWindowMatcher) ----------------------
+
+    def count_tiles(self, tiles, *, expand_duplicates: bool = True):
+        if not tiles:
+            n = len(self.wp.dup_map) if expand_duplicates else self.num_unique
+            return jnp.zeros((n,), jnp.int32)
+        tiles = tuple(
+            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32))
+            for p, l in tiles
+        )
+        out = self._jit_tiles(tiles)
+        if expand_duplicates:
+            out = jnp.take(out, jnp.asarray(self.wp.dup_map), axis=-1)
+        return out
+
+    def count_tiles_repeated(self, tiles, repeats: int):
+        """repeats x counts over unique patterns inside ONE executable (the
+        repeat axis is a grid dimension per pattern block — same measurement
+        honesty rule as the unrolled kernel)."""
+        tiles = tuple(
+            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32))
+            for p, l in tiles
+        )
+        return self._jit_repeated(tiles, r=repeats)
+
+    def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
+        outs = []
+        for p, l in tiles:
+            out = self._one_tile_rows(
+                jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)
+            )
+            if expand_duplicates:
+                out = jnp.take(out, jnp.asarray(self.wp.dup_map), axis=-1)
+            outs.append(out)
+        return outs

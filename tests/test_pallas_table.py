@@ -1,0 +1,165 @@
+"""Table-driven Pallas kernel (interpret mode on the CPU mesh) vs oracle.
+
+Same semantics as the unrolled kernel; the point of these tests is the parts
+that differ: word-count-class partitioning (sorted/unsorted reordering),
+SMEM pattern blocks with partial last blocks, and the fori_loop pattern walk.
+"""
+
+import numpy as np
+import pytest
+
+from oracle import count_overlapping
+from multithreading_string_matching_tpu.ops.window import WindowProgram
+from multithreading_string_matching_tpu.ops.pallas_table import PallasTableMatcher
+
+# Mixed word counts (1..3), duplicates, shared prefixes — exercises the
+# class partition and the build-order restore.
+PATS = [b"ab", b"aba", b"b", b"abab", b"ca", b"ab", b"abcdefgh", b"abcde",
+        b"bbbbabcdea", b"a", b"caca"]
+
+
+def _oracle_totals(payloads, lengths, pats):
+    texts = [payloads[i, : lengths[i]].tobytes() for i in range(len(lengths))]
+    return np.array([sum(count_overlapping(t, p) for t in texts) for p in pats])
+
+
+@pytest.fixture(scope="module")
+def ptm():
+    return PallasTableMatcher(
+        WindowProgram.build(PATS), row_tile=8, interpret=True, pattern_block=4
+    )
+
+
+def test_matches_oracle(ptm):
+    rng = np.random.default_rng(21)
+    payloads = rng.integers(0, 3, size=(16, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=16).astype(np.int32)
+    got = np.asarray(ptm.count_tiles([(payloads, lengths)]))
+    assert (got == _oracle_totals(payloads, lengths, PATS)).all()
+
+
+def test_multi_tile_and_padding(ptm):
+    rng = np.random.default_rng(22)
+    t1 = (rng.integers(0, 3, size=(16, 128)).astype(np.uint8),
+          rng.integers(0, 129, size=16).astype(np.int32))
+    t2 = (rng.integers(0, 3, size=(5, 100)).astype(np.uint8),
+          rng.integers(0, 101, size=5).astype(np.int32))
+    got = np.asarray(ptm.count_tiles([t1, t2]))
+    want = _oracle_totals(*t1, PATS) + _oracle_totals(*t2, PATS)
+    assert (got == want).all()
+
+
+def test_repeated_chain(ptm):
+    rng = np.random.default_rng(23)
+    payloads = rng.integers(0, 3, size=(8, 128)).astype(np.uint8)
+    lengths = np.full(8, 128, np.int32)
+    one = np.asarray(ptm.count_tiles([(payloads, lengths)], expand_duplicates=False))
+    rep = np.asarray(ptm.count_tiles_repeated([(payloads, lengths)], 3))
+    assert (rep == one * 3).all()
+
+
+def test_per_row(ptm):
+    rng = np.random.default_rng(24)
+    payloads = rng.integers(0, 3, size=(11, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=11).astype(np.int32)
+    (rows,) = ptm.count_tiles_per_row([(payloads, lengths)])
+    rows = np.asarray(rows)
+    texts = [payloads[i, : lengths[i]].tobytes() for i in range(11)]
+    want = np.array(
+        [[count_overlapping(t, p) for p in PATS] for t in texts]
+    )
+    assert (rows[:11] == want).all()
+    assert (rows[11:] == 0).all()  # padding rows count zero
+
+
+def test_nofit_zero_padded_fast_path():
+    """assume_zero_padded drops the fit mask; counts must still match the
+    oracle when rows really are zero-padded (NUL-free patterns only)."""
+    wp = WindowProgram.build(PATS)
+    ptm = PallasTableMatcher(
+        wp, row_tile=8, interpret=True, assume_zero_padded=True, pattern_block=3
+    )
+    rng = np.random.default_rng(25)
+    payloads = rng.integers(1, 4, size=(9, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=9).astype(np.int32)
+    cols = np.arange(128)[None, :]
+    payloads = np.where(cols < lengths[:, None], payloads, 0).astype(np.uint8)
+    got = np.asarray(ptm.count_tiles([(payloads, lengths)]))
+    assert (got == _oracle_totals(payloads, lengths, PATS)).all()
+
+
+def test_nul_pattern_forces_fit():
+    pats = [b"\x00\x00", b"ab"]
+    ptm = PallasTableMatcher(
+        WindowProgram.build(pats), row_tile=8, interpret=True,
+        assume_zero_padded=True,
+    )
+    assert ptm.use_fit
+    payloads = np.zeros((8, 128), np.uint8)
+    payloads[0, :4] = (0, 0, ord("a"), ord("b"))
+    lengths = np.zeros(8, np.int32)
+    lengths[0] = 4
+    got = np.asarray(ptm.count_tiles([(payloads, lengths)]))
+    assert got.tolist() == [1, 1]
+
+
+def test_agrees_with_unrolled_kernel_large_set():
+    """A few hundred random patterns: table kernel == unrolled kernel ==
+    oracle (the regime the table kernel exists for, shrunk to test size)."""
+    from multithreading_string_matching_tpu.ops.pallas_window import (
+        PallasWindowMatcher,
+    )
+
+    rng = np.random.default_rng(26)
+    pats = [
+        bytes(rng.integers(1, 5, size=rng.integers(1, 13)).tolist())
+        for _ in range(200)
+    ]
+    wp = WindowProgram.build(pats)
+    ptm = PallasTableMatcher(wp, row_tile=8, interpret=True, pattern_block=64)
+    pwm = PallasWindowMatcher(wp, row_tile=8, interpret=True)
+    payloads = rng.integers(1, 5, size=(16, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=16).astype(np.int32)
+    got = np.asarray(ptm.count_tiles([(payloads, lengths)]))
+    want = np.asarray(pwm.count_tiles([(payloads, lengths)]))
+    assert (got == want).all()
+
+
+def test_matcher_auto_selects_table_kernel(monkeypatch):
+    """Matcher routes large pattern sets to the table kernel (forced small
+    here via MSM_PALLAS_TABLE) and the full staged/per-packet paths work."""
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    from multithreading_string_matching_tpu import Matcher
+
+    rng = np.random.default_rng(27)
+    m = Matcher([b"ab", b"ba", b"aab", b"ab"])
+    assert type(m.pallas).__name__ == "PallasTableMatcher"
+    payloads = rng.integers(0, 3, size=(40, 96)).astype(np.uint8)
+    lengths = rng.integers(0, 97, size=40).astype(np.int32)
+    cols = np.arange(96)[None, :]
+    payloads = np.where(cols < lengths[:, None], payloads, 0).astype(np.uint8)
+    got = m.count(payloads, lengths)
+    want = m.count(payloads, lengths, engine="window")
+    assert (got == want).all()
+    got_pp = m.count(payloads, lengths, per_packet=True)
+    want_pp = m.count(payloads, lengths, per_packet=True, engine="window")
+    assert (got_pp == want_pp).all()
+
+
+def test_word_threshold_auto():
+    """Without the env override, the word-count threshold decides."""
+    import os
+    from multithreading_string_matching_tpu import Matcher
+
+    assert os.environ.get("MSM_PALLAS_TABLE") is None
+    os.environ["MSM_PALLAS_INTERPRET"] = "1"
+    try:
+        small = Matcher([b"abcd"])
+        assert type(small.pallas).__name__ == "PallasWindowMatcher"
+        rng = np.random.default_rng(28)
+        pats = [bytes(rng.integers(1, 255, size=8).tolist()) for _ in range(600)]
+        big = Matcher(pats)
+        assert type(big.pallas).__name__ == "PallasTableMatcher"
+    finally:
+        del os.environ["MSM_PALLAS_INTERPRET"]
