@@ -16,9 +16,9 @@ memory:
   broadcasts K scalar SMEM reads against the [TN, L] shifted uint32 window
   views built once per payload tile (still zero gathers, zero carried
   state).  The trip count is STATIC (the whole block, padded slots
-  included) and the loop is unrolled 8-wide — both matter: a dynamic bound
+  included) and the loop is unrolled 16-wide — both matter: a dynamic bound
   or a serial loop leaves the VPU idle between the per-pattern reduction
-  trees, which costs ~an order of magnitude,
+  trees, which costs ~an order of magnitude (sweep in the UNROLL comment),
 - the pattern set is partitioned by word count K, one specialized kernel per
   class, so every compare in the loop is live (a mixed-length set costs
   sum_c U_c*K_c compares, not U*K_max).
@@ -53,8 +53,10 @@ from multithreading_string_matching_tpu.ops.window import WindowProgram
 PATTERN_BLOCK = 128
 # In-loop unroll factor: independent compare/reduce chains per loop step so
 # the VPU pipelines across patterns instead of stalling on each pattern's
-# reduction tree.
-UNROLL = 8
+# reduction tree.  Swept on v5e (768 length-8 patterns / 97-pattern fixture):
+# 1-wide 0.59/2.53 GB/s, 8-wide 0.73/4.82, 16-wide 0.78/4.79, 32-wide
+# 0.81/3.57 (32 pads small word-count classes too hard) -> 16.
+UNROLL = 16
 
 
 def _window_views(payload_ref, K: int, use_fit: bool):
@@ -191,7 +193,7 @@ class PallasTableMatcher:
         assume_zero_padded: bool = False,
         pattern_block: int = PATTERN_BLOCK,
         unroll: int = UNROLL,
-        vmem_budget: int = 2_750_000,
+        vmem_budget: int = 1_600_000,
     ):
         self.wp = wp
         self.row_tile = row_tile
@@ -261,6 +263,9 @@ class PallasTableMatcher:
             payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
             L = payloads.shape[1]
         K = self._maxK
+        # Budget swept on v5e: 2.75M (the unrolled kernel's) spills registers
+        # with 16 concurrent accumulator chains (0.98 GB/s on the fixture);
+        # 1.6M avoids the spill (4.8 GB/s) and 1.2M gains nothing more.
         vmem_cap = max(8, (self.vmem_budget // ((K + 8) * L)) // 8 * 8)
         tn = min(self.row_tile, vmem_cap, -(-n // 8) * 8)
         if n % tn:
