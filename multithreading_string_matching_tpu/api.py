@@ -45,6 +45,18 @@ from multithreading_string_matching_tpu.ops.bucketing import (
 LANE = 128
 SUBLANE = 8
 
+_FOLD_TABLE = np.arange(256, dtype=np.uint8)
+_FOLD_TABLE[65:91] |= 0x20  # A-Z -> a-z (ASCII only, like bytes.lower())
+
+
+def _fold_ascii_bytes(p: bytes) -> bytes:
+    return bytes(_FOLD_TABLE[np.frombuffer(p, np.uint8)]) if p else p
+
+
+def _fold_ascii_array(a) -> np.ndarray:
+    a = np.asarray(a, dtype=np.uint8)
+    return _FOLD_TABLE[a]
+
 
 @dataclass
 class PreparedBatch:
@@ -90,6 +102,13 @@ class Matcher:
     patterns: List[bytes]
     engine: str = "pallas"
     bucketed: bool = True
+    # ASCII-case-insensitive matching (the reference has no analogue; IDS
+    # rule languages call this ``nocase``).  Both the pattern set and every
+    # payload byte are folded A-Z -> a-z before matching, so counts are over
+    # case-folded occurrences; reported pattern spellings stay as written.
+    # Patterns that differ only by case fold together and report the same
+    # count (duplicates already report independently, serial.c:163-166).
+    case_insensitive: bool = False
 
     def __post_init__(self):
         if self.engine not in ("auto", "pallas", "window", "ac", "kmp"):
@@ -110,11 +129,25 @@ class Matcher:
         self._window = None
         self._kmp = None
         self._pallas = None  # built lazily (backend-dependent)
+        # The byte strings the automata/kernels actually match on.
+        self._match_patterns = (
+            [_fold_ascii_bytes(p) for p in self.patterns]
+            if self.case_insensitive else self.patterns
+        )
+
+    def _maybe_fold(self, payloads):
+        """Case-fold payload bytes when case-insensitive (idempotent: folding
+        already-folded bytes is a no-op, so layered call paths are safe).
+        Zero padding is preserved (0x00 < 'A'), keeping the Pallas kernel's
+        no-fit invariant intact."""
+        if not self.case_insensitive:
+            return payloads
+        return _fold_ascii_array(payloads)
 
     @property
     def ac(self) -> AhoCorasick:
         if self._ac is None:
-            self._ac = AhoCorasick.build(self.patterns)
+            self._ac = AhoCorasick.build(self._match_patterns)
         return self._ac
 
     @property
@@ -126,19 +159,19 @@ class Matcher:
     @property
     def window(self) -> WindowProgram:
         if self._window is None:
-            self._window = WindowProgram.build(self.patterns)
+            self._window = WindowProgram.build(self._match_patterns)
         return self._window
 
     @property
     def _kmp_dfas(self):
         if self._kmp is None:
-            self._kmp = stack_kmp_dfas(self.patterns)
+            self._kmp = stack_kmp_dfas(self._match_patterns)
         return self._kmp[0]
 
     @property
     def _kmp_accept(self):
         if self._kmp is None:
-            self._kmp = stack_kmp_dfas(self.patterns)
+            self._kmp = stack_kmp_dfas(self._match_patterns)
         return self._kmp[1]
 
     # Above this many total pattern words the unrolled kernel's baked-in
@@ -209,6 +242,7 @@ class Matcher:
         if np.shape(payloads)[0] == 0:
             shape = (0, len(self.patterns)) if per_packet else (len(self.patterns),)
             return np.zeros(shape, dtype=np.int32)
+        payloads = self._maybe_fold(payloads)
         engine = self._resolve_engine(engine)
         if engine == "pallas":
             if per_packet:
@@ -242,7 +276,7 @@ class Matcher:
             # gracefully instead.  Decided from the pattern list alone —
             # never build the WindowProgram the decision may route away
             # from (its [U, K] tables are exactly what is too big here).
-            unique = dict.fromkeys(self.patterns)
+            unique = dict.fromkeys(self._match_patterns)
             max_len = max(len(p) for p in unique)
             total_words = len(unique) * -(-max_len // 4)
             engine = "ac" if total_words > 32_000 or max_len > 256 else "pallas"
@@ -296,7 +330,7 @@ class Matcher:
         long payloads near the pack width fragment rows and lose to
         bucketing.
         """
-        payloads = np.asarray(payloads)
+        payloads = self._maybe_fold(np.asarray(payloads))
         lengths = np.asarray(lengths)
         pre_plan = None
         if packed == "auto":
@@ -468,7 +502,7 @@ class Matcher:
         """
         from multithreading_string_matching_tpu.ops.window import find_matches
 
-        return find_matches(self.window, payloads, lengths)
+        return find_matches(self.window, self._maybe_fold(payloads), lengths)
 
     # -- streaming (carried DFA state across chunks) ----------------------
 
@@ -482,7 +516,7 @@ class Matcher:
         column (i.e. remaining bytes).  Returns (counts[P], new_states).
         """
         counts, new_states = count_matches_ac(
-            self.cac, payload_chunk, rel_lengths,
+            self.cac, self._maybe_fold(payload_chunk), rel_lengths,
             initial_states=states, dup_map=self.ac.dup_map, return_states=True,
         )
         return np.asarray(counts), new_states

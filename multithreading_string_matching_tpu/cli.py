@@ -45,10 +45,13 @@ def _mode_arg(tokens: List[str], default: str = "udp") -> str:
     raise SystemExit(f"unknown packet type {tokens[0]!r}: expected udp or tcp")
 
 
-def _build(args_patterns: str, engine: str = "pallas"):
+def _build(args_patterns: str, engine: str = "pallas", nocase: bool = False):
     from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.io.patterns import load_patterns
 
-    return Matcher.from_file(args_patterns, engine=engine)
+    return Matcher(
+        load_patterns(args_patterns), engine=engine, case_insensitive=nocase
+    )
 
 
 def _report(matcher, counts, elapsed, **kw):
@@ -199,6 +202,10 @@ def cmd_match(argv: List[str]) -> int:
         default=None,
     )
     p.add_argument("--strict", action="store_true", help="enable the protocol checks the reference omits")
+    p.add_argument(
+        "--nocase", action="store_true",
+        help="ASCII case-insensitive matching (patterns and payloads folded)",
+    )
     p.add_argument("--vlan", action="store_true", help="skip 802.1Q/802.1ad VLAN tags (up to two)")
     p.add_argument("--ipv6", action="store_true", help="also decode IPv6 frames (ethertype 0x86dd)")
     p.add_argument("--per-packet", action="store_true")
@@ -250,7 +257,7 @@ def cmd_match(argv: List[str]) -> int:
         profiler_cm = jax.profiler.trace(cfg.profile_dir)
         profiler_cm.__enter__()
 
-    matcher = _build(cfg.patterns, engine=cfg.engine)
+    matcher = _build(cfg.patterns, engine=cfg.engine, nocase=a.nocase)
     timer = PhaseTimer()
     if a.stream:
         if a.sharded or cfg.per_packet or a.offsets:
@@ -300,7 +307,8 @@ def cmd_match(argv: List[str]) -> int:
             if eng == "kmp":
                 eng = "ac"
             counts = count_matches_sharded(
-                matcher.cac, batch.payloads, batch.lengths, make_mesh(),
+                matcher.cac, matcher._maybe_fold(batch.payloads),
+                batch.lengths, make_mesh(),
                 dup_map=matcher.ac.dup_map if eng == "ac" else matcher.window.dup_map,
                 engine=eng, window=matcher.window,
                 pallas_matcher=matcher.pallas if eng == "pallas" else None,

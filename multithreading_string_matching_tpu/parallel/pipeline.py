@@ -158,6 +158,9 @@ def count_pcap_streamed(
         n_packets += batch.num_packets
         n_valid += int(batch.valid.sum())
         n_bytes += batch.total_payload_bytes
+        # Case-insensitive matchers fold bytes before packing (idempotent,
+        # so the oversized-payload detour through matcher.count is safe).
+        payloads_m = matcher._maybe_fold(batch.payloads)
         lens = batch.lengths.astype(np.int64)
         big = lens > pack_width
         if big.any():
@@ -166,7 +169,7 @@ def count_pcap_streamed(
             )
             over_total = over if over_total is None else over_total + over
             lens = np.where(big, 0, lens)
-        rows_c, fill_c = pack_rows(batch.payloads, lens, width=pack_width)
+        rows_c, fill_c = pack_rows(payloads_m, lens, width=pack_width)
         if not fill_c.any():
             continue
         i = 0
@@ -221,7 +224,9 @@ def count_pcap_pipelined(
             # window engine is the batch kernel (the AC scan is ~30x slower on
             # TPU; see docs/DESIGN.md §1 — counts are identical either way).
             counts = count_matches_window(
-                matcher.window, jnp.asarray(payloads), jnp.asarray(lengths)
+                matcher.window,
+                jnp.asarray(matcher._maybe_fold(payloads)),
+                jnp.asarray(lengths),
             )
             total = counts if total is None else total + counts
     if total is None:

@@ -76,7 +76,7 @@ class StreamMatcher:
 
     def feed_batch(self, payloads: np.ndarray, lengths: np.ndarray):
         """Accumulate counts for one batch of whole packets (async dispatch)."""
-        payloads = np.asarray(payloads, dtype=np.uint8)
+        payloads = self.matcher._maybe_fold(np.asarray(payloads, dtype=np.uint8))
         lengths = np.asarray(lengths, dtype=np.int32)
         self.packets_seen += payloads.shape[0]
         if payloads.shape[1] < self.fixed_len:
