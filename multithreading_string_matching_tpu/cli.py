@@ -214,6 +214,11 @@ def cmd_match(argv: List[str]) -> int:
         help="also emit (packet, start, pattern) match positions",
     )
     p.add_argument(
+        "--dump-matches", metavar="OUT.pcap",
+        help="write the packets that contained at least one match to a new "
+             "classic pcap (original bytes and timestamps preserved)",
+    )
+    p.add_argument(
         "--staging", choices=["auto", "packed", "bucketed"], default="auto",
         help="device staging policy for the pallas engine",
     )
@@ -259,6 +264,11 @@ def cmd_match(argv: List[str]) -> int:
 
     matcher = _build(cfg.patterns, engine=cfg.engine, nocase=a.nocase)
     timer = PhaseTimer()
+    if a.dump_matches and (a.sharded or a.stream):
+        raise SystemExit(
+            "--dump-matches is incompatible with --sharded/--stream "
+            "(those paths reduce counts without per-packet identity)"
+        )
     if a.stream:
         if a.sharded or cfg.per_packet or a.offsets:
             raise SystemExit(
@@ -313,13 +323,31 @@ def cmd_match(argv: List[str]) -> int:
                 engine=eng, window=matcher.window,
                 pallas_matcher=matcher.pallas if eng == "pallas" else None,
             )
+        elif a.dump_matches and not cfg.per_packet:
+            # The dump needs row-level attribution; the aggregate counts are
+            # the exact column sums of the per-row matrix (tested invariant),
+            # so one per-row scan serves both outputs.
+            per_row = np.asarray(matcher.count_batch(batch, per_packet=True))
+            counts = per_row.sum(axis=0, dtype=np.int64).astype(np.int32)
         else:
             counts = matcher.count_batch(
                 batch, per_packet=cfg.per_packet, staging=a.staging
             )
+            if cfg.per_packet:
+                per_row = np.asarray(counts)
         offsets = None
         if a.offsets:
             offsets = matcher.find_matches(batch.payloads, batch.lengths)
+    dumped = None
+    if a.dump_matches:
+        from multithreading_string_matching_tpu.io.pcap import write_pcap
+
+        # Payload rows are the valid packets in file order (padding rows are
+        # zero-length and cannot match); map matched rows back to original
+        # packet indices and re-emit those records verbatim.
+        valid_idx = np.flatnonzero(batch.valid)
+        row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
+        dumped = write_pcap(a.dump_matches, pcap, valid_idx[row_hits])
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
     if a.json:
@@ -338,6 +366,9 @@ def cmd_match(argv: List[str]) -> int:
             blob["unique_patterns"] = [
                 pt.decode("latin-1") for pt in matcher.window.unique_patterns
             ]
+        if dumped is not None:
+            blob["dump_path"] = a.dump_matches
+            blob["dumped_packets"] = dumped
         print(json.dumps(blob))
     else:
         _report(matcher, counts, timer.total)
@@ -345,6 +376,11 @@ def cmd_match(argv: List[str]) -> int:
             uniq = matcher.window.unique_patterns
             for n, i, u in offsets:
                 print(f"packet {n} @ {i}: {uniq[u].decode('latin-1')}")
+        if dumped is not None:
+            print(
+                f"# wrote {dumped} matching packets to {a.dump_matches}",
+                file=sys.stderr,
+            )
         print(f"# {timer.summary()}", file=sys.stderr)
     return 0
 

@@ -516,6 +516,70 @@ def _iter_pcapng_stream(
         raise ValueError("pcapng file has packet blocks but no interface block")
 
 
+def write_pcap(
+    path: Union[str, os.PathLike],
+    pcap: PcapFile,
+    indices=None,
+) -> int:
+    """Write (a subset of) a parsed capture back out as classic pcap.
+
+    The reference has no capture writer at all — results only ever leave as
+    printf counts (serial.c:163-169).  A serving deployment wants the
+    opposite: hand the matched packets to downstream tooling (wireshark,
+    replay, retention).  ``indices`` selects which packets to emit (default:
+    all), preserving original record bytes, timestamps, snaplen and linktype;
+    timestamp resolution follows ``pcap.nanos``.  pcapng inputs re-emit as
+    classic pcap (timestamps were already normalized at read time).
+
+    Returns the number of packets written.
+    """
+    idx = (
+        np.arange(pcap.num_packets, dtype=np.int64)
+        if indices is None
+        else np.asarray(indices, dtype=np.int64).ravel()
+    )
+    if idx.size and (idx.min() < 0 or idx.max() >= pcap.num_packets):
+        raise ValueError(
+            f"packet index out of range (capture has {pcap.num_packets})"
+        )
+    secs = pcap.ts_sec[idx]
+    fracs = pcap.ts_frac[idx]
+    caps = pcap.caplens[idx]
+    origs = pcap.origlens[idx]
+    for name, arr in (("ts_sec", secs), ("ts_frac", fracs),
+                      ("caplen", caps), ("origlen", origs)):
+        if arr.size and (arr.min() < 0 or arr.max() > 0xFFFFFFFF):
+            raise ValueError(f"{name} not representable as a pcap u32 field")
+
+    magic = MAGIC_NSEC_LE if pcap.nanos else MAGIC_USEC_LE
+    # One output buffer, headers filled vectorized, payload bytes copied as
+    # contiguous per-record slices (the fast host-materialization shape —
+    # DESIGN.md §6).
+    out_sizes = 16 + caps
+    rec_starts = 24 + np.concatenate(([0], np.cumsum(out_sizes)[:-1]))
+    total = int(24 + out_sizes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    out[:24] = np.frombuffer(
+        struct.pack("<IHHiIII", magic, 2, 4, 0, 0, pcap.snaplen, pcap.linktype),
+        dtype=np.uint8,
+    )
+    hdr = np.empty((idx.size, 4), dtype="<u4")
+    hdr[:, 0] = secs
+    hdr[:, 1] = fracs
+    hdr[:, 2] = caps
+    hdr[:, 3] = origs
+    hdr_bytes = hdr.view(np.uint8).reshape(idx.size, 16)
+    for k in range(idx.size):
+        rs = int(rec_starts[k])
+        out[rs : rs + 16] = hdr_bytes[k]
+        src = int(pcap.offsets[idx[k]])
+        n = int(caps[k])
+        out[rs + 16 : rs + 16 + n] = pcap.buf[src : src + n]
+    with open(path, "wb") as f:
+        f.write(out.tobytes())
+    return int(idx.size)
+
+
 def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:
     """Read only packets [start, stop) — the per-host sharded-ingest primitive.
 

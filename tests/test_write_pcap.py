@@ -1,0 +1,138 @@
+"""write_pcap + `match --dump-matches`: re-emitting (matched) packets.
+
+The reference never writes captures — results only leave as printf counts
+(serial.c:163-169).  The writer must round-trip bit-exactly with the reader,
+and the dump of matched packets must preserve every match (counts on the
+dump equal counts on the full capture, because matches only live in matched
+packets).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from multithreading_string_matching_tpu.api import Matcher
+from multithreading_string_matching_tpu.cli import main
+from multithreading_string_matching_tpu.io.decode import extract_payloads
+from multithreading_string_matching_tpu.io.patterns import load_patterns
+from multithreading_string_matching_tpu.io.pcap import (
+    read_pcap,
+    slice_pcap,
+    write_pcap,
+)
+
+
+def _records(pf):
+    return [
+        (
+            int(pf.ts_sec[i]), int(pf.ts_frac[i]), int(pf.origlens[i]),
+            pf.packet(i).tobytes(),
+        )
+        for i in range(pf.num_packets)
+    ]
+
+
+def test_full_roundtrip_bit_exact(reference_dir, tmp_path):
+    src = read_pcap(reference_dir / "udp.pcap")
+    out = tmp_path / "copy.pcap"
+    assert write_pcap(out, src) == src.num_packets
+    dst = read_pcap(out)
+    assert dst.linktype == src.linktype
+    assert dst.snaplen == src.snaplen
+    assert dst.nanos == src.nanos
+    assert _records(dst) == _records(src)
+
+
+def test_subset_selection_and_order(reference_dir, tmp_path):
+    src = read_pcap(reference_dir / "udp_1000.pcap")
+    idx = np.asarray([5, 2, 999, 2])  # arbitrary order, duplicates allowed
+    out = tmp_path / "subset.pcap"
+    assert write_pcap(out, src, idx) == 4
+    dst = read_pcap(out)
+    want = [_records(src)[i] for i in idx]
+    assert _records(dst) == want
+
+
+def test_empty_selection(reference_dir, tmp_path):
+    src = read_pcap(reference_dir / "udp.pcap")
+    out = tmp_path / "empty.pcap"
+    assert write_pcap(out, src, np.zeros(0, dtype=np.int64)) == 0
+    dst = read_pcap(out)
+    assert dst.num_packets == 0
+    assert dst.linktype == src.linktype
+
+
+def test_index_out_of_range(reference_dir, tmp_path):
+    src = read_pcap(reference_dir / "udp.pcap")
+    with pytest.raises(ValueError, match="out of range"):
+        write_pcap(tmp_path / "x.pcap", src, [src.num_packets])
+    with pytest.raises(ValueError, match="out of range"):
+        write_pcap(tmp_path / "x.pcap", src, [-1])
+
+
+def test_pcapng_reemits_as_classic(reference_dir, tmp_path):
+    # Build a pcapng from fixture packets using the test helper in
+    # test_pcapng, then read->write->read must preserve the records.
+    from tests.test_pcapng import _pcapng_from
+
+    src = read_pcap(reference_dir / "udp.pcap")
+    sub = slice_pcap(src, 0, 5)
+    ng = tmp_path / "a.pcapng"
+    ng.write_bytes(_pcapng_from(sub))
+    parsed = read_pcap(ng)
+    out = tmp_path / "b.pcap"
+    write_pcap(out, parsed)
+    again = read_pcap(out)
+    assert _records(again) == _records(parsed)
+
+
+def test_dump_matches_preserves_all_counts(reference_dir, tmp_path, capsys):
+    out = tmp_path / "hits.pcap"
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--dump-matches", str(out),
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert blob["dump_path"] == str(out)
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    dump = read_pcap(out)
+    assert dump.num_packets == blob["dumped_packets"] > 0
+    sub_counts = m.count_batch(extract_payloads(dump, "udp"))
+    assert sub_counts.tolist() == blob["counts"]
+
+    # Every dumped packet really contains a match; none were dropped.
+    full = read_pcap(reference_dir / "udp.pcap")
+    per_row = m.count_batch(extract_payloads(full, "udp"), per_packet=True)
+    batch = extract_payloads(full, "udp")
+    n_valid = int(batch.valid.sum())
+    assert int((per_row[:n_valid].sum(axis=1) > 0).sum()) == dump.num_packets
+
+
+def test_dump_matches_incompatible_flags(reference_dir, tmp_path):
+    for extra in ("--sharded", "--stream"):
+        with pytest.raises(SystemExit, match="dump-matches"):
+            main([
+                "match", "--pcap", str(reference_dir / "udp.pcap"),
+                "--patterns", str(reference_dir / "strings.txt"),
+                "--dump-matches", str(tmp_path / "x.pcap"), extra,
+            ])
+
+
+def test_dump_matches_with_per_packet_json(reference_dir, tmp_path, capsys):
+    out = tmp_path / "hits.pcap"
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--per-packet",
+        "--dump-matches", str(out),
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    mat = np.asarray(blob["counts"])
+    assert mat.ndim == 2
+    assert blob["dumped_packets"] == int((mat.sum(axis=1) > 0).sum())
