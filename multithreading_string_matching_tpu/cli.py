@@ -45,12 +45,18 @@ def _mode_arg(tokens: List[str], default: str = "udp") -> str:
     raise SystemExit(f"unknown packet type {tokens[0]!r}: expected udp or tcp")
 
 
-def _build(args_patterns: str, engine: str = "pallas", nocase: bool = False):
+def _build(
+    args_patterns: str,
+    engine: str = "pallas",
+    nocase: bool = False,
+    syntax: str = "plain",
+):
     from multithreading_string_matching_tpu.api import Matcher
     from multithreading_string_matching_tpu.io.patterns import load_patterns
 
     return Matcher(
-        load_patterns(args_patterns), engine=engine, case_insensitive=nocase
+        load_patterns(args_patterns, syntax=syntax),
+        engine=engine, case_insensitive=nocase,
     )
 
 
@@ -206,6 +212,11 @@ def cmd_match(argv: List[str]) -> int:
         "--nocase", action="store_true",
         help="ASCII case-insensitive matching (patterns and payloads folded)",
     )
+    p.add_argument(
+        "--pattern-syntax", choices=["plain", "escaped"], default="plain",
+        help="'escaped' decodes \\xNN / \\\\ per token, allowing binary "
+             "patterns the reference's fscanf loader cannot express",
+    )
     p.add_argument("--vlan", action="store_true", help="skip 802.1Q/802.1ad VLAN tags (up to two)")
     p.add_argument("--ipv6", action="store_true", help="also decode IPv6 frames (ethertype 0x86dd)")
     p.add_argument("--per-packet", action="store_true")
@@ -262,7 +273,10 @@ def cmd_match(argv: List[str]) -> int:
         profiler_cm = jax.profiler.trace(cfg.profile_dir)
         profiler_cm.__enter__()
 
-    matcher = _build(cfg.patterns, engine=cfg.engine, nocase=a.nocase)
+    matcher = _build(
+        cfg.patterns, engine=cfg.engine, nocase=a.nocase,
+        syntax=a.pattern_syntax,
+    )
     timer = PhaseTimer()
     if a.dump_matches and (a.sharded or a.stream):
         raise SystemExit(

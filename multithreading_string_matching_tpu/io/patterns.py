@@ -31,15 +31,66 @@ def split_c_tokens(data: bytes) -> List[bytes]:
     return bytes(data).split()  # bytes.split() with no sep == C-whitespace runs
 
 
-def load_patterns(path: Union[str, os.PathLike]) -> List[bytes]:
+def unescape_token(tok: bytes) -> bytes:
+    """Decode ``\\xNN`` hex escapes (and ``\\\\``) in one pattern token.
+
+    The reference reads patterns with ``fscanf("%s")`` (serial.c:69), which
+    can never express whitespace or NUL bytes — yet its own matcher would
+    accept them (payloads are binary).  The escaped syntax closes that gap:
+    ``GET\\x20/`` matches a space, ``\\x00\\x01`` matches raw bytes.  The
+    matching engines already handle NUL-containing patterns (the Pallas
+    kernel switches to exact-fit masks and packing disables itself).
+    """
+    if b"\\" not in tok:
+        return tok
+    out = bytearray()
+    i, n = 0, len(tok)
+    while i < n:
+        b = tok[i]
+        if b != 0x5C:  # '\'
+            out.append(b)
+            i += 1
+            continue
+        nxt = tok[i + 1 : i + 2]
+        if nxt == b"\\":
+            out.append(0x5C)
+            i += 2
+        elif nxt == b"x" and i + 4 <= n:
+            try:
+                out.append(int(tok[i + 2 : i + 4], 16))
+            except ValueError:
+                raise ValueError(
+                    f"bad \\x escape in pattern token {tok[:20]!r}"
+                ) from None
+            i += 4
+        else:
+            raise ValueError(
+                f"bad escape in pattern token {tok[:20]!r} "
+                "(only \\xNN and \\\\ are recognized)"
+            )
+    return bytes(out)
+
+
+def load_patterns(
+    path: Union[str, os.PathLike], *, syntax: str = "plain"
+) -> List[bytes]:
     """Read a strings.txt-style pattern file into an ordered list of bytes.
 
     Duplicates are preserved (strings.txt contains e.g. ``ack`` three times
     and each copy gets its own output line in the reference programs).
+
+    ``syntax="escaped"`` additionally decodes ``\\xNN`` / ``\\\\`` escapes
+    per token (see :func:`unescape_token`), allowing binary patterns the
+    reference's ``fscanf("%s")`` loader cannot express.  ``"plain"`` is the
+    reference-exact behavior: bytes are taken verbatim.
     """
+    if syntax not in ("plain", "escaped"):
+        raise ValueError(f"unknown pattern syntax {syntax!r}")
     with open(path, "rb") as f:
         data = f.read()
     patterns = split_c_tokens(data)
+    if syntax == "escaped":
+        patterns = [unescape_token(p) for p in patterns]
     for p in patterns:
         if len(p) > MAX_PATTERN_LEN:
             raise ValueError(

@@ -146,3 +146,22 @@ def test_thread_count_arg_accepted_and_ignored(reference_dir, capsys):
     )
     assert code == 0
     assert "http: 5 times!" in out
+
+
+def test_match_pattern_syntax_escaped(reference_dir, tmp_path, capsys):
+    """`--pattern-syntax escaped` matches bytes fscanf patterns cannot hold:
+    'NOTIFY\\x20*' (embedded space) hits the SSDP 'NOTIFY * HTTP' lines."""
+    import json
+
+    f = tmp_path / "p.txt"
+    f.write_bytes(rb"NOTIFY\x20* NOTIFY")
+    code, out, _ = _run(
+        capsys, "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(f), "--mode", "udp", "--json",
+        "--pattern-syntax", "escaped",
+    )
+    assert code == 0
+    blob = json.loads(out)
+    assert blob["patterns"] == ["NOTIFY *", "NOTIFY"]
+    assert blob["counts"][1] == 5          # golden NOTIFY count
+    assert 0 < blob["counts"][0] <= 5      # every 'NOTIFY *' is a NOTIFY
