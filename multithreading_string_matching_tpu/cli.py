@@ -278,10 +278,10 @@ def cmd_match(argv: List[str]) -> int:
         syntax=a.pattern_syntax,
     )
     timer = PhaseTimer()
-    if a.dump_matches and (a.sharded or a.stream):
+    if a.dump_matches and a.sharded:
         raise SystemExit(
-            "--dump-matches is incompatible with --sharded/--stream "
-            "(those paths reduce counts without per-packet identity)"
+            "--dump-matches is incompatible with --sharded "
+            "(the mesh path reduces counts without per-packet identity)"
         )
     if a.stream:
         if a.sharded or cfg.per_packet or a.offsets:
@@ -290,28 +290,45 @@ def cmd_match(argv: List[str]) -> int:
             )
         from multithreading_string_matching_tpu.parallel.pipeline import (
             count_pcap_streamed,
+            dump_matches_streamed,
         )
 
         stream_stats = {}
         with timer.phase("scan"):
-            counts = count_pcap_streamed(
-                matcher, cfg.pcap, cfg.mode,
-                strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
-                engine=cfg.engine, stats=stream_stats,
-            )
+            if a.dump_matches:
+                counts = dump_matches_streamed(
+                    matcher, cfg.pcap, a.dump_matches, cfg.mode,
+                    strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
+                    stats=stream_stats,
+                )
+            else:
+                counts = count_pcap_streamed(
+                    matcher, cfg.pcap, cfg.mode,
+                    strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
+                    engine=cfg.engine, stats=stream_stats,
+                )
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
         if a.json:
             import json
 
-            print(json.dumps({
+            blob = {
                 "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
                 "counts": np.asarray(counts).tolist(),
                 **stream_stats,  # packets / valid_payloads / payload_bytes
                 "phases": timer.phases,
-            }))
+            }
+            if a.dump_matches:
+                blob["dump_path"] = a.dump_matches
+            print(json.dumps(blob))
         else:
             _report(matcher, counts, timer.total)
+            if a.dump_matches:
+                print(
+                    f"# wrote {stream_stats.get('dumped_packets', 0)} "
+                    f"matching packets to {a.dump_matches}",
+                    file=sys.stderr,
+                )
         return 0
     with timer.phase("ingest"):
         pcap = read_pcap(cfg.pcap)

@@ -516,6 +516,95 @@ def _iter_pcapng_stream(
         raise ValueError("pcapng file has packet blocks but no interface block")
 
 
+def _serialize_records(pcap: PcapFile, idx: np.ndarray) -> np.ndarray:
+    """Serialize the selected packets as classic-pcap record bytes.
+
+    One output buffer, headers filled vectorized, payload bytes copied as
+    contiguous per-record slices (the fast host-materialization shape —
+    DESIGN.md §6).
+    """
+    if idx.size and (idx.min() < 0 or idx.max() >= pcap.num_packets):
+        raise ValueError(
+            f"packet index out of range (capture has {pcap.num_packets})"
+        )
+    secs = pcap.ts_sec[idx]
+    fracs = pcap.ts_frac[idx]
+    caps = pcap.caplens[idx]
+    origs = pcap.origlens[idx]
+    for name, arr in (("ts_sec", secs), ("ts_frac", fracs),
+                      ("caplen", caps), ("origlen", origs)):
+        if arr.size and (arr.min() < 0 or arr.max() > 0xFFFFFFFF):
+            raise ValueError(f"{name} not representable as a pcap u32 field")
+    out_sizes = 16 + caps
+    rec_starts = np.concatenate(([0], np.cumsum(out_sizes)[:-1]))
+    out = np.zeros(int(out_sizes.sum()), dtype=np.uint8)
+    hdr = np.empty((idx.size, 4), dtype="<u4")
+    hdr[:, 0] = secs
+    hdr[:, 1] = fracs
+    hdr[:, 2] = caps
+    hdr[:, 3] = origs
+    hdr_bytes = hdr.view(np.uint8).reshape(idx.size, 16)
+    for k in range(idx.size):
+        rs = int(rec_starts[k])
+        out[rs : rs + 16] = hdr_bytes[k]
+        src = int(pcap.offsets[idx[k]])
+        n = int(caps[k])
+        out[rs + 16 : rs + 16 + n] = pcap.buf[src : src + n]
+    return out
+
+
+class PcapWriter:
+    """Incremental classic-pcap writer (streaming counterpart of
+    :func:`write_pcap`).
+
+    The global header is written lazily from the first chunk's metadata;
+    later chunks must agree on linktype and timestamp resolution (a classic
+    pcap has exactly one of each).  Usable as a context manager.
+    """
+
+    def __init__(self, path: Union[str, os.PathLike]):
+        self._f = open(path, "wb")
+        self._meta = None  # (linktype, nanos)
+        self.packets_written = 0
+
+    def write(self, pcap: PcapFile, indices=None) -> int:
+        idx = (
+            np.arange(pcap.num_packets, dtype=np.int64)
+            if indices is None
+            else np.asarray(indices, dtype=np.int64).ravel()
+        )
+        if self._meta is None:
+            self._meta = (pcap.linktype, pcap.nanos)
+            magic = MAGIC_NSEC_LE if pcap.nanos else MAGIC_USEC_LE
+            self._f.write(struct.pack(
+                "<IHHiIII", magic, 2, 4, 0, 0, pcap.snaplen, pcap.linktype
+            ))
+        elif self._meta != (pcap.linktype, pcap.nanos):
+            raise ValueError(
+                f"chunk metadata {(pcap.linktype, pcap.nanos)} does not match "
+                f"the stream's (linktype, nanos)={self._meta}"
+            )
+        self._f.write(_serialize_records(pcap, idx).tobytes())
+        self.packets_written += int(idx.size)
+        return int(idx.size)
+
+    def close(self) -> None:
+        if not self._f.closed:
+            if self._meta is None:
+                # No packets ever arrived: still emit a valid (empty) pcap.
+                self._f.write(struct.pack(
+                    "<IHHiIII", MAGIC_USEC_LE, 2, 4, 0, 0, 65535,
+                    LINKTYPE_ETHERNET,
+                ))
+            self._f.close()
+
+    def __enter__(self) -> "PcapWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def write_pcap(
     path: Union[str, os.PathLike],
     pcap: PcapFile,
@@ -533,51 +622,8 @@ def write_pcap(
 
     Returns the number of packets written.
     """
-    idx = (
-        np.arange(pcap.num_packets, dtype=np.int64)
-        if indices is None
-        else np.asarray(indices, dtype=np.int64).ravel()
-    )
-    if idx.size and (idx.min() < 0 or idx.max() >= pcap.num_packets):
-        raise ValueError(
-            f"packet index out of range (capture has {pcap.num_packets})"
-        )
-    secs = pcap.ts_sec[idx]
-    fracs = pcap.ts_frac[idx]
-    caps = pcap.caplens[idx]
-    origs = pcap.origlens[idx]
-    for name, arr in (("ts_sec", secs), ("ts_frac", fracs),
-                      ("caplen", caps), ("origlen", origs)):
-        if arr.size and (arr.min() < 0 or arr.max() > 0xFFFFFFFF):
-            raise ValueError(f"{name} not representable as a pcap u32 field")
-
-    magic = MAGIC_NSEC_LE if pcap.nanos else MAGIC_USEC_LE
-    # One output buffer, headers filled vectorized, payload bytes copied as
-    # contiguous per-record slices (the fast host-materialization shape —
-    # DESIGN.md §6).
-    out_sizes = 16 + caps
-    rec_starts = 24 + np.concatenate(([0], np.cumsum(out_sizes)[:-1]))
-    total = int(24 + out_sizes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    out[:24] = np.frombuffer(
-        struct.pack("<IHHiIII", magic, 2, 4, 0, 0, pcap.snaplen, pcap.linktype),
-        dtype=np.uint8,
-    )
-    hdr = np.empty((idx.size, 4), dtype="<u4")
-    hdr[:, 0] = secs
-    hdr[:, 1] = fracs
-    hdr[:, 2] = caps
-    hdr[:, 3] = origs
-    hdr_bytes = hdr.view(np.uint8).reshape(idx.size, 16)
-    for k in range(idx.size):
-        rs = int(rec_starts[k])
-        out[rs : rs + 16] = hdr_bytes[k]
-        src = int(pcap.offsets[idx[k]])
-        n = int(caps[k])
-        out[rs + 16 : rs + 16 + n] = pcap.buf[src : src + n]
-    with open(path, "wb") as f:
-        f.write(out.tobytes())
-    return int(idx.size)
+    with PcapWriter(path) as w:
+        return w.write(pcap, indices)
 
 
 def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:

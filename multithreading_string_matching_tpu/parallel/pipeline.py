@@ -197,6 +197,64 @@ def count_pcap_streamed(
     return counts.astype(np.int32)
 
 
+def dump_matches_streamed(
+    matcher,
+    pcap_path,
+    out_path,
+    mode: str = "udp",
+    *,
+    batch_packets: int = 8192,
+    strict: bool = False,
+    vlan: bool = False,
+    ipv6: bool = False,
+    stats: Optional[dict] = None,
+) -> np.ndarray:
+    """Bounded-memory scan that also re-emits every matching packet.
+
+    The packed serving path (:func:`count_pcap_streamed`) deliberately
+    destroys row↔packet identity, so the dump variant runs each ingest
+    chunk through the per-row (bucketed) kernel instead: per-packet counts
+    give both the aggregate totals (exact column sums — tested invariant)
+    and the matched-packet selection, which is appended to ``out_path``
+    incrementally via :class:`~..io.pcap.PcapWriter`.  Peak host memory is
+    one ingest chunk + one [chunk, P] count matrix regardless of capture
+    size.  Returns the expanded counts; ``stats`` (if given) receives
+    packet/byte totals plus ``dumped_packets``.
+    """
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    total = None
+    n_packets = n_valid = n_bytes = 0
+    with PcapWriter(out_path) as w:
+        for chunk in iter_pcap(pcap_path, batch_packets=batch_packets):
+            batch = extract_payloads(
+                chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
+            )
+            n_packets += batch.num_packets
+            n_valid += int(batch.valid.sum())
+            n_bytes += batch.total_payload_bytes
+            valid_idx = np.flatnonzero(batch.valid)
+            if valid_idx.size == 0:
+                continue
+            per_row = np.asarray(
+                matcher.count_batch(batch, per_packet=True)
+            )
+            total = per_row.sum(axis=0, dtype=np.int64) + (
+                0 if total is None else total
+            )
+            row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
+            w.write(chunk, valid_idx[row_hits])
+        dumped = w.packets_written
+    if stats is not None:
+        stats.update(
+            packets=n_packets, valid_payloads=n_valid, payload_bytes=n_bytes,
+            dumped_packets=dumped,
+        )
+    if total is None:
+        return np.zeros(len(matcher.patterns), dtype=np.int32)
+    return total.astype(np.int32)
+
+
 def count_pcap_pipelined(
     matcher,
     pcap_path,

@@ -114,13 +114,12 @@ def test_dump_matches_preserves_all_counts(reference_dir, tmp_path, capsys):
 
 
 def test_dump_matches_incompatible_flags(reference_dir, tmp_path):
-    for extra in ("--sharded", "--stream"):
-        with pytest.raises(SystemExit, match="dump-matches"):
-            main([
-                "match", "--pcap", str(reference_dir / "udp.pcap"),
-                "--patterns", str(reference_dir / "strings.txt"),
-                "--dump-matches", str(tmp_path / "x.pcap"), extra,
-            ])
+    with pytest.raises(SystemExit, match="dump-matches"):
+        main([
+            "match", "--pcap", str(reference_dir / "udp.pcap"),
+            "--patterns", str(reference_dir / "strings.txt"),
+            "--dump-matches", str(tmp_path / "x.pcap"), "--sharded",
+        ])
 
 
 def test_dump_matches_with_per_packet_json(reference_dir, tmp_path, capsys):
@@ -136,3 +135,87 @@ def test_dump_matches_with_per_packet_json(reference_dir, tmp_path, capsys):
     mat = np.asarray(blob["counts"])
     assert mat.ndim == 2
     assert blob["dumped_packets"] == int((mat.sum(axis=1) > 0).sum())
+
+
+# -- streaming dump (bounded-memory matched-packet extraction) ------------
+
+def test_pcap_writer_incremental(reference_dir, tmp_path):
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    src = read_pcap(reference_dir / "udp_1000.pcap")
+    out = tmp_path / "inc.pcap"
+    with PcapWriter(out) as w:
+        w.write(slice_pcap(src, 0, 300))
+        w.write(slice_pcap(src, 300, 700), np.arange(100))
+        assert w.packets_written == 400
+    dst = read_pcap(out)
+    want = _records(slice_pcap(src, 0, 300)) + _records(
+        slice_pcap(src, 300, 400)
+    )
+    assert _records(dst) == want
+
+
+def test_pcap_writer_empty_stream(tmp_path):
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    out = tmp_path / "none.pcap"
+    with PcapWriter(out):
+        pass
+    assert read_pcap(out).num_packets == 0
+
+
+def test_pcap_writer_metadata_mismatch(reference_dir, tmp_path):
+    from dataclasses import replace
+
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    src = read_pcap(reference_dir / "udp.pcap")
+    with PcapWriter(tmp_path / "x.pcap") as w:
+        w.write(src)
+        with pytest.raises(ValueError, match="metadata"):
+            w.write(replace(src, linktype=113))
+
+
+def test_dump_matches_streamed_equals_oneshot(reference_dir, tmp_path):
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        dump_matches_streamed,
+    )
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    out = tmp_path / "hits.pcap"
+    stats = {}
+    # Tiny chunks force many writer appends and many per-row scans.
+    counts = dump_matches_streamed(
+        m, reference_dir / "udp_1000.pcap", out, "udp",
+        batch_packets=97, stats=stats,
+    )
+    full = read_pcap(reference_dir / "udp_1000.pcap")
+    batch = extract_payloads(full, "udp")
+    want = m.count_batch(batch)
+    assert counts.tolist() == want.tolist()
+    assert int(counts.sum()) == 1006  # BASELINE.md variant A
+
+    dump = read_pcap(out)
+    assert dump.num_packets == stats["dumped_packets"]
+    # The dump reproduces the full capture's counts exactly.
+    got = m.count_batch(extract_payloads(dump, "udp"))
+    assert got.tolist() == want.tolist()
+    # And it contains precisely the matching packets.
+    per_row = m.count_batch(batch, per_packet=True)
+    n_valid = int(batch.valid.sum())
+    assert dump.num_packets == int((per_row[:n_valid].sum(axis=1) > 0).sum())
+
+
+def test_cli_stream_dump_matches(reference_dir, tmp_path, capsys):
+    out = tmp_path / "hits.pcap"
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--stream", "--dump-matches", str(out),
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 39
+    assert blob["dump_path"] == str(out)
+    assert read_pcap(out).num_packets == blob["dumped_packets"] == 10
