@@ -35,8 +35,9 @@ from multithreading_string_matching_tpu import (
 
 def scan_file(path, patterns_path, mode):
     matcher = Matcher(load_patterns(patterns_path), engine="auto")
+    pcap = read_pcap(path)
     batch = extract_payloads(
-        read_pcap(path), mode, pad_n_to=128, pad_len_to=8, vlan=True, ipv6=True
+        pcap, mode, pad_n_to=128, pad_len_to=8, vlan=True, ipv6=True
     )
     counts = matcher.count_batch(batch)
     rows = matcher.find_matches(batch.payloads, batch.lengths)
@@ -47,6 +48,14 @@ def scan_file(path, patterns_path, mode):
     total = int(np.asarray(counts).sum())
     print(f"# {total} matches in {batch.num_packets} packets "
           f"({batch.total_payload_bytes} payload bytes)")
+    if os.environ.get("MSM_DUMP"):
+        # Retain the offending packets for forensics (original records).
+        from multithreading_string_matching_tpu import write_pcap
+
+        valid_idx = np.flatnonzero(batch.valid)
+        hit_rows = np.unique(np.asarray(rows)[:, 0]) if len(rows) else []
+        wrote = write_pcap(os.environ["MSM_DUMP"], pcap, valid_idx[hit_rows])
+        print(f"# wrote {wrote} matching packets to {os.environ['MSM_DUMP']}")
     return 0
 
 

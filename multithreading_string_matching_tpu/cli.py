@@ -156,16 +156,27 @@ def cmd_mesh(argv: List[str]) -> int:
 def cmd_live(argv: List[str]) -> int:
     """live_openmp_task.c analogue: stream batches of 10 until SIGINT, then
     drain and report (prints sniffed-packet total and the "Oops!" line)."""
+    dump_path = None
+    if "--dump-matches" in argv:
+        i = argv.index("--dump-matches")
+        if i + 1 >= len(argv):
+            print("USAGE: live ... --dump-matches <out.pcap>")
+            return 1
+        dump_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if len(argv) < 2:
-        print("USAGE: live <interface> <strings.txt> [threads] [tcp/udp]")
+        print("USAGE: live <interface> <strings.txt> [threads] [tcp/udp] "
+              "[--dump-matches out.pcap]")
         return 1
     from multithreading_string_matching_tpu.io.live import LiveSource, FileReplaySource
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
     from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
     import os
 
     mode = _mode_arg(_skip_threads(argv[2:]))
     matcher = _build(argv[1])
-    stream = StreamMatcher(matcher)
+    writer = PcapWriter(dump_path) if dump_path else None
+    stream = StreamMatcher(matcher, dump_writer=writer)
     stream.install_sigint()
     # An existing file path replays offline (testing hook); otherwise open
     # the named interface for real capture.
@@ -186,6 +197,8 @@ def cmd_live(argv: List[str]) -> int:
         pass
     finally:
         stream.uninstall_sigint()
+        if writer is not None:
+            writer.close()
     _report(
         matcher,
         stream.counts(),
@@ -193,6 +206,12 @@ def cmd_live(argv: List[str]) -> int:
         sniffed=stream.packets_seen,
         oops_line=True,
     )
+    if writer is not None:
+        # stderr keeps stdout byte-compatible with the reference's report.
+        print(
+            f"# wrote {writer.packets_written} matching packets to {dump_path}",
+            file=sys.stderr,
+        )
     return 0
 
 

@@ -46,11 +46,16 @@ class StreamMatcher:
         batch_size: int = DEFAULT_BATCH,
         fixed_len: int = 2048,
         engine: str = "window",
+        dump_writer=None,
     ):
         self.matcher = matcher
         self.batch_size = batch_size
         self.fixed_len = fixed_len
         self.engine = engine
+        # Optional io.pcap.PcapWriter: batches fed through feed_pcap_slice
+        # also append their MATCHING packets (original records) to it — the
+        # live-capture analogue of `match --dump-matches`.
+        self.dump_writer = dump_writer
         self._counts: Optional[jax.Array] = None
         self._chunk_states: Optional[jax.Array] = None
         self.packets_seen = 0
@@ -164,6 +169,7 @@ class StreamMatcher:
         serial program on quirky captures."""
         batch = extract_payloads(pcap, mode, keep_invalid=True)
         payloads, lengths = batch.payloads, batch.lengths
+        src_idx = np.arange(pcap.num_packets, dtype=np.int64)
         if bpf_filter:
             from multithreading_string_matching_tpu.io.decode import (
                 bpf_protocol_mask,
@@ -171,7 +177,18 @@ class StreamMatcher:
 
             mask = bpf_protocol_mask(pcap, mode)
             payloads, lengths = payloads[mask], lengths[mask]
+            src_idx = src_idx[mask]
         if payloads.shape[0]:
+            if self.dump_writer is not None:
+                # keep_invalid=True means rows ARE the slice's packets (in
+                # order), so per-row attribution maps straight back to
+                # records.  The extra per-packet scan is negligible at live
+                # batch sizes; totals still come from feed_batch below.
+                per_row = np.asarray(
+                    self.matcher.count(payloads, lengths, per_packet=True)
+                )
+                hits = per_row[: src_idx.size].sum(axis=1) > 0
+                self.dump_writer.write(pcap, src_idx[hits])
             self.feed_batch(payloads, lengths)
 
     # -- checkpoint / resume -------------------------------------------------

@@ -219,3 +219,48 @@ def test_cli_stream_dump_matches(reference_dir, tmp_path, capsys):
     assert sum(blob["counts"]) == 39
     assert blob["dump_path"] == str(out)
     assert read_pcap(out).num_packets == blob["dumped_packets"] == 10
+
+
+# -- live-mode dump (StreamMatcher dump_writer) ----------------------------
+
+def test_stream_matcher_dump_writer(reference_dir, tmp_path):
+    from multithreading_string_matching_tpu.io.live import FileReplaySource
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+    from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    out = tmp_path / "live_hits.pcap"
+    with PcapWriter(out) as w:
+        stream = StreamMatcher(m, dump_writer=w)
+        for batch in FileReplaySource(str(reference_dir / "udp.pcap")):
+            stream.feed_pcap_slice(batch, "udp", bpf_filter=True)
+        counts = stream.counts()
+    assert int(counts.sum()) == 39
+
+    dump = read_pcap(out)
+    got = m.count_batch(extract_payloads(dump, "udp"))
+    assert got.tolist() == counts.tolist()
+    assert dump.num_packets == 10  # matching packets of udp.pcap
+
+
+def test_cli_live_dump_matches(reference_dir, tmp_path, capsys):
+    out = tmp_path / "live_hits.pcap"
+    code = main([
+        "live", str(reference_dir / "udp.pcap"),
+        str(reference_dir / "strings.txt"), "4", "udp",
+        "--dump-matches", str(out),
+    ])
+    assert code == 0
+    stdout = capsys.readouterr().out
+    assert "http: 5 times!" in stdout
+    assert read_pcap(out).num_packets == 10
+
+
+def test_cli_live_dump_matches_missing_value(reference_dir, capsys):
+    code = main([
+        "live", str(reference_dir / "udp.pcap"),
+        str(reference_dir / "strings.txt"), "--dump-matches",
+    ])
+    assert code == 1
+    assert "USAGE" in capsys.readouterr().out
