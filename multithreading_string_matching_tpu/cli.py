@@ -175,14 +175,15 @@ def cmd_live(argv: List[str]) -> int:
 
     mode = _mode_arg(_skip_threads(argv[2:]))
     matcher = _build(argv[1])
-    writer = PcapWriter(dump_path) if dump_path else None
-    stream = StreamMatcher(matcher, dump_writer=writer)
-    stream.install_sigint()
     # An existing file path replays offline (testing hook); otherwise open
-    # the named interface for real capture.
+    # the named interface for real capture.  The source comes first: a
+    # source-open failure must not leave a truncated dump file behind.
     source = (
         FileReplaySource(argv[0]) if os.path.exists(argv[0]) else LiveSource(argv[0])
     )
+    writer = PcapWriter(dump_path) if dump_path else None
+    stream = StreamMatcher(matcher, dump_writer=writer)
+    stream.install_sigint()
     print("Starting the sniffing process...")
     try:
         for batch in source:
@@ -218,7 +219,11 @@ def cmd_live(argv: List[str]) -> int:
 def cmd_match(argv: List[str]) -> int:
     """Modern interface with explicit flags (non-compat)."""
     p = argparse.ArgumentParser(prog="match")
-    p.add_argument("--pcap", required=True)
+    p.add_argument(
+        "--pcap", action="append",
+        help="capture file; repeatable — multiple captures (e.g. rotated "
+             "files) scan as one corpus, packets numbered in input order",
+    )
     p.add_argument("--patterns", required=True)
     p.add_argument("--mode", choices=["udp", "tcp"], default=None)
     p.add_argument(
@@ -271,7 +276,10 @@ def cmd_match(argv: List[str]) -> int:
     # Flags override the config ONLY when explicitly given (mode/engine parse
     # with default=None; the boolean flags can only turn features on, so an
     # unset flag never clobbers a config-file True).
-    cfg.pcap = a.pcap or cfg.pcap
+    pcap_paths = a.pcap or ([cfg.pcap] if cfg.pcap else [])
+    if not pcap_paths:
+        raise SystemExit("match: --pcap is required (flag or config file)")
+    cfg.pcap = pcap_paths[0]
     cfg.patterns = a.patterns or cfg.patterns
     cfg.mode = a.mode or cfg.mode
     cfg.engine = a.engine or cfg.engine
@@ -316,13 +324,13 @@ def cmd_match(argv: List[str]) -> int:
         with timer.phase("scan"):
             if a.dump_matches:
                 counts = dump_matches_streamed(
-                    matcher, cfg.pcap, a.dump_matches, cfg.mode,
+                    matcher, pcap_paths, a.dump_matches, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     stats=stream_stats,
                 )
             else:
                 counts = count_pcap_streamed(
-                    matcher, cfg.pcap, cfg.mode,
+                    matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
                 )
@@ -350,7 +358,9 @@ def cmd_match(argv: List[str]) -> int:
                 )
         return 0
     with timer.phase("ingest"):
-        pcap = read_pcap(cfg.pcap)
+        from multithreading_string_matching_tpu.io.pcap import concat_pcaps
+
+        pcap = concat_pcaps([read_pcap(p_) for p_ in pcap_paths])
     with timer.phase("extract"):
         batch = extract_payloads(
             pcap, cfg.mode, strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
@@ -377,6 +387,12 @@ def cmd_match(argv: List[str]) -> int:
             # The dump needs row-level attribution; the aggregate counts are
             # the exact column sums of the per-row matrix (tested invariant),
             # so one per-row scan serves both outputs.
+            if a.staging != "auto":
+                print(
+                    f"# note: --dump-matches uses the per-row kernel; "
+                    f"--staging {a.staging} does not apply",
+                    file=sys.stderr,
+                )
             per_row = np.asarray(matcher.count_batch(batch, per_packet=True))
             counts = per_row.sum(axis=0, dtype=np.int64).astype(np.int32)
         else:

@@ -1,5 +1,5 @@
 from multithreading_string_matching_tpu.io.patterns import load_patterns
-from multithreading_string_matching_tpu.io.pcap import read_pcap, iter_pcap, write_pcap, PcapFile
+from multithreading_string_matching_tpu.io.pcap import read_pcap, iter_pcap, write_pcap, concat_pcaps, PcapFile
 from multithreading_string_matching_tpu.io.decode import extract_payloads, PayloadBatch
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "read_pcap",
     "iter_pcap",
     "write_pcap",
+    "concat_pcaps",
     "PcapFile",
     "extract_payloads",
     "PayloadBatch",

@@ -56,12 +56,14 @@ def unescape_token(tok: bytes) -> bytes:
             out.append(0x5C)
             i += 2
         elif nxt == b"x" and i + 4 <= n:
-            try:
-                out.append(int(tok[i + 2 : i + 4], 16))
-            except ValueError:
+            hexpair = tok[i + 2 : i + 4]
+            # int(.., 16) alone would accept a sign character ('\x+1' -> 1);
+            # require two actual hex digits.
+            if not all(c in b"0123456789abcdefABCDEF" for c in hexpair):
                 raise ValueError(
                     f"bad \\x escape in pattern token {tok[:20]!r}"
-                ) from None
+                )
+            out.append(int(hexpair, 16))
             i += 4
         else:
             raise ValueError(

@@ -553,32 +553,59 @@ def _serialize_records(pcap: PcapFile, idx: np.ndarray) -> np.ndarray:
     return out
 
 
+def classic_global_header(
+    linktype: int = LINKTYPE_ETHERNET, snaplen: int = 65535,
+    nanos: bool = False,
+) -> bytes:
+    """The 24-byte classic-pcap global header (shared by every writer)."""
+    magic = MAGIC_NSEC_LE if nanos else MAGIC_USEC_LE
+    return struct.pack("<IHHiIII", magic, 2, 4, 0, 0, snaplen, linktype)
+
+
 class PcapWriter:
     """Incremental classic-pcap writer (streaming counterpart of
     :func:`write_pcap`).
 
-    The global header is written lazily from the first chunk's metadata;
-    later chunks must agree on linktype and timestamp resolution (a classic
-    pcap has exactly one of each).  Usable as a context manager.
+    The global header is written lazily from the first chunk's metadata
+    (even an empty selection locks it — stream callers pass every chunk
+    through so the header reflects the capture, not a guess); later chunks
+    must agree on linktype and timestamp resolution (a classic pcap has
+    exactly one of each).  The constructor's ``linktype``/``snaplen``/
+    ``nanos`` are the fallback used only if the stream ends before any
+    chunk arrives.  Usable as a context manager.
     """
 
-    def __init__(self, path: Union[str, os.PathLike]):
+    def __init__(
+        self, path: Union[str, os.PathLike], *,
+        linktype: int = LINKTYPE_ETHERNET, snaplen: int = 65535,
+        nanos: bool = False,
+    ):
         self._f = open(path, "wb")
         self._meta = None  # (linktype, nanos)
+        self._fallback = (linktype, snaplen, nanos)
         self.packets_written = 0
 
     def write(self, pcap: PcapFile, indices=None) -> int:
-        idx = (
-            np.arange(pcap.num_packets, dtype=np.int64)
-            if indices is None
-            else np.asarray(indices, dtype=np.int64).ravel()
-        )
+        if indices is None:
+            idx = np.arange(pcap.num_packets, dtype=np.int64)
+        else:
+            idx = np.asarray(indices).ravel()
+            if idx.dtype == bool:
+                # A row-hit mask is the natural thing to hold at call sites;
+                # silently coercing True/False to packets 1/0 would be a
+                # quiet disaster, so accept masks explicitly.
+                if idx.size != pcap.num_packets:
+                    raise ValueError(
+                        f"boolean mask has {idx.size} entries for a "
+                        f"{pcap.num_packets}-packet capture"
+                    )
+                idx = np.flatnonzero(idx)
+            idx = idx.astype(np.int64)
         if self._meta is None:
             self._meta = (pcap.linktype, pcap.nanos)
-            magic = MAGIC_NSEC_LE if pcap.nanos else MAGIC_USEC_LE
-            self._f.write(struct.pack(
-                "<IHHiIII", magic, 2, 4, 0, 0, pcap.snaplen, pcap.linktype
-            ))
+            self._f.write(
+                classic_global_header(pcap.linktype, pcap.snaplen, pcap.nanos)
+            )
         elif self._meta != (pcap.linktype, pcap.nanos):
             raise ValueError(
                 f"chunk metadata {(pcap.linktype, pcap.nanos)} does not match "
@@ -591,11 +618,9 @@ class PcapWriter:
     def close(self) -> None:
         if not self._f.closed:
             if self._meta is None:
-                # No packets ever arrived: still emit a valid (empty) pcap.
-                self._f.write(struct.pack(
-                    "<IHHiIII", MAGIC_USEC_LE, 2, 4, 0, 0, 65535,
-                    LINKTYPE_ETHERNET,
-                ))
+                # No chunk ever arrived: still emit a valid (empty) pcap.
+                lt, sl, ns = self._fallback
+                self._f.write(classic_global_header(lt, sl, ns))
             self._f.close()
 
     def __enter__(self) -> "PcapWriter":
@@ -624,6 +649,40 @@ def write_pcap(
     """
     with PcapWriter(path) as w:
         return w.write(pcap, indices)
+
+
+def concat_pcaps(pcaps) -> PcapFile:
+    """Concatenate parsed captures into one, packets in input order.
+
+    The serving shape for rotated capture files: merge, then every
+    downstream surface (counts, per-packet attribution, offsets, dump)
+    works unchanged with packet numbering global across the inputs.
+    Linktype and timestamp resolution must agree (classic pcap has exactly
+    one of each); snaplen becomes the maximum.
+    """
+    pcaps = list(pcaps)
+    if not pcaps:
+        raise ValueError("concat_pcaps needs at least one capture")
+    if len(pcaps) == 1:
+        return pcaps[0]
+    meta = {(p.linktype, p.nanos) for p in pcaps}
+    if len(meta) > 1:
+        raise ValueError(
+            f"captures disagree on (linktype, nanos): {sorted(meta)}"
+        )
+    bufs = [p.buf for p in pcaps]
+    base = np.cumsum([0] + [b.shape[0] for b in bufs[:-1]])
+    return PcapFile(
+        buf=np.concatenate(bufs),
+        offsets=np.concatenate([p.offsets + off for p, off in zip(pcaps, base)]),
+        caplens=np.concatenate([p.caplens for p in pcaps]),
+        origlens=np.concatenate([p.origlens for p in pcaps]),
+        ts_sec=np.concatenate([p.ts_sec for p in pcaps]),
+        ts_frac=np.concatenate([p.ts_frac for p in pcaps]),
+        linktype=pcaps[0].linktype,
+        snaplen=max(p.snaplen for p in pcaps),
+        nanos=pcaps[0].nanos,
+    )
 
 
 def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> PcapFile:

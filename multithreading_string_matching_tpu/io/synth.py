@@ -33,10 +33,12 @@ def synth_udp_pcap(
     random offset.  ``invalid_rate``: fraction of packets made undecodable
     (runts / wrong protocol) to exercise the validity predicate.
     """
+    from multithreading_string_matching_tpu.io.pcap import classic_global_header
+
     rng = np.random.default_rng(seed)
     total_payload = 0
     with open(path, "wb") as f:
-        f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1))
+        f.write(classic_global_header())
         for i in range(num_packets):
             r = rng.random()
             if r < invalid_rate:

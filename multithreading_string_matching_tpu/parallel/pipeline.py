@@ -19,6 +19,7 @@ to a fixed batch size and a fixed power-of-two byte length per pipeline.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Tuple
 
 import jax.numpy as jnp
@@ -29,6 +30,17 @@ from multithreading_string_matching_tpu.io.decode import extract_payloads
 from multithreading_string_matching_tpu.ops.window import count_matches_window
 
 DEFAULT_BATCH = 100  # openmp_task.c:113
+
+
+def _iter_pcap_paths(pcap_path, batch_packets):
+    """Stream chunks from one path or a sequence of paths (rotated captures)."""
+    paths = (
+        [pcap_path]
+        if isinstance(pcap_path, (str, bytes, os.PathLike))
+        else list(pcap_path)
+    )
+    for p in paths:
+        yield from iter_pcap(p, batch_packets=batch_packets)
 
 
 def _slice_pcap(pcap: PcapFile, start: int, stop: int) -> PcapFile:
@@ -153,7 +165,7 @@ def count_pcap_streamed(
         r = 0
 
     n_packets = n_valid = n_bytes = 0
-    for chunk in iter_pcap(pcap_path, batch_packets=batch_packets):
+    for chunk in _iter_pcap_paths(pcap_path, batch_packets):
         batch = extract_payloads(chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6)
         n_packets += batch.num_packets
         n_valid += int(batch.valid.sum())
@@ -226,7 +238,7 @@ def dump_matches_streamed(
     total = None
     n_packets = n_valid = n_bytes = 0
     with PcapWriter(out_path) as w:
-        for chunk in iter_pcap(pcap_path, batch_packets=batch_packets):
+        for chunk in _iter_pcap_paths(pcap_path, batch_packets):
             batch = extract_payloads(
                 chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
             )
@@ -235,6 +247,10 @@ def dump_matches_streamed(
             n_bytes += batch.total_payload_bytes
             valid_idx = np.flatnonzero(batch.valid)
             if valid_idx.size == 0:
+                # Still lock the writer's header to THIS capture's
+                # linktype/resolution (an all-invalid capture must not dump
+                # with guessed metadata).
+                w.write(chunk, valid_idx)
                 continue
             per_row = np.asarray(
                 matcher.count_batch(batch, per_packet=True)
@@ -273,7 +289,7 @@ def count_pcap_pipelined(
     capture first (openmp_task.c:131-156) — so captures larger than host RAM
     flow through with bounded residency (one batch + one read buffer)."""
     total = None
-    for chunk in iter_pcap(pcap_path, batch_packets=batch_size):
+    for chunk in _iter_pcap_paths(pcap_path, batch_size):
         for payloads, lengths in iter_batches(
             chunk, mode, batch_size, strict=strict, vlan=vlan, ipv6=ipv6
         ):

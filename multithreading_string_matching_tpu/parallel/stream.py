@@ -178,8 +178,8 @@ class StreamMatcher:
             mask = bpf_protocol_mask(pcap, mode)
             payloads, lengths = payloads[mask], lengths[mask]
             src_idx = src_idx[mask]
-        if payloads.shape[0]:
-            if self.dump_writer is not None:
+        if self.dump_writer is not None:
+            if payloads.shape[0]:
                 # keep_invalid=True means rows ARE the slice's packets (in
                 # order), so per-row attribution maps straight back to
                 # records.  The extra per-packet scan is negligible at live
@@ -189,6 +189,11 @@ class StreamMatcher:
                 )
                 hits = per_row[: src_idx.size].sum(axis=1) > 0
                 self.dump_writer.write(pcap, src_idx[hits])
+            else:
+                # Lock the header to the capture's metadata even when the
+                # slice produced no scannable payloads.
+                self.dump_writer.write(pcap, src_idx[:0])
+        if payloads.shape[0]:
             self.feed_batch(payloads, lengths)
 
     # -- checkpoint / resume -------------------------------------------------

@@ -53,7 +53,7 @@ def test_escaped_syntax_decodes(tmp_path):
 
 def test_escaped_syntax_bad_escape(tmp_path):
     f = tmp_path / "p.txt"
-    for bad in (rb"tr\q", rb"trunc\x4", rb"bad\xZZ"):
+    for bad in (rb"tr\q", rb"trunc\x4", rb"bad\xZZ", rb"sign\x+1", rb"sign\x-1"):
         f.write_bytes(bad)
         with pytest.raises(ValueError, match="escape"):
             load_patterns(f, syntax="escaped")

@@ -264,3 +264,128 @@ def test_cli_live_dump_matches_missing_value(reference_dir, capsys):
     ])
     assert code == 1
     assert "USAGE" in capsys.readouterr().out
+
+
+# -- review-finding regressions --------------------------------------------
+
+def test_pcap_writer_accepts_boolean_mask(reference_dir, tmp_path):
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    src = read_pcap(reference_dir / "udp.pcap")
+    mask = np.zeros(src.num_packets, dtype=bool)
+    mask[[3, 7]] = True
+    out = tmp_path / "m.pcap"
+    with PcapWriter(out) as w:
+        assert w.write(src, mask) == 2
+    assert _records(read_pcap(out)) == [_records(src)[3], _records(src)[7]]
+    with PcapWriter(tmp_path / "bad.pcap") as w:
+        with pytest.raises(ValueError, match="boolean mask"):
+            w.write(src, mask[:-1])
+
+
+def test_pcap_writer_empty_selection_locks_metadata(reference_dir, tmp_path):
+    from dataclasses import replace
+
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    src = replace(read_pcap(reference_dir / "udp.pcap"), linktype=113)
+    out = tmp_path / "sll.pcap"
+    with PcapWriter(out) as w:
+        w.write(src, np.zeros(0, dtype=np.int64))  # no packets, metadata only
+    dst = read_pcap(out)
+    assert dst.num_packets == 0
+    assert dst.linktype == 113  # not the Ethernet fallback
+
+
+def test_dump_matches_streamed_locks_linktype_when_all_invalid(tmp_path):
+    """A capture whose packets never decode still dumps with ITS linktype."""
+    import struct as _s
+
+    from multithreading_string_matching_tpu.io.pcap import classic_global_header
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        dump_matches_streamed,
+    )
+
+    src = tmp_path / "runts.pcap"
+    with open(src, "wb") as f:
+        f.write(classic_global_header(linktype=113))
+        for i in range(5):
+            f.write(_s.pack("<IIII", i, 0, 4, 4) + b"\x00" * 4)  # undecodable
+    m = Matcher([b"needle"], engine="window")
+    out = tmp_path / "hits.pcap"
+    counts = dump_matches_streamed(m, src, out, "udp")
+    assert counts.tolist() == [0]
+    dst = read_pcap(out)
+    assert dst.num_packets == 0
+    assert dst.linktype == 113
+
+
+def test_writer_roundtrip_fuzz(tmp_path):
+    """Random synthetic captures survive write->read->write bit-exactly."""
+    from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        src_path = tmp_path / f"s{trial}.pcap"
+        synth_udp_pcap(
+            src_path, int(rng.integers(1, 40)),
+            payload_len=int(rng.integers(0, 300)),
+            payload_len_jitter=int(rng.integers(0, 50)),
+            invalid_rate=float(rng.random() * 0.5),
+            seed=trial,
+        )
+        src = read_pcap(src_path)
+        out1 = tmp_path / f"o{trial}.pcap"
+        write_pcap(out1, src)
+        assert out1.read_bytes() == src_path.read_bytes()  # bit-identical file
+
+
+# -- multi-capture ingest ---------------------------------------------------
+
+def test_concat_pcaps_counts_and_dump(reference_dir, tmp_path, capsys):
+    from multithreading_string_matching_tpu.io.pcap import concat_pcaps
+
+    a = read_pcap(reference_dir / "udp.pcap")
+    b = read_pcap(reference_dir / "udp_1000.pcap")
+    merged = concat_pcaps([a, b])
+    assert merged.num_packets == a.num_packets + b.num_packets
+    assert _records(merged) == _records(a) + _records(b)
+
+    with pytest.raises(ValueError, match="at least one"):
+        concat_pcaps([])
+    from dataclasses import replace
+    with pytest.raises(ValueError, match="disagree"):
+        concat_pcaps([a, replace(b, linktype=113)])
+
+    out = tmp_path / "hits.pcap"
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--pcap", str(reference_dir / "udp_1000.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--dump-matches", str(out),
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 39 + 1006
+    # The dump spans both captures and reproduces the merged counts.
+    m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    got = m.count_batch(extract_payloads(read_pcap(out), "udp"))
+    assert got.tolist() == blob["counts"]
+
+
+def test_cli_multi_pcap_stream_matches_oneshot(reference_dir, capsys):
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp_1000.pcap"),
+        "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--stream",
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 1045
+    assert blob["packets"] == 1020
+
+
+def test_cli_match_requires_pcap(reference_dir):
+    with pytest.raises(SystemExit, match="pcap"):
+        main(["match", "--patterns", str(reference_dir / "strings.txt")])
