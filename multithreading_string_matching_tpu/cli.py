@@ -311,23 +311,27 @@ def cmd_match(argv: List[str]) -> int:
             "(the mesh path reduces counts without per-packet identity)"
         )
     if a.stream:
-        if a.sharded or cfg.per_packet or a.offsets:
+        if a.sharded or cfg.per_packet:
             raise SystemExit(
-                "--stream is incompatible with --sharded/--per-packet/--offsets"
+                "--stream is incompatible with --sharded/--per-packet"
             )
         from multithreading_string_matching_tpu.parallel.pipeline import (
             count_pcap_streamed,
-            dump_matches_streamed,
+            scan_pcap_streamed,
         )
 
         stream_stats = {}
+        stream_offsets = None
         with timer.phase("scan"):
-            if a.dump_matches:
-                counts = dump_matches_streamed(
-                    matcher, pcap_paths, a.dump_matches, cfg.mode,
+            if a.dump_matches or a.offsets:
+                # Attribution wanted: the per-row streamed scanner.
+                res = scan_pcap_streamed(
+                    matcher, pcap_paths, cfg.mode,
+                    dump_path=a.dump_matches, offsets=a.offsets,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     stats=stream_stats,
                 )
+                counts, stream_offsets = res if a.offsets else (res, None)
             else:
                 counts = count_pcap_streamed(
                     matcher, pcap_paths, cfg.mode,
@@ -347,9 +351,18 @@ def cmd_match(argv: List[str]) -> int:
             }
             if a.dump_matches:
                 blob["dump_path"] = a.dump_matches
+            if stream_offsets is not None:
+                blob["offsets"] = stream_offsets.tolist()
+                blob["unique_patterns"] = [
+                    pt.decode("latin-1") for pt in matcher.window.unique_patterns
+                ]
             print(json.dumps(blob))
         else:
             _report(matcher, counts, timer.total)
+            if stream_offsets is not None:
+                uniq = matcher.window.unique_patterns
+                for n, i, u in stream_offsets:
+                    print(f"packet {n} @ {i}: {uniq[u].decode('latin-1')}")
             if a.dump_matches:
                 print(
                     f"# wrote {stream_stats.get('dumped_packets', 0)} "

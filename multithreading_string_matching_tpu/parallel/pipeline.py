@@ -209,48 +209,59 @@ def count_pcap_streamed(
     return counts.astype(np.int32)
 
 
-def dump_matches_streamed(
+def scan_pcap_streamed(
     matcher,
     pcap_path,
-    out_path,
     mode: str = "udp",
     *,
+    dump_path=None,
+    offsets: bool = False,
     batch_packets: int = 8192,
     strict: bool = False,
     vlan: bool = False,
     ipv6: bool = False,
     stats: Optional[dict] = None,
-) -> np.ndarray:
-    """Bounded-memory scan that also re-emits every matching packet.
+):
+    """Bounded-memory scan with per-packet attribution: counts, plus
+    optionally a matched-packet dump and/or exact match offsets.
 
     The packed serving path (:func:`count_pcap_streamed`) deliberately
-    destroys row↔packet identity, so the dump variant runs each ingest
-    chunk through the per-row (bucketed) kernel instead: per-packet counts
-    give both the aggregate totals (exact column sums — tested invariant)
-    and the matched-packet selection, which is appended to ``out_path``
-    incrementally via :class:`~..io.pcap.PcapWriter`.  Peak host memory is
-    one ingest chunk + one [chunk, P] count matrix regardless of capture
-    size.  Returns the expanded counts; ``stats`` (if given) receives
-    packet/byte totals plus ``dumped_packets``.
+    destroys row↔packet identity, so this variant runs each ingest chunk
+    through the per-row (bucketed) kernel instead: per-packet counts give
+    the aggregate totals (exact column sums — tested invariant) and the
+    matched-packet selection, appended to ``dump_path`` incrementally via
+    :class:`~..io.pcap.PcapWriter`.  ``offsets=True`` additionally collects
+    (row, start, unique_pattern) triples with rows numbered over valid
+    payload rows globally — identical to the one-shot
+    ``Matcher.find_matches`` on the merged corpus.  Peak host memory is one
+    ingest chunk + one [chunk, P] count matrix (+ the offsets found).
+
+    Returns ``counts`` or ``(counts, offsets)`` when ``offsets=True``;
+    ``stats`` (if given) receives packet/byte totals plus
+    ``dumped_packets`` when dumping.
     """
     from multithreading_string_matching_tpu.io.pcap import PcapWriter
 
     total = None
     n_packets = n_valid = n_bytes = 0
-    with PcapWriter(out_path) as w:
+    found = [] if offsets else None
+    w = PcapWriter(dump_path) if dump_path is not None else None
+    try:
         for chunk in _iter_pcap_paths(pcap_path, batch_packets):
             batch = extract_payloads(
                 chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
             )
             n_packets += batch.num_packets
+            valid_base = n_valid
             n_valid += int(batch.valid.sum())
             n_bytes += batch.total_payload_bytes
             valid_idx = np.flatnonzero(batch.valid)
             if valid_idx.size == 0:
-                # Still lock the writer's header to THIS capture's
-                # linktype/resolution (an all-invalid capture must not dump
-                # with guessed metadata).
-                w.write(chunk, valid_idx)
+                if w is not None:
+                    # Still lock the writer's header to THIS capture's
+                    # linktype/resolution (an all-invalid capture must not
+                    # dump with guessed metadata).
+                    w.write(chunk, valid_idx)
                 continue
             per_row = np.asarray(
                 matcher.count_batch(batch, per_packet=True)
@@ -258,17 +269,51 @@ def dump_matches_streamed(
             total = per_row.sum(axis=0, dtype=np.int64) + (
                 0 if total is None else total
             )
-            row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
-            w.write(chunk, valid_idx[row_hits])
-        dumped = w.packets_written
+            if w is not None:
+                row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
+                w.write(chunk, valid_idx[row_hits])
+            if found is not None:
+                rows = np.asarray(
+                    matcher.find_matches(batch.payloads, batch.lengths)
+                )
+                if rows.size:
+                    rows = rows.copy()
+                    rows[:, 0] += valid_base  # global valid-row numbering
+                    found.append(rows)
+    finally:
+        if w is not None:
+            w.close()
     if stats is not None:
         stats.update(
             packets=n_packets, valid_payloads=n_valid, payload_bytes=n_bytes,
-            dumped_packets=dumped,
         )
-    if total is None:
-        return np.zeros(len(matcher.patterns), dtype=np.int32)
-    return total.astype(np.int32)
+        if w is not None:
+            stats["dumped_packets"] = w.packets_written
+    counts = (
+        np.zeros(len(matcher.patterns), dtype=np.int32)
+        if total is None
+        else total.astype(np.int32)
+    )
+    if offsets:
+        all_rows = (
+            np.concatenate(found, axis=0)
+            if found
+            else np.zeros((0, 3), dtype=np.int64)
+        )
+        return counts, all_rows
+    return counts
+
+
+def dump_matches_streamed(
+    matcher,
+    pcap_path,
+    out_path,
+    mode: str = "udp",
+    **kw,
+) -> np.ndarray:
+    """Bounded-memory scan that re-emits every matching packet
+    (:func:`scan_pcap_streamed` with ``dump_path`` fixed)."""
+    return scan_pcap_streamed(matcher, pcap_path, mode, dump_path=out_path, **kw)
 
 
 def count_pcap_pipelined(

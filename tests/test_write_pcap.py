@@ -389,3 +389,47 @@ def test_cli_multi_pcap_stream_matches_oneshot(reference_dir, capsys):
 def test_cli_match_requires_pcap(reference_dir):
     with pytest.raises(SystemExit, match="pcap"):
         main(["match", "--patterns", str(reference_dir / "strings.txt")])
+
+
+# -- streamed offsets --------------------------------------------------------
+
+def test_stream_offsets_equal_oneshot(reference_dir, capsys):
+    """Streamed --offsets reproduce the one-shot find_matches rows exactly
+    (global valid-row numbering) even across tiny chunks and two files."""
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        scan_pcap_streamed,
+    )
+    from multithreading_string_matching_tpu.io.pcap import concat_pcaps
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    paths = [reference_dir / "udp.pcap", reference_dir / "udp_1000.pcap"]
+    counts, rows = scan_pcap_streamed(
+        m, paths, "udp", offsets=True, batch_packets=57,
+    )
+    merged = concat_pcaps([read_pcap(p) for p in paths])
+    batch = extract_payloads(merged, "udp")
+    want_rows = np.asarray(m.find_matches(batch.payloads, batch.lengths))
+    got = sorted(map(tuple, rows.tolist()))
+    want = sorted(map(tuple, want_rows.tolist()))
+    assert got == want
+    assert int(counts.sum()) == 39 + 1006
+
+
+def test_cli_stream_offsets_json(reference_dir, capsys):
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--stream", "--offsets",
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 39
+    uniq = blob["unique_patterns"]
+    # Every offset row's pattern really occurs at that position.
+    pcap = read_pcap(reference_dir / "udp.pcap")
+    batch = extract_payloads(pcap, "udp")
+    assert len(blob["offsets"]) == 39
+    for row, start, u in blob["offsets"]:
+        pat = uniq[u].encode("latin-1")
+        assert batch.payload(row)[start : start + len(pat)] == pat
