@@ -697,9 +697,14 @@ def read_pcap_range(path: Union[str, os.PathLike], start: int, stop: int) -> Pca
     return slice_pcap(read_pcap(path), start, stop)
 
 
-def slice_pcap(full: PcapFile, start: int, stop: int) -> PcapFile:
-    """Packets [start, stop) of an already-parsed capture; the byte buffer is
-    narrowed (copied) to just the selected range so the rest can be freed."""
+def slice_pcap(
+    full: PcapFile, start: int, stop: int, *, copy: bool = True
+) -> PcapFile:
+    """Packets [start, stop) of an already-parsed capture.
+
+    ``copy=True`` narrows the byte buffer to just the selected range so the
+    rest can be freed (the sharded-ingest shape); ``copy=False`` keeps a view
+    of the full buffer (cheap transient slices, e.g. pipeline batches)."""
     start = max(0, start)
     stop = min(full.num_packets, stop)
     if start >= stop:
@@ -708,6 +713,16 @@ def slice_pcap(full: PcapFile, start: int, stop: int) -> PcapFile:
             buf=np.zeros(0, dtype=np.uint8),
             offsets=empty, caplens=empty, origlens=empty,
             ts_sec=empty, ts_frac=empty,
+            linktype=full.linktype, snaplen=full.snaplen, nanos=full.nanos,
+        )
+    if not copy:
+        return PcapFile(
+            buf=full.buf,
+            offsets=full.offsets[start:stop],
+            caplens=full.caplens[start:stop],
+            origlens=full.origlens[start:stop],
+            ts_sec=full.ts_sec[start:stop],
+            ts_frac=full.ts_frac[start:stop],
             linktype=full.linktype, snaplen=full.snaplen, nanos=full.nanos,
         )
     lo = int(full.offsets[start])

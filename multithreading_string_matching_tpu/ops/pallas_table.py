@@ -46,6 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multithreading_string_matching_tpu.ops.window import WindowProgram
+from multithreading_string_matching_tpu.ops.pallas_window import (
+    window_views as _window_views,
+)
 
 # Patterns per SMEM block: multiples of 128 satisfy Mosaic's rank-1 block
 # rule; 128 keeps partial-block waste ≤127 pattern slots per class while the
@@ -57,33 +60,6 @@ PATTERN_BLOCK = 128
 # 1-wide 0.59/2.53 GB/s, 8-wide 0.73/4.82, 16-wide 0.78/4.79, 32-wide
 # 0.81/3.57 (32 pads small word-count classes too hard) -> 16.
 UNROLL = 16
-
-
-def _window_views(payload_ref, K: int, use_fit: bool):
-    """[TN, L] little-endian uint32 word views starting at every byte
-    position, one per pattern-word offset (same construction as the unrolled
-    kernel; see ops/pallas_window.py for the wrap-around/zero-fill algebra)."""
-    x = payload_ref[:].astype(jnp.uint32)
-    tn, L = x.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
-
-    def roll_left(a, s):
-        return pltpu.roll(a, (L - s) % L, 1)
-
-    def shifted(a, s):
-        return jnp.where(pos < L - s, roll_left(a, s), jnp.uint32(0))
-
-    if use_fit:
-        x1, x2, x3 = roll_left(x, 1), roll_left(x, 2), roll_left(x, 3)
-        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
-        for k in range(1, K):
-            w.append(roll_left(w[0], 4 * k))
-    else:
-        x1, x2, x3 = shifted(x, 1), shifted(x, 2), shifted(x, 3)
-        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
-        for k in range(1, K):
-            w.append(shifted(w[0], 4 * k))
-    return w, pos
 
 
 def _make_table_kernel(K: int, use_fit: bool, with_reps: bool, unroll: int = UNROLL):
@@ -112,7 +88,8 @@ def _make_table_kernel(K: int, use_fit: bool, with_reps: bool, unroll: int = UNR
         # Manual UNROLL-wide body (Mosaic's fori_loop only lowers unroll=1
         # or full unroll): UNROLL independent compare/reduce chains per loop
         # step keep the VPU pipelined across patterns.  pb is always a
-        # multiple of UNROLL (both are multiples of 8).
+        # multiple of lcm(UNROLL, 8) (_PatternClass), so the loop covers
+        # every slot.
         def body(g, c):
             base = g * unroll
             for t in range(unroll):
@@ -169,8 +146,12 @@ class _PatternClass:
         self.K = K
         self.num = words.shape[0]
         # pb must be a multiple of the kernel's unroll width (the loop runs
-        # PB // unroll groups) — which also covers the sublane-8 padding.
-        q = max(unroll, 8)
+        # PB // unroll groups) AND of the sublane count (8) — max() is NOT
+        # enough: unroll=5 with 8-padding would leave PB//unroll covering
+        # only the first 5 of 8 slots, silently zeroing trailing patterns.
+        import math
+
+        q = math.lcm(unroll, 8)
         block = -(-block // q) * q
         self.pb = min(block, -(-self.num // q) * q)
         self.nblocks = -(-self.num // self.pb)

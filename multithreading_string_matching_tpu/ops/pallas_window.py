@@ -33,6 +33,40 @@ from jax.experimental.pallas import tpu as pltpu
 from multithreading_string_matching_tpu.ops.window import WindowProgram
 
 
+def window_views(payload_ref, K: int, use_fit: bool):
+    """[TN, L] little-endian uint32 word views starting at every byte
+    position, one per pattern-word offset — the shared construction both
+    Pallas kernels' correctness depends on (this file and ops/pallas_table).
+
+    ``use_fit=True``: plain rolls (wrap-around is allowed because per-pattern
+    (pos + m <= len) fit masks discard overhanging positions).
+    ``use_fit=False``: ZERO-filled shifts — the NUL-free fast path where a
+    window poking past the payload contains 0x00 and cannot match, so no fit
+    masks are needed (DESIGN.md §2)."""
+    x = payload_ref[:].astype(jnp.uint32)
+    tn, L = x.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
+
+    def roll_left(a, s):  # pltpu.roll wants non-negative shifts
+        return pltpu.roll(a, (L - s) % L, 1)
+
+    def shifted(a, s):
+        """Roll left by s with ZERO fill (no wrap-around)."""
+        return jnp.where(pos < L - s, roll_left(a, s), jnp.uint32(0))
+
+    if use_fit:
+        x1, x2, x3 = roll_left(x, 1), roll_left(x, 2), roll_left(x, 3)
+        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
+        for k in range(1, K):
+            w.append(roll_left(w[0], 4 * k))
+    else:
+        x1, x2, x3 = shifted(x, 1), shifted(x, 2), shifted(x, 3)
+        w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
+        for k in range(1, K):
+            w.append(shifted(w[0], 4 * k))
+    return w, pos
+
+
 def _make_kernel(
     pat_words: np.ndarray,
     pat_masks: np.ndarray,
@@ -64,29 +98,7 @@ def _make_kernel(
                 for u in range(U):
                     out_ref[u] = 0
 
-        x = payload_ref[:].astype(jnp.uint32)          # [TN, L]
-        tn, L = x.shape
-        pos = jax.lax.broadcasted_iota(jnp.int32, (tn, L), 1)
-
-        def roll_left(a, s):  # pltpu.roll wants non-negative shifts
-            return pltpu.roll(a, (L - s) % L, 1)
-
-        def shifted(a, s):
-            """Roll left by s with ZERO fill (no wrap-around)."""
-            return jnp.where(pos < L - s, roll_left(a, s), jnp.uint32(0))
-
-        # Little-endian word starting at every byte position, zero-extended
-        # past the row end.
-        if use_fit:
-            x1, x2, x3 = roll_left(x, 1), roll_left(x, 2), roll_left(x, 3)
-            w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
-            for k in range(1, K):
-                w.append(roll_left(w[0], 4 * k))
-        else:
-            x1, x2, x3 = shifted(x, 1), shifted(x, 2), shifted(x, 3)
-            w = [x | (x1 << 8) | (x2 << 16) | (x3 << 24)]
-            for k in range(1, K):
-                w.append(shifted(w[0], 4 * k))
+        w, pos = window_views(payload_ref, K, use_fit)
 
         lens = length_ref[:]                            # [TN, 1] int32
         for u in range(U):

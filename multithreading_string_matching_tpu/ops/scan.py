@@ -75,6 +75,7 @@ def ac_scan_chunk_impl(
     lengths: jax.Array,       # int32[N] length remaining relative to this chunk's start
     states: jax.Array,        # int32[N] carried DFA states
     dead: int,
+    init_hist: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Advance every packet lane across one chunk of payload bytes.
 
@@ -83,6 +84,10 @@ def ac_scan_chunk_impl(
     state.  Lanes whose payload ends inside the chunk park in the dead state
     (idempotent for later chunks).  ``lengths`` must already be expressed
     relative to the chunk (callers subtract the chunk's start offset).
+
+    ``init_hist`` overrides the zero histogram carry — the sharded path
+    (parallel/mesh.py) passes a pcast-varying zero so the scan's carry types
+    match under shard_map VMA tracking; semantics are unchanged.
     """
     cols = payloads.T  # [L, N] — scan over the byte axis, lanes contiguous
     n = cols.shape[1]
@@ -101,7 +106,9 @@ def ac_scan_chunk_impl(
         return (nxt, hist), None
 
     positions = jnp.arange(cols.shape[0], dtype=jnp.int32)
-    init = (states, jnp.zeros((n, e), dtype=jnp.int32))
+    if init_hist is None:
+        init_hist = jnp.zeros((n, e), dtype=jnp.int32)
+    init = (states, init_hist)
     (new_states, hist), _ = jax.lax.scan(step, init, (cols, positions))
     return new_states, hist
 

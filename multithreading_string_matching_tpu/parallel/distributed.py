@@ -85,6 +85,14 @@ def count_pcap_distributed(
     mesh=None,
 ) -> DistributedResult:
     """Count patterns over a pcap sharded across all participating hosts."""
+    if engine not in ("window", "ac"):
+        # The multi-host path ships raw padded rows between processes, which
+        # the pallas staged pipeline does not (its tiles are host-local);
+        # reject typos/pallas instead of silently running the ~30x-slower AC.
+        raise ValueError(
+            f"count_pcap_distributed supports engine 'window' or 'ac', "
+            f"got {engine!r}"
+        )
     procs = jax.process_count()
     rank = jax.process_index()
     mesh = mesh or make_mesh()
@@ -144,7 +152,13 @@ def count_pcap_distributed(
     lengths = batch.lengths
     if payloads.shape[1] < global_l:
         payloads = np.pad(payloads, ((0, 0), (0, global_l - payloads.shape[1])))
-    rows = -(-share // (n_dev // procs)) * (n_dev // procs)
+    # Row count must cover the ACTUAL local rows (extract_payloads returns at
+    # least one padded row even for an empty range) and be a multiple of the
+    # per-process device count so the global array shards evenly; guard
+    # against more processes than devices.
+    dev_per_proc = max(1, n_dev // procs)
+    need = max(share, payloads.shape[0])
+    rows = max(-(-need // dev_per_proc), 1) * dev_per_proc
     if payloads.shape[0] < rows:
         pad = rows - payloads.shape[0]
         payloads = np.pad(payloads, ((0, pad), (0, 0)))

@@ -84,27 +84,23 @@ def _sharded_count(
     keeps the collective payload minimal."""
 
     def local(goto_flat, emit_ids, emit_sub, payloads, lengths):
-        cols = payloads.T
-        n = cols.shape[1]
+        from multithreading_string_matching_tpu.ops.scan import (
+            ac_scan_chunk_impl,
+        )
+
+        n = payloads.shape[0]
         e = emit_ids.shape[0]
-
-        def step(carry, xs):
-            st, hist = carry
-            byte, pos = xs
-            nxt = jnp.take(goto_flat, st * 256 + byte.astype(jnp.int32), axis=0)
-            nxt = jnp.where(pos < lengths, nxt, dead)
-            hist = hist + (nxt[:, None] == emit_ids[None, :]).astype(jnp.int32)
-            return (nxt, hist), None
-
-        positions = jnp.arange(cols.shape[0], dtype=jnp.int32)
         # The carry is per-shard data: mark it varying over the mesh axis so
         # the scan's carry types match (shard_map VMA tracking).
-        init = jax.lax.pcast(
+        init_states, init_hist = jax.lax.pcast(
             (jnp.zeros((n,), jnp.int32), jnp.zeros((n, e), jnp.int32)),
             (axis,),
             to="varying",
         )
-        (_, hist), _ = jax.lax.scan(step, init, (cols, positions))
+        _, hist = ac_scan_chunk_impl(
+            goto_flat, emit_ids, payloads, lengths, init_states, dead,
+            init_hist=init_hist,
+        )
         local_hist = hist.sum(axis=0)                      # [E] per shard
         global_hist = jax.lax.psum(local_hist, axis)       # MPI_Reduce(SUM)
         return global_hist @ emit_sub                      # [U], replicated

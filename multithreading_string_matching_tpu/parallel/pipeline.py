@@ -25,7 +25,7 @@ from typing import Iterator, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from multithreading_string_matching_tpu.io.pcap import PcapFile, iter_pcap
+from multithreading_string_matching_tpu.io.pcap import PcapFile, iter_pcap, slice_pcap
 from multithreading_string_matching_tpu.io.decode import extract_payloads
 from multithreading_string_matching_tpu.ops.window import count_matches_window
 
@@ -41,20 +41,6 @@ def _iter_pcap_paths(pcap_path, batch_packets):
     )
     for p in paths:
         yield from iter_pcap(p, batch_packets=batch_packets)
-
-
-def _slice_pcap(pcap: PcapFile, start: int, stop: int) -> PcapFile:
-    return PcapFile(
-        buf=pcap.buf,
-        offsets=pcap.offsets[start:stop],
-        caplens=pcap.caplens[start:stop],
-        origlens=pcap.origlens[start:stop],
-        ts_sec=pcap.ts_sec[start:stop],
-        ts_frac=pcap.ts_frac[start:stop],
-        linktype=pcap.linktype,
-        snaplen=pcap.snaplen,
-        nanos=pcap.nanos,
-    )
 
 
 def _next_pow2(x: int) -> int:
@@ -77,7 +63,7 @@ def iter_batches(
     two (few distinct compiled shapes); pass e.g. the snaplen for exactly one.
     """
     for start in range(0, pcap.num_packets, batch_size):
-        part = _slice_pcap(pcap, start, start + batch_size)
+        part = slice_pcap(pcap, start, start + batch_size, copy=False)
         batch = extract_payloads(
             part, mode, strict=strict, vlan=vlan, ipv6=ipv6,
             keep_invalid=True, pad_n_to=batch_size,
@@ -128,13 +114,17 @@ def count_pcap_streamed(
 
     Payloads wider than ``pack_width`` (can't pack) are routed per-chunk
     through the bucketed engine; NUL-containing pattern sets (packing
-    inexact) fall back to :func:`count_pcap_pipelined` entirely.  Counts are
+    inexact) fall back to :func:`scan_pcap_streamed` entirely.  Counts are
     bit-identical to the one-shot scan in every case (tested).
     """
     if any(0 in p for p in matcher.window.unique_patterns):
-        return count_pcap_pipelined(
+        # Packing is inexact for NUL-containing patterns; the per-row
+        # streamed scanner is still bounded-memory and fills the caller's
+        # stats (the pipelined path would silently drop them).
+        return scan_pcap_streamed(
             matcher, pcap_path, mode,
-            strict=strict, vlan=vlan, ipv6=ipv6,
+            batch_packets=batch_packets,
+            strict=strict, vlan=vlan, ipv6=ipv6, stats=stats,
         )
     from multithreading_string_matching_tpu.ops.bucketing import pack_rows
 
@@ -144,15 +134,30 @@ def count_pcap_streamed(
     buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
     fill = np.zeros(tile_rows, dtype=np.int32)
     r = 0
-    total = None          # device-resident [P] expanded counts
+    total = None          # device-resident [P] expanded counts (int32)
+    host_total = None     # int64 accumulator drained periodically
+    tiles_since_drain = 0
+    # One tile can contribute at most tile_rows*pack_width matches per
+    # pattern; drain the device int32 accumulator to host int64 before it
+    # can wrap (with margin).
+    drain_every = max(1, (2**30) // max(1, tile_rows * pack_width))
     over_total = None     # host-side counts for oversized payloads
+
+    def drain():
+        nonlocal total, host_total, tiles_since_drain
+        if total is None:
+            return
+        t = np.asarray(total).astype(np.int64)
+        host_total = t if host_total is None else host_total + t
+        total = None
+        tiles_since_drain = 0
 
     def dispatch():
         # Fresh host buffers each tile: the dispatch is asynchronous and
         # jnp.asarray may alias a numpy buffer (zero-copy on CPU backends),
         # so mutating the old tile after dispatch would corrupt the pending
         # computation.
-        nonlocal total, buf, fill, r
+        nonlocal total, buf, fill, r, tiles_since_drain
         if use_pallas:
             out = matcher.pallas.count_tiles([(buf, fill)])
         else:
@@ -160,6 +165,10 @@ def count_pcap_streamed(
                 jnp.asarray(buf), jnp.asarray(fill), per_packet=False
             )
         total = out if total is None else total + out
+        tiles_since_drain += 1
+        if tiles_since_drain >= drain_every:
+            drain()  # one fetch per ~2^30 scanned positions: async dispatch
+            # stays the common case, int32 wraparound becomes impossible
         buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
         fill = np.zeros(tile_rows, dtype=np.int32)
         r = 0
@@ -195,17 +204,20 @@ def count_pcap_streamed(
                 dispatch()
     if r:
         dispatch()
+    drain()
     if stats is not None:
         stats.update(
             packets=n_packets, valid_payloads=n_valid, payload_bytes=n_bytes
         )
     counts = (
-        np.asarray(total)
-        if total is not None
-        else np.zeros(len(matcher.patterns), dtype=np.int32)
+        host_total
+        if host_total is not None
+        else np.zeros(len(matcher.patterns), dtype=np.int64)
     )
     if over_total is not None:
-        counts = counts + np.asarray(over_total)
+        counts = counts + np.asarray(over_total).astype(np.int64)
+    if counts.size and counts.max() > np.iinfo(np.int32).max:
+        return counts  # beyond int32: return the exact int64 totals
     return counts.astype(np.int32)
 
 
@@ -263,23 +275,42 @@ def scan_pcap_streamed(
                     # dump with guessed metadata).
                     w.write(chunk, valid_idx)
                 continue
-            per_row = np.asarray(
-                matcher.count_batch(batch, per_packet=True)
-            )
-            total = per_row.sum(axis=0, dtype=np.int64) + (
-                0 if total is None else total
-            )
-            if w is not None:
-                row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
-                w.write(chunk, valid_idx[row_hits])
             if found is not None:
+                # One scan serves all three outputs: the occurrence rows ARE
+                # the counts (bincount over unique patterns, expanded via
+                # dup_map) and the dump selection (rows with any hit).
                 rows = np.asarray(
                     matcher.find_matches(batch.payloads, batch.lengths)
                 )
+                uniq_counts = np.bincount(
+                    rows[:, 2] if rows.size else np.zeros(0, np.int64),
+                    minlength=len(matcher.window.unique_patterns),
+                )
+                chunk_counts = uniq_counts[matcher.window.dup_map].astype(
+                    np.int64
+                )
+                total = chunk_counts + (0 if total is None else total)
+                if w is not None:
+                    hit_rows = (
+                        np.unique(rows[:, 0]) if rows.size
+                        else np.zeros(0, np.int64)
+                    )
+                    hit_rows = hit_rows[hit_rows < valid_idx.size]
+                    w.write(chunk, valid_idx[hit_rows])
                 if rows.size:
                     rows = rows.copy()
                     rows[:, 0] += valid_base  # global valid-row numbering
                     found.append(rows)
+            else:
+                per_row = np.asarray(
+                    matcher.count_batch(batch, per_packet=True)
+                )
+                total = per_row.sum(axis=0, dtype=np.int64) + (
+                    0 if total is None else total
+                )
+                if w is not None:
+                    row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
+                    w.write(chunk, valid_idx[row_hits])
     finally:
         if w is not None:
             w.close()

@@ -118,3 +118,35 @@ def test_two_process_distributed(reference_dir, tmp_path, engine):
     want = oracle.oracle_pcap_counts(reference_dir / "udp_1000.pcap", pats, "udp")
     assert data["counts"] == list(want)
     assert data["local_packets"] == 500  # this rank's shard, not the whole file
+
+
+def test_distributed_empty_capture(tmp_path):
+    """A header-only capture must return zero counts, not crash on sharding
+    (extract_payloads emits one padded row even for zero packets)."""
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.io.pcap import classic_global_header
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_distributed,
+    )
+
+    src = tmp_path / "empty.pcap"
+    src.write_bytes(classic_global_header())
+    m = Matcher([b"http", b"xml"], engine="window")
+    res = count_pcap_distributed(m, src, "udp")
+    assert res.counts.tolist() == [0, 0]
+    assert res.local_packets == 0
+
+
+def test_distributed_rejects_unknown_engine(tmp_path, reference_dir):
+    import pytest
+
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_distributed,
+    )
+
+    m = Matcher([b"http"], engine="window")
+    with pytest.raises(ValueError, match="engine"):
+        count_pcap_distributed(
+            m, reference_dir / "udp.pcap", "udp", engine="pallas"
+        )

@@ -163,3 +163,29 @@ def test_word_threshold_auto():
         assert type(big.pallas).__name__ == "PallasTableMatcher"
     finally:
         del os.environ["MSM_PALLAS_INTERPRET"]
+
+
+def test_odd_unroll_covers_all_patterns():
+    """pb must be a multiple of lcm(unroll, 8): with unroll=5 and 7 patterns
+    the old max(unroll, 8) padding silently zeroed the trailing slots."""
+    import numpy as np
+
+    from multithreading_string_matching_tpu.ops.window import WindowProgram
+    from multithreading_string_matching_tpu.ops.pallas_table import (
+        PallasTableMatcher,
+    )
+
+    pats = [bytes([65 + i]) * 6 for i in range(7)]
+    wp = WindowProgram.build(pats)
+    pay = np.zeros((8, 64), np.uint8)
+    for i, p in enumerate(pats):
+        pay[i, 3:9] = np.frombuffer(p, np.uint8)
+        pay[i, 20:26] = np.frombuffer(p, np.uint8)
+    lens = np.full(8, 64, np.int32)
+    want = None
+    for unroll in (5, 3, 16):
+        m = PallasTableMatcher(wp, interpret=True, unroll=unroll)
+        got = np.asarray(m.count_tiles([(pay, lens)])).tolist()
+        if want is None:
+            want = got
+        assert got == want == [2] * 7, unroll

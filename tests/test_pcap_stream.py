@@ -261,3 +261,23 @@ def test_stream_multi_section_pcapng_mixed_endianness(tmp_path, reference_dir):
     assert full.num_packets == 2 * a.num_packets
     _assert_stream_equals_full(p, full, 7)
     _assert_stream_equals_full(p, full, 7, read_size=64)
+
+
+def test_streamed_nul_pattern_fallback_fills_stats(reference_dir):
+    """NUL-containing pattern sets can't pack; the fallback must still fill
+    the caller's stats dict (it used to drop it silently)."""
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+    )
+
+    m = Matcher([b"ab\x00c", b"http"], engine="window")
+    stats = {}
+    counts = count_pcap_streamed(
+        m, reference_dir / "udp.pcap", "udp", stats=stats
+    )
+    assert counts.shape == (2,)
+    assert int(counts[1]) == 5  # golden http count
+    assert stats["packets"] == 20
+    assert stats["valid_payloads"] == 20
+    assert stats["payload_bytes"] == 3347
