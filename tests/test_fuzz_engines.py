@@ -57,3 +57,45 @@ def test_engines_match_oracle(seed, n, lmax, alpha, pats):
     finally:
         del os.environ["MSM_PALLAS_INTERPRET"]
     assert (got == want).all(), "pallas"
+
+
+def _fold(b: bytes) -> bytes:
+    return bytes(c + 32 if 65 <= c <= 90 else c for c in b)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_feature_combination_fuzz(seed):
+    """nocase x binary(escaped-style) patterns x packed staging x engines,
+    differential against the oracle with host-side folding."""
+    rng = np.random.default_rng(seed)
+    n, lmax = 24, 96
+    # Mixed-case ASCII-ish payloads with some binary bytes.
+    payloads = rng.integers(0, 256, size=(n, lmax)).astype(np.uint8)
+    letters = rng.integers(65, 123, size=(n, lmax)).astype(np.uint8)
+    use_letters = rng.random((n, lmax)) < 0.7
+    payloads = np.where(use_letters, letters, payloads)
+    lengths = rng.integers(0, lmax + 1, size=n).astype(np.int32)
+    lengths[0] = 0
+    lengths[-1] = lmax
+    pats = [b"AbC", b"abc", b"XY\x00z", b"Q", b"abc"]  # dup + NUL + case
+    payloads[-1, :3] = np.frombuffer(b"aBc", np.uint8)
+    payloads[-2, 5:9] = np.frombuffer(b"xy\x00Z", np.uint8)
+    lengths[-2] = max(lengths[-2], 9)
+
+    texts = [_fold(payloads[i, : lengths[i]].tobytes()) for i in range(n)]
+    want = np.array(oracle.oracle_counts(texts, [_fold(p) for p in pats]))
+
+    m = Matcher(pats, case_insensitive=True)
+    for engine in ("window", "ac", "kmp"):
+        got = m.count(payloads, lengths, engine=engine)
+        assert (got == want).all(), engine
+    # Staged paths: packed staging must refuse silently-inexact packing for
+    # NUL patterns (falls back internally) and still match the oracle.
+    for staging in ("auto", "bucketed"):
+        prep = m.prepare(payloads, lengths)
+        got = np.asarray(m.count(payloads, lengths, engine="window",
+                                 staging=staging))
+        assert (got == want).all(), staging
+    # Guaranteed hits so the test cannot pass vacuously.
+    assert want[0] == want[1] == want[4] and want[0] >= 1
+    assert want[2] >= 1
