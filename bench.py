@@ -92,6 +92,12 @@ def main():
     # the NUL-free strings.txt pattern set (see api.Matcher.prepare).
     t0 = time.perf_counter()
     prep = matcher.prepare_batch(batch, packed="auto", n_tile=8192)
+    # jnp.asarray device-puts are ASYNC: fetch one element per tile so the
+    # timer includes the actual transfer, not just host packing + enqueue
+    # (block_until_ready returns early through the tunnel; np.asarray of a
+    # device slice is the only trustworthy sync — see CLAUDE.md).
+    for tp, tl in prep.tiles:
+        np.asarray(tl[:1])
     h2d_s = time.perf_counter() - t0
 
     counts = matcher.count_prepared(prep)  # compile + correctness anchor
@@ -143,12 +149,21 @@ def main():
     if engine == "pallas" and not os.environ.get("MSM_BENCH_NO_MEGA"):
         from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
 
-        mega = pathlib.Path("/tmp/msm_mega.pcap")
+        import hashlib
+
+        # The corpus filename carries the pattern-set hash, and synth writes
+        # to a temp path + atomic rename: an interrupted or stale corpus can
+        # never be silently reused (a truncated file would fail strict
+        # read_pcap forever; a stale one would bench the wrong plant set).
+        tag = hashlib.sha256(b"\x00".join(patterns)).hexdigest()[:12]
+        mega = pathlib.Path(f"/tmp/msm_mega_{tag}.pcap")
         if not mega.exists():
+            tmp = mega.with_suffix(".tmp")
             synth_udp_pcap(
-                mega, 100_000, payload_len=1024, payload_len_jitter=256,
+                tmp, 100_000, payload_len=1024, payload_len_jitter=256,
                 patterns=patterns, plant_rate=0.05, seed=1,
             )
+            os.replace(tmp, mega)
         mb = extract_payloads(read_pcap(mega), "udp")
         # n_tile=8192: the 2048-row cap protects the XLA window engine's
         # memory; the Pallas grid streams row blocks, so bigger tiles just

@@ -229,12 +229,15 @@ class Matcher:
         engine: Optional[str] = None,
         bucketed: Optional[bool] = None,
         staging: str = "auto",
+        n_tile: int = 2048,
+        l_quant: int = LANE,
     ) -> np.ndarray:
         """Counts over the ORIGINAL pattern list (duplicates as separate entries).
 
         Shapes: ``int32[P]`` or ``int32[N, P]`` with ``per_packet=True``.
         ``staging``: 'auto' (default; pack when it pays), 'packed', or
-        'bucketed' — affects only the pallas staged path.
+        'bucketed' — affects only the pallas staged path.  ``n_tile`` /
+        ``l_quant`` tune the bucket tiling (see :meth:`prepare`).
         """
         bucketed = self.bucketed if bucketed is None else bucketed
         if staging not in ("auto", "packed", "bucketed"):
@@ -248,11 +251,15 @@ class Matcher:
             if per_packet:
                 # Per-packet attribution needs row<->packet identity, so no
                 # packing — bucketed tiles through the per-row kernel.
-                prep = self.prepare(payloads, lengths, bucketed=bucketed)
+                prep = self.prepare(
+                    payloads, lengths, bucketed=bucketed,
+                    n_tile=n_tile, l_quant=l_quant,
+                )
                 return self.count_prepared(prep, engine="pallas", per_packet=True)
             packed = {"auto": "auto", "packed": True, "bucketed": False}[staging]
             prep = self.prepare(
-                payloads, lengths, bucketed=bucketed, packed=packed
+                payloads, lengths, bucketed=bucketed, packed=packed,
+                n_tile=n_tile, l_quant=l_quant,
             )
             return self.count_prepared(prep, engine="pallas")
         fn = self._engine_fn(engine)

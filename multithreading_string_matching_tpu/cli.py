@@ -50,13 +50,14 @@ def _build(
     engine: str = "pallas",
     nocase: bool = False,
     syntax: str = "plain",
+    bucketed: bool = True,
 ):
     from multithreading_string_matching_tpu.api import Matcher
     from multithreading_string_matching_tpu.io.patterns import load_patterns
 
     return Matcher(
         load_patterns(args_patterns, syntax=syntax),
-        engine=engine, case_insensitive=nocase,
+        engine=engine, case_insensitive=nocase, bucketed=bucketed,
     )
 
 
@@ -182,7 +183,15 @@ def cmd_live(argv: List[str]) -> int:
         FileReplaySource(argv[0]) if os.path.exists(argv[0]) else LiveSource(argv[0])
     )
     writer = PcapWriter(dump_path) if dump_path else None
-    stream = StreamMatcher(matcher, dump_writer=writer)
+    # Stream tuning comes from MSM_STREAM_BATCH / MSM_STREAM_WINDOW env vars
+    # (the compat argv contract has no room for flags).
+    from multithreading_string_matching_tpu.utils.config import MatchConfig
+
+    env_cfg = MatchConfig.from_env()
+    stream = StreamMatcher(
+        matcher, batch_size=env_cfg.stream_batch,
+        fixed_len=env_cfg.stream_window, dump_writer=writer,
+    )
     stream.install_sigint()
     print("Starting the sniffing process...")
     try:
@@ -293,16 +302,27 @@ def cmd_match(argv: List[str]) -> int:
     if cfg.per_packet and not a.json:
         raise SystemExit("--per-packet produces an [N, P] matrix: use --json")
 
-    profiler_cm = None
+    import contextlib
+
+    profiler_cm = contextlib.nullcontext()
     if cfg.profile_dir:
         import jax
 
         profiler_cm = jax.profiler.trace(cfg.profile_dir)
-        profiler_cm.__enter__()
+    # A real with-block: the trace closes on ANY exit path (errors included),
+    # so a failed run still flushes a usable profile.
+    with profiler_cm:
+        return _run_match(a, cfg, pcap_paths)
+
+
+def _run_match(a, cfg, pcap_paths) -> int:
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+    from multithreading_string_matching_tpu.utils.timing import PhaseTimer
 
     matcher = _build(
         cfg.patterns, engine=cfg.engine, nocase=a.nocase,
-        syntax=a.pattern_syntax,
+        syntax=a.pattern_syntax, bucketed=cfg.bucketed,
     )
     timer = PhaseTimer()
     if a.dump_matches and a.sharded:
@@ -338,8 +358,6 @@ def cmd_match(argv: List[str]) -> int:
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
                 )
-        if profiler_cm is not None:
-            profiler_cm.__exit__(None, None, None)
         if a.json:
             import json
 
@@ -396,6 +414,24 @@ def cmd_match(argv: List[str]) -> int:
                 engine=eng, window=matcher.window,
                 pallas_matcher=matcher.pallas if eng == "pallas" else None,
             )
+        offsets = None
+        hit_rows = None
+        if a.dump_matches and a.offsets and not cfg.per_packet:
+            # One find_matches scan yields all three outputs: the occurrence
+            # rows ARE the counts (bincount over unique patterns, dup_map
+            # expanded) and the dump selection (rows with any hit).
+            rows = np.asarray(
+                matcher.find_matches(batch.payloads, batch.lengths)
+            )
+            uniq_counts = np.bincount(
+                rows[:, 2] if rows.size else np.zeros(0, np.int64),
+                minlength=len(matcher.window.unique_patterns),
+            )
+            counts = uniq_counts[matcher.window.dup_map].astype(np.int32)
+            hit_rows = (
+                np.unique(rows[:, 0]) if rows.size else np.zeros(0, np.int64)
+            )
+            offsets = rows
         elif a.dump_matches and not cfg.per_packet:
             # The dump needs row-level attribution; the aggregate counts are
             # the exact column sums of the per-row matrix (tested invariant),
@@ -406,17 +442,28 @@ def cmd_match(argv: List[str]) -> int:
                     f"--staging {a.staging} does not apply",
                     file=sys.stderr,
                 )
-            per_row = np.asarray(matcher.count_batch(batch, per_packet=True))
+            per_row = np.asarray(matcher.count_batch(
+                batch, per_packet=True, n_tile=cfg.n_tile, l_quant=cfg.l_quant,
+            ))
             counts = per_row.sum(axis=0, dtype=np.int64).astype(np.int32)
         else:
             counts = matcher.count_batch(
-                batch, per_packet=cfg.per_packet, staging=a.staging
+                batch, per_packet=cfg.per_packet, staging=a.staging,
+                n_tile=cfg.n_tile, l_quant=cfg.l_quant,
             )
             if cfg.per_packet:
                 per_row = np.asarray(counts)
-        offsets = None
-        if a.offsets:
-            offsets = matcher.find_matches(batch.payloads, batch.lengths)
+        if a.offsets and offsets is None:
+            offsets = np.asarray(
+                matcher.find_matches(batch.payloads, batch.lengths)
+            )
+    valid_idx = np.flatnonzero(batch.valid)
+    if offsets is not None and len(offsets):
+        # Report ORIGINAL capture packet numbers (find_matches rows index the
+        # valid payload rows): consistent with --dump-matches and with what a
+        # user sees in wireshark on a mixed-protocol capture.
+        offsets = np.asarray(offsets).copy()
+        offsets[:, 0] = valid_idx[offsets[:, 0]]
     dumped = None
     if a.dump_matches:
         from multithreading_string_matching_tpu.io.pcap import write_pcap
@@ -424,11 +471,9 @@ def cmd_match(argv: List[str]) -> int:
         # Payload rows are the valid packets in file order (padding rows are
         # zero-length and cannot match); map matched rows back to original
         # packet indices and re-emit those records verbatim.
-        valid_idx = np.flatnonzero(batch.valid)
-        row_hits = per_row[: valid_idx.size].sum(axis=1) > 0
-        dumped = write_pcap(a.dump_matches, pcap, valid_idx[row_hits])
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
+        if hit_rows is None:
+            hit_rows = np.flatnonzero(per_row[: valid_idx.size].sum(axis=1) > 0)
+        dumped = write_pcap(a.dump_matches, pcap, valid_idx[hit_rows])
     if a.json:
         import json
 

@@ -46,7 +46,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("MSM_NO_NATIVE"):
             return None
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        try:
+            stale = not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime
+        except OSError:
+            # Source absent (binary-only install) but a built .so exists:
+            # use it; with neither present, fall back to numpy silently.
+            stale = not _SO.exists()
+        if stale:
             if not _build():
                 return None
         try:

@@ -184,6 +184,8 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
     pos = 0
     end = "<"  # per-section; set at each SHB
     interfaces = []            # (linktype, snaplen, tsresol_divisor_to_usec)
+    first_meta = None          # (linktype, snaplen) of the first interface ever
+    saw_interface = False
     offsets, caplens, origlens, tss, tsf = [], [], [], [], []
     chunks = []                # captured-bytes slices, concatenated at the end
 
@@ -200,6 +202,14 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
                 end = ">"
             else:
                 raise ValueError("pcapng SHB with invalid byte-order magic")
+            # Interface IDs are SECTION-scoped: a new section's packet blocks
+            # must not resolve against a previous section's IDBs (wrong
+            # tsresol/linktype otherwise — e.g. mergecap -a output).
+            if interfaces:
+                saw_interface = True
+                if first_meta is None:
+                    first_meta = (interfaces[0][0], interfaces[0][1])
+            interfaces.clear()
         blen = u32(raw, pos + 4)
         if blen < 12 or blen % 4 or pos + blen > total:
             if strict:
@@ -219,10 +229,11 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
             break
         pos += blen
 
-    if strict and offsets and not interfaces:
+    if strict and offsets and not (interfaces or saw_interface):
         raise ValueError("pcapng file has packet blocks but no interface block")
-    linktype = interfaces[0][0] if interfaces else LINKTYPE_ETHERNET
-    snaplen = interfaces[0][1] if interfaces else 65535
+    if first_meta is None and interfaces:
+        first_meta = (interfaces[0][0], interfaces[0][1])
+    linktype, snaplen = first_meta if first_meta else (LINKTYPE_ETHERNET, 65535)
     blob = b"".join(chunks)
     return PcapFile(
         buf=np.frombuffer(blob, dtype=np.uint8).copy()
@@ -432,6 +443,8 @@ def _iter_pcapng_stream(
     file_off = 0
     end = "<"
     interfaces: list = []
+    first_meta = None          # (linktype, snaplen) of the first interface ever
+    saw_interface = False
     offsets, caplens, origlens, tss, tsf, chunks = [], [], [], [], [], []
 
     def refill(need: int) -> bool:
@@ -449,6 +462,11 @@ def _iter_pcapng_stream(
 
     def flush() -> PcapFile:
         blob = b"".join(chunks)
+        meta = first_meta or (
+            (interfaces[0][0], interfaces[0][1])
+            if interfaces
+            else (LINKTYPE_ETHERNET, 65535)
+        )
         out = PcapFile(
             buf=np.frombuffer(blob, dtype=np.uint8).copy()
             if blob
@@ -458,8 +476,8 @@ def _iter_pcapng_stream(
             origlens=np.asarray(origlens, dtype=np.int64),
             ts_sec=np.asarray(tss, dtype=np.int64),
             ts_frac=np.asarray(tsf, dtype=np.int64),
-            linktype=interfaces[0][0] if interfaces else LINKTYPE_ETHERNET,
-            snaplen=interfaces[0][1] if interfaces else 65535,
+            linktype=meta[0],
+            snaplen=meta[1],
             nanos=False,
         )
         offsets.clear(); caplens.clear(); origlens.clear()
@@ -483,6 +501,12 @@ def _iter_pcapng_stream(
                 end = ">"
             else:
                 raise ValueError("pcapng SHB with invalid byte-order magic")
+            # Section-scoped interface IDs (see _read_pcapng).
+            if interfaces:
+                saw_interface = True
+                if first_meta is None:
+                    first_meta = (interfaces[0][0], interfaces[0][1])
+            interfaces.clear()
         blen = struct.unpack_from(end + "I", pend, pos + 4)[0]
         if blen < 12 or blen % 4 or blen > _MAX_STREAM_RECORD or not refill(blen):
             if strict:
@@ -512,7 +536,7 @@ def _iter_pcapng_stream(
         yield flush()
     # Interface presence is checked at EOF, exactly like the one-shot
     # reader — an IDB may legally arrive after the first packet block.
-    if strict and saw_packets and not interfaces:
+    if strict and saw_packets and not (interfaces or saw_interface):
         raise ValueError("pcapng file has packet blocks but no interface block")
 
 

@@ -77,9 +77,11 @@ def kmp_dfa(pattern: bytes) -> np.ndarray:
 def stack_kmp_dfas(patterns: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
     """Stack per-pattern DFAs into one ``int32[P, m_max+1, 256]`` tensor.
 
-    Shorter patterns' unused states self-loop at their accept state's row so
-    the vmapped scan can run all patterns in lockstep; ``accept: int32[P]``
-    gives each pattern's accept-state index (its length).
+    Shorter patterns' pad rows (states beyond their accept) are zero-filled
+    and UNREACHABLE — the scan restarts at ``lps`` on accept, never entering
+    them — so the vmapped scan can run all patterns in lockstep;
+    ``accept: int32[P]`` gives each pattern's accept-state index (its
+    length).  Do not scan past a pattern's accept row without parking logic.
     """
     if not patterns:
         raise ValueError("no patterns")

@@ -243,10 +243,10 @@ def scan_pcap_streamed(
     the aggregate totals (exact column sums — tested invariant) and the
     matched-packet selection, appended to ``dump_path`` incrementally via
     :class:`~..io.pcap.PcapWriter`.  ``offsets=True`` additionally collects
-    (row, start, unique_pattern) triples with rows numbered over valid
-    payload rows globally — identical to the one-shot
-    ``Matcher.find_matches`` on the merged corpus.  Peak host memory is one
-    ingest chunk + one [chunk, P] count matrix (+ the offsets found).
+    (packet, start, unique_pattern) triples with ORIGINAL capture packet
+    numbers, global across chunks and input files — the numbering a user
+    sees in wireshark, and consistent with the dump.  Peak host memory is
+    one ingest chunk + one [chunk, P] count matrix (+ the offsets found).
 
     Returns ``counts`` or ``(counts, offsets)`` when ``offsets=True``;
     ``stats`` (if given) receives packet/byte totals plus
@@ -263,8 +263,8 @@ def scan_pcap_streamed(
             batch = extract_payloads(
                 chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
             )
+            packet_base = n_packets
             n_packets += batch.num_packets
-            valid_base = n_valid
             n_valid += int(batch.valid.sum())
             n_bytes += batch.total_payload_bytes
             valid_idx = np.flatnonzero(batch.valid)
@@ -299,7 +299,8 @@ def scan_pcap_streamed(
                     w.write(chunk, valid_idx[hit_rows])
                 if rows.size:
                     rows = rows.copy()
-                    rows[:, 0] += valid_base  # global valid-row numbering
+                    # Original capture packet numbers, global across chunks.
+                    rows[:, 0] = packet_base + valid_idx[rows[:, 0]]
                     found.append(rows)
             else:
                 per_row = np.asarray(

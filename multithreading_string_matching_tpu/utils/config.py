@@ -20,21 +20,24 @@ from typing import Optional
 
 @dataclass
 class MatchConfig:
-    pcap: str = ""                    # capture file (or interface for live)
-    patterns: str = ""                # strings.txt-style pattern file
-    mode: str = "udp"                 # 'udp' | 'tcp' (serial.c default: udp)
-    engine: str = "pallas"            # 'pallas' | 'window' | 'ac' | 'kmp'
-    strict: bool = False              # enable the checks the reference omits
-    bucketed: bool = True             # length-bucketed execution
-    per_packet: bool = False
-    batch_size: int = 100             # pipeline batch (openmp_task.c:113)
-    stream_batch: int = 10            # live batch (live_openmp_task.c:142)
-    stream_window: int = 2048         # streaming chunk width (bytes)
-    n_tile: int = 2048                # bucket tile rows
-    l_quant: int = 128                # bucket byte-length quantum (lane width)
-    row_tile: int = 512               # Pallas kernel rows per grid step
-    compat_output: bool = True        # byte-compatible report format
-    profile_dir: Optional[str] = None # jax.profiler trace output
+    # Consumers: [match] = the `match` subcommand, [live] = the `live`
+    # subcommand (env vars only — its argv is the compat contract),
+    # [lib] = library callers passing the field explicitly.
+    pcap: str = ""                    # [match] capture file (or interface for live)
+    patterns: str = ""                # [match] strings.txt-style pattern file
+    mode: str = "udp"                 # [match] 'udp' | 'tcp' (serial.c default: udp)
+    engine: str = "pallas"            # [match] 'pallas' | 'window' | 'ac' | 'kmp'
+    strict: bool = False              # [match] enable the checks the reference omits
+    bucketed: bool = True             # [match] length-bucketed execution
+    per_packet: bool = False          # [match]
+    batch_size: int = 100             # [lib] pipeline batch (openmp_task.c:113)
+    stream_batch: int = 10            # [live] live batch (live_openmp_task.c:142)
+    stream_window: int = 2048         # [live] streaming chunk width (bytes)
+    n_tile: int = 2048                # [match] bucket tile rows
+    l_quant: int = 128                # [match] bucket byte-length quantum (lanes)
+    row_tile: int = 512               # [lib] Pallas kernel rows per grid step
+    compat_output: bool = True        # [lib] byte-compatible report format
+    profile_dir: Optional[str] = None # [match] jax.profiler trace output
 
     def validate(self) -> "MatchConfig":
         if self.mode not in ("udp", "tcp"):
@@ -68,8 +71,11 @@ class MatchConfig:
 
     @staticmethod
     def from_env(base: Optional["MatchConfig"] = None) -> "MatchConfig":
-        """Environment overrides: MSM_<FIELD> (upper-case field name)."""
-        cfg = base or MatchConfig()
+        """Environment overrides: MSM_<FIELD> (upper-case field name).
+
+        Returns a NEW config; ``base`` is never mutated (and is left intact
+        if an override fails validation)."""
+        cfg = dataclasses.replace(base) if base is not None else MatchConfig()
         for f_ in dataclasses.fields(MatchConfig):
             v = os.environ.get(f"MSM_{f_.name.upper()}")
             if v is None:

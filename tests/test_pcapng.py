@@ -142,3 +142,49 @@ def test_pcapng_truncated_strict(reference_dir, tmp_path):
         read_pcap(p)
     ok = read_pcap(p, strict=False)  # keeps the complete prefix
     assert 0 < ok.num_packets < classic.num_packets
+
+
+def test_multi_section_interface_scoping(tmp_path):
+    """Interface IDs are section-scoped: section 2's EPBs must resolve
+    against section 2's IDB (nanosecond tsresol here), not section 1's."""
+    def block(out, btype, body, end="<"):
+        blen = 12 + len(body) + ((-len(body)) % 4)
+        out += struct.pack(end + "II", btype, blen)
+        out += body + b"\x00" * ((-len(body)) % 4)
+        out += struct.pack(end + "I", blen)
+        return out
+
+    data = b"payload-one!"
+    out = b""
+    # Section 1: default usec IDB + one EPB at t=5s, 250000us.
+    out = block(out, 0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    out = block(out, 0x00000001, struct.pack("<HHI", 1, 0, 65535))
+    ticks1 = 5 * 1_000_000 + 250_000
+    out = block(out, 0x00000006, struct.pack(
+        "<IIIII", 0, ticks1 >> 32, ticks1 & 0xFFFFFFFF, len(data), len(data)
+    ) + data)
+    # Section 2: IDB with if_tsresol=9 (nanoseconds) + EPB at t=7s, 123456us.
+    out = block(out, 0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    idb2 = struct.pack("<HHI", 1, 0, 65535) + struct.pack("<HH", 9, 1) + b"\x09\x00\x00\x00"
+    idb2 += struct.pack("<HH", 0, 0)
+    out = block(out, 0x00000001, idb2)
+    ticks2 = (7 * 1_000_000 + 123_456) * 1000  # nanosecond ticks
+    out = block(out, 0x00000006, struct.pack(
+        "<IIIII", 0, ticks2 >> 32, ticks2 & 0xFFFFFFFF, len(data), len(data)
+    ) + data)
+
+    p = tmp_path / "two_sections.pcapng"
+    p.write_bytes(out)
+    pf = read_pcap(p)
+    assert pf.num_packets == 2
+    assert (int(pf.ts_sec[0]), int(pf.ts_frac[0])) == (5, 250_000)
+    # Before the section-scoping fix this read 7*1e9/1e6-style garbage
+    # (divisor from section 1): sec=7_123_456.
+    assert (int(pf.ts_sec[1]), int(pf.ts_frac[1])) == (7, 123_456)
+
+    # Streaming reader agrees.
+    from multithreading_string_matching_tpu.io.pcap import iter_pcap
+
+    chunks = list(iter_pcap(p, batch_packets=1))
+    assert len(chunks) == 2
+    assert (int(chunks[1].ts_sec[0]), int(chunks[1].ts_frac[0])) == (7, 123_456)

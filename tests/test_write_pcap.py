@@ -394,8 +394,9 @@ def test_cli_match_requires_pcap(reference_dir):
 # -- streamed offsets --------------------------------------------------------
 
 def test_stream_offsets_equal_oneshot(reference_dir, capsys):
-    """Streamed --offsets reproduce the one-shot find_matches rows exactly
-    (global valid-row numbering) even across tiny chunks and two files."""
+    """Streamed --offsets reproduce the one-shot find_matches rows exactly —
+    numbered by ORIGINAL capture packet (valid-row indices mapped through
+    batch.valid) — even across tiny chunks and two files."""
     from multithreading_string_matching_tpu.parallel.pipeline import (
         scan_pcap_streamed,
     )
@@ -410,10 +411,15 @@ def test_stream_offsets_equal_oneshot(reference_dir, capsys):
     merged = concat_pcaps([read_pcap(p) for p in paths])
     batch = extract_payloads(merged, "udp")
     want_rows = np.asarray(m.find_matches(batch.payloads, batch.lengths))
+    want_rows = want_rows.copy()
+    want_rows[:, 0] = np.flatnonzero(batch.valid)[want_rows[:, 0]]
     got = sorted(map(tuple, rows.tolist()))
     want = sorted(map(tuple, want_rows.tolist()))
     assert got == want
     assert int(counts.sum()) == 39 + 1006
+    # udp_1000 has invalid packets, so packet numbering must EXCEED the
+    # valid-row count somewhere — the regression this semantics fixes.
+    assert rows[:, 0].max() >= int(batch.valid.sum())
 
 
 def test_cli_stream_offsets_json(reference_dir, capsys):
