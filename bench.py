@@ -90,12 +90,20 @@ def main():
     # Sequence-packed staging (0x00-separated payload concatenation) drops
     # padded bytes from the 128-lane floor (~1.6x real) to ~real — exact for
     # the NUL-free strings.txt pattern set (see api.Matcher.prepare).
+    # Untimed warmup: the FIRST device op in a process pays backend/tunnel
+    # initialization and a trivial remote compile (minutes on cold caches) —
+    # that cost must not masquerade as staging time.
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros((8,), jnp.int32) + 1)
     t0 = time.perf_counter()
     prep = matcher.prepare_batch(batch, packed="auto", n_tile=8192)
     # jnp.asarray device-puts are ASYNC: fetch one element per tile so the
     # timer includes the actual transfer, not just host packing + enqueue
     # (block_until_ready returns early through the tunnel; np.asarray of a
-    # device slice is the only trustworthy sync — see CLAUDE.md).
+    # device slice is the only trustworthy sync — see CLAUDE.md).  The
+    # per-tile fetch adds one ~28 ms round-trip per tile on this tunnel —
+    # an overestimate bounded by tiles x RTT, stated rather than hidden.
     for tp, tl in prep.tiles:
         np.asarray(tl[:1])
     h2d_s = time.perf_counter() - t0
