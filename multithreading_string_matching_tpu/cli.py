@@ -331,9 +331,12 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "(the mesh path reduces counts without per-packet identity)"
         )
     if a.stream:
-        if a.sharded or cfg.per_packet:
+        if cfg.per_packet:
+            raise SystemExit("--stream is incompatible with --per-packet")
+        if a.sharded and (a.dump_matches or a.offsets):
             raise SystemExit(
-                "--stream is incompatible with --sharded/--per-packet"
+                "--stream --sharded is counts-only (the mesh reduces "
+                "without per-packet identity)"
             )
         from multithreading_string_matching_tpu.parallel.pipeline import (
             count_pcap_streamed,
@@ -357,6 +360,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
+                    sharded=a.sharded,
                 )
         if a.json:
             import json

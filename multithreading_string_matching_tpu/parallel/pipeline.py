@@ -92,6 +92,8 @@ def count_pcap_streamed(
     ipv6: bool = False,
     engine: Optional[str] = None,
     stats: Optional[dict] = None,
+    sharded: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Production-rate streaming scan: bounded-memory ingest feeding the
     fast engine through ONE fixed compiled shape.
@@ -116,6 +118,12 @@ def count_pcap_streamed(
     through the bucketed engine; NUL-containing pattern sets (packing
     inexact) fall back to :func:`scan_pcap_streamed` entirely.  Counts are
     bit-identical to the one-shot scan in every case (tested).
+
+    ``sharded=True`` is the pod-scale serving shape: each packed tile's
+    rows shard over the device ``mesh`` (default: all devices), the per-
+    pattern merge is one psum per tile, and accumulation stays device-side
+    — streamed ingest feeding every chip of a slice through one fixed
+    executable.  (The NUL-pattern fallback above runs unsharded.)
     """
     if any(0 in p for p in matcher.window.unique_patterns):
         # Packing is inexact for NUL-containing patterns; the per-row
@@ -129,8 +137,52 @@ def count_pcap_streamed(
     from multithreading_string_matching_tpu.ops.bucketing import pack_rows
 
     engine = matcher._resolve_engine(engine)
+    if sharded and engine == "kmp":
+        engine = "ac"  # per-pattern DFAs have no sharded path; AC is exact
     use_pallas = engine == "pallas"
     engine_fn = None if use_pallas else matcher._engine_fn(engine)
+
+    shard_fn = None
+    if sharded:
+        # Pod-scale serving: every packed tile's rows shard over the device
+        # mesh, counts merge with one psum per tile and accumulate device-
+        # side (UNIQUE-pattern counts; dup expansion happens after the final
+        # drain).  Same fixed executable per tile as the single-chip path.
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from multithreading_string_matching_tpu.parallel.mesh import (
+            _sharded_count,
+            _sharded_count_pallas,
+            _sharded_count_window,
+            make_mesh,
+        )
+
+        mesh = mesh or make_mesh()
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        tile_rows = -(-tile_rows // n_dev) * n_dev  # shard rows evenly
+        sharding = NamedSharding(mesh, P(axis))
+
+        def shard_fn(buf, fill):
+            pay_d = jax.device_put(jnp.asarray(buf, jnp.uint8), sharding)
+            len_d = jax.device_put(jnp.asarray(fill, jnp.int32), sharding)
+            if use_pallas:
+                return _sharded_count_pallas(
+                    matcher.pallas, pay_d, len_d, mesh=mesh, axis=axis
+                )
+            if engine == "window":
+                w = matcher.window
+                return _sharded_count_window(
+                    jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
+                    jnp.asarray(w.pat_lens), pay_d, len_d,
+                    mesh=mesh, axis=axis,
+                )
+            cac = matcher.cac
+            return _sharded_count(
+                cac.goto_flat, cac.emit_ids, cac.emit_sub,
+                pay_d, len_d, dead=cac.dead, mesh=mesh, axis=axis,
+            )
     buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
     fill = np.zeros(tile_rows, dtype=np.int32)
     r = 0
@@ -158,7 +210,9 @@ def count_pcap_streamed(
         # so mutating the old tile after dispatch would corrupt the pending
         # computation.
         nonlocal total, buf, fill, r, tiles_since_drain
-        if use_pallas:
+        if shard_fn is not None:
+            out = shard_fn(buf, fill)  # UNIQUE counts, device-replicated
+        elif use_pallas:
             out = matcher.pallas.count_tiles([(buf, fill)])
         else:
             out = engine_fn(
@@ -214,6 +268,11 @@ def count_pcap_streamed(
         if host_total is not None
         else np.zeros(len(matcher.patterns), dtype=np.int64)
     )
+    if sharded and host_total is not None:
+        # The sharded per-tile reducers return UNIQUE-pattern counts (the
+        # collective payload stays minimal); expand to the original list.
+        dup = matcher.ac.dup_map if engine == "ac" else matcher.window.dup_map
+        counts = counts[dup]
     if over_total is not None:
         counts = counts + np.asarray(over_total).astype(np.int64)
     if counts.size and counts.max() > np.iinfo(np.int32).max:

@@ -281,3 +281,61 @@ def test_streamed_nul_pattern_fallback_fills_stats(reference_dir):
     assert stats["packets"] == 20
     assert stats["valid_payloads"] == 20
     assert stats["payload_bytes"] == 3347
+
+
+def test_streamed_sharded_equals_oneshot(reference_dir):
+    """--stream --sharded: packed tiles shard over the 8-device mesh with a
+    psum merge per tile; counts are bit-identical to the one-shot scan."""
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.patterns import load_patterns
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+    )
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    stats = {}
+    counts = count_pcap_streamed(
+        m, reference_dir / "udp_1000.pcap", "udp",
+        sharded=True, batch_packets=130, tile_rows=40, pack_width=2048,
+        stats=stats,
+    )
+    want = m.count_batch(
+        extract_payloads(read_pcap(reference_dir / "udp_1000.pcap"), "udp")
+    )
+    assert counts.tolist() == want.tolist()
+    assert int(counts.sum()) == 1006
+    assert stats["packets"] == 1000
+
+    # AC engine shards too (unique->dup expansion via its own map).
+    counts_ac = count_pcap_streamed(
+        m, reference_dir / "udp_1000.pcap", "udp",
+        sharded=True, engine="ac", tile_rows=24,
+    )
+    assert counts_ac.tolist() == want.tolist()
+
+
+def test_cli_stream_sharded(reference_dir, capsys):
+    import json
+
+    from multithreading_string_matching_tpu.cli import main
+
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--stream", "--sharded",
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 39
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="counts-only"):
+        main([
+            "match", "--pcap", str(reference_dir / "udp.pcap"),
+            "--patterns", str(reference_dir / "strings.txt"),
+            "--stream", "--sharded", "--offsets",
+        ])
