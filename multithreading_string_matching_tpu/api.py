@@ -214,6 +214,39 @@ class Matcher:
             )
         return self._pallas
 
+    def explain(self) -> dict:
+        """How this matcher will execute — for logs/observability, not for
+        program logic (shapes may route differently per call: staging,
+        per-packet, CPU degradation).
+
+        The reference's only observability is the final printf; a serving
+        deployment wants to log WHICH engine/kernel a rule-set compiled to
+        before traffic arrives.
+        """
+        unique = list(dict.fromkeys(self._match_patterns))
+        max_len = max(len(p) for p in unique)
+        total_words = sum(-(-len(p) // 4) for p in unique)
+        eng = self._resolve_engine(None)
+        out = {
+            "engine_requested": self.engine,
+            "engine_resolved": eng,
+            "patterns": len(self.patterns),
+            "unique_patterns": len(unique),
+            "total_pattern_words": total_words,
+            "max_pattern_len": max_len,
+            "case_insensitive": self.case_insensitive,
+            "bucketed": self.bucketed,
+            "nul_patterns": any(0 in p for p in unique),
+        }
+        if eng == "pallas":
+            force = os.environ.get("MSM_PALLAS_TABLE")
+            use_table = (
+                total_words > self.PALLAS_TABLE_WORDS if force is None
+                else force not in ("0", "")
+            )
+            out["pallas_kernel"] = "table" if use_table else "unrolled"
+        return out
+
     @staticmethod
     def from_file(path: Union[str, os.PathLike], engine: str = "pallas") -> "Matcher":
         return Matcher(load_patterns(path), engine=engine)

@@ -371,6 +371,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 **stream_stats,  # packets / valid_payloads / payload_bytes
                 "phases": timer.phases,
             }
+            blob["execution"] = matcher.explain()
             if a.dump_matches:
                 blob["dump_path"] = a.dump_matches
             if stream_offsets is not None:
@@ -488,6 +489,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "valid_payloads": int(batch.valid.sum()),
             "payload_bytes": batch.total_payload_bytes,
             "phases": timer.phases,
+            "execution": matcher.explain(),
         }
         if offsets is not None:
             blob["offsets"] = offsets.tolist()  # (packet, start, unique_pattern)

@@ -165,3 +165,27 @@ def test_match_pattern_syntax_escaped(reference_dir, tmp_path, capsys):
     assert blob["patterns"] == ["NOTIFY *", "NOTIFY"]
     assert blob["counts"][1] == 5          # golden NOTIFY count
     assert 0 < blob["counts"][0] <= 5      # every 'NOTIFY *' is a NOTIFY
+
+
+def test_match_json_execution_blob(reference_dir, capsys):
+    import json
+
+    code, out, _ = _run(
+        capsys, "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json",
+    )
+    assert code == 0
+    ex = json.loads(out)["execution"]
+    assert ex["patterns"] == 97 and ex["unique_patterns"] == 87
+    assert ex["engine_resolved"] in ("pallas", "window")
+    assert ex["nul_patterns"] is False
+    # Large synthetic set routes to the table kernel; the blob says so.
+    from multithreading_string_matching_tpu.api import Matcher
+
+    big = Matcher([bytes([65 + i % 26, 66, 67, 68, 69, 70, 71, 72 + i % 8])
+                   + str(i).encode() for i in range(400)])
+    ex2 = big.explain()
+    assert ex2["total_pattern_words"] > 512
+    if ex2["engine_resolved"] == "pallas":
+        assert ex2["pallas_kernel"] == "table"
