@@ -145,3 +145,63 @@ def test_bpf_filter_tcp_quirk_divergence(tmp_path):
     assert int(plain.counts().sum()) == 1   # the quirky extractor scans it
     assert int(filt.counts().sum()) == 0    # BPF 'tcp' never delivers it
     assert plain.packets_seen == 1 and filt.packets_seen == 0
+
+
+@pytest.mark.parametrize("seed", [30, 31, 32, 33])
+def test_streaming_property_fuzz(seed):
+    """Randomized deep fuzz of BOTH carried-state engines vs the oracle:
+    random chunk widths, heavy-overlap alphabets, NUL patterns, nocase, and
+    lengths that end exactly at / inside / beyond chunk boundaries."""
+    import jax.numpy as jnp
+
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.ops.scan import count_matches_ac
+
+    rng = np.random.default_rng(seed)
+    n, L = 10, 160
+    alpha = int(rng.integers(2, 6))
+    pats = [b"Ab", b"aB" * 2, b"b", b"\x00a", b"a" * 7, b"ab"]
+    payloads = rng.integers(0, alpha, size=(n, L)).astype(np.uint8)
+    # Byte values land in 'a'..: map 0->a, 1->b(A?)... mix case for nocase.
+    payloads = (payloads + 97).astype(np.uint8)
+    flip = rng.random((n, L)) < 0.3
+    payloads = np.where(flip & (payloads < 123), payloads - 32, payloads)
+    payloads = payloads.astype(np.uint8)
+    payloads[rng.random((n, L)) < 0.05] = 0  # sprinkle NULs
+    lengths = rng.integers(0, L + 1, size=n).astype(np.int32)
+    chunk = int(rng.choice([16, 24, 32, 80]))
+    lengths[0] = chunk          # ends exactly at a chunk boundary
+    lengths[1] = chunk + 1      # one byte into the next chunk
+
+    m = Matcher(pats, case_insensitive=True)
+    want = np.asarray(m.count(payloads, lengths, engine="window"))
+
+    # window engine, halo-carried chunks
+    folded = m._maybe_fold(payloads)
+    wp = m.window
+    got_w = _stream(wp, folded, lengths, chunk)
+    assert (got_w == want).all(), ("window", chunk)
+
+    # AC engine, carried DFA states
+    states = jnp.zeros((n,), jnp.int32)
+    total = None
+    for start in range(0, L, chunk):
+        c = folded[:, start : start + chunk]
+        rel = np.clip(lengths - start, 0, None).astype(np.int32)
+        counts, states = count_matches_ac(
+            m.cac, jnp.asarray(c), jnp.asarray(rel),
+            initial_states=states, dup_map=m.ac.dup_map, return_states=True,
+        )
+        total = np.asarray(counts) if total is None else total + np.asarray(counts)
+    assert (total == want).all(), ("ac", chunk)
+
+    # Cross-check against the pure-Python oracle on the folded texts.
+    def fold(b):
+        return bytes(c + 32 if 65 <= c <= 90 else c for c in b)
+
+    for j, p in enumerate(pats):
+        oracle_n = sum(
+            count_overlapping(fold(payloads[i, : lengths[i]].tobytes()), fold(p))
+            for i in range(n)
+        )
+        assert oracle_n == int(want[j]), (j, p)
