@@ -199,12 +199,11 @@ class Matcher:
             )
 
             total_words = int((self.window.pat_masks != 0).sum())
-            force = os.environ.get("MSM_PALLAS_TABLE")
-            use_table = (
-                total_words > self.PALLAS_TABLE_WORDS if force is None
-                else force not in ("0", "")
+            cls = (
+                PallasTableMatcher
+                if self._pallas_table_selected(total_words)
+                else PallasWindowMatcher
             )
-            cls = PallasTableMatcher if use_table else PallasWindowMatcher
             # prepare()/extract_payloads zero-pad rows past their lengths,
             # which unlocks the kernel's no-fit fast path.
             self._pallas = cls(
@@ -213,6 +212,16 @@ class Matcher:
                 assume_zero_padded=True,
             )
         return self._pallas
+
+    def _pallas_table_selected(self, total_words: int) -> bool:
+        """ONE place decides unrolled vs table kernel (the pallas property
+        and explain() must never disagree).  total_words = nonzero mask
+        words = sum of ceil(len/4) over unique patterns — both callers'
+        computations are equal by construction."""
+        force = os.environ.get("MSM_PALLAS_TABLE")
+        if force is None:
+            return total_words > self.PALLAS_TABLE_WORDS
+        return force not in ("0", "")
 
     def explain(self) -> dict:
         """How this matcher will execute — for logs/observability, not for
@@ -239,12 +248,10 @@ class Matcher:
             "nul_patterns": any(0 in p for p in unique),
         }
         if eng == "pallas":
-            force = os.environ.get("MSM_PALLAS_TABLE")
-            use_table = (
-                total_words > self.PALLAS_TABLE_WORDS if force is None
-                else force not in ("0", "")
+            out["pallas_kernel"] = (
+                "table" if self._pallas_table_selected(total_words)
+                else "unrolled"
             )
-            out["pallas_kernel"] = "table" if use_table else "unrolled"
         return out
 
     @staticmethod

@@ -61,6 +61,16 @@ def _build(
     )
 
 
+def _execution_blob(matcher, sharded: bool) -> dict:
+    """matcher.explain(), corrected for CLI-level remaps: the sharded paths
+    have no per-pattern-DFA reducer and run kmp rule sets through AC."""
+    ex = matcher.explain()
+    if sharded and ex["engine_resolved"] == "kmp":
+        ex["engine_resolved"] = "ac"
+        ex["sharded_remap"] = "kmp->ac"
+    return ex
+
+
 def _report(matcher, counts, elapsed, **kw):
     from multithreading_string_matching_tpu.utils.report import format_report
 
@@ -371,7 +381,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 **stream_stats,  # packets / valid_payloads / payload_bytes
                 "phases": timer.phases,
             }
-            blob["execution"] = matcher.explain()
+            blob["execution"] = _execution_blob(matcher, a.sharded)
             if a.dump_matches:
                 blob["dump_path"] = a.dump_matches
             if stream_offsets is not None:
@@ -489,7 +499,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "valid_payloads": int(batch.valid.sum()),
             "payload_bytes": batch.total_payload_bytes,
             "phases": timer.phases,
-            "execution": matcher.explain(),
+            "execution": _execution_blob(matcher, a.sharded),
         }
         if offsets is not None:
             blob["offsets"] = offsets.tolist()  # (packet, start, unique_pattern)

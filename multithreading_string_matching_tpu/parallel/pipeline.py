@@ -125,7 +125,17 @@ def count_pcap_streamed(
     — streamed ingest feeding every chip of a slice through one fixed
     executable.  (The NUL-pattern fallback above runs unsharded.)
     """
+    if mesh is not None and not sharded:
+        raise ValueError("mesh= is only meaningful with sharded=True")
     if any(0 in p for p in matcher.window.unique_patterns):
+        if sharded:
+            # The fallback below is single-device; running it silently at
+            # 1/N of the mesh's throughput would be a lie.
+            raise ValueError(
+                "sharded streaming requires NUL-free patterns (packing is "
+                "inexact otherwise and the per-row fallback is unsharded); "
+                "drop sharded=True or the NUL patterns"
+            )
         # Packing is inexact for NUL-containing patterns; the per-row
         # streamed scanner is still bounded-memory and fills the caller's
         # stats (the pipelined path would silently drop them).
@@ -163,6 +173,13 @@ def count_pcap_streamed(
         n_dev = mesh.devices.size
         tile_rows = -(-tile_rows // n_dev) * n_dev  # shard rows evenly
         sharding = NamedSharding(mesh, P(axis))
+        # Stage the pattern program ONCE — never re-upload in the per-tile
+        # loop (CLAUDE.md: the tunnel moves ~60 MB/s).
+        if engine == "window":
+            w = matcher.window
+            pat_w = jnp.asarray(w.pat_words)
+            pat_m = jnp.asarray(w.pat_masks)
+            pat_l = jnp.asarray(w.pat_lens)
 
         def shard_fn(buf, fill):
             pay_d = jax.device_put(jnp.asarray(buf, jnp.uint8), sharding)
@@ -172,11 +189,8 @@ def count_pcap_streamed(
                     matcher.pallas, pay_d, len_d, mesh=mesh, axis=axis
                 )
             if engine == "window":
-                w = matcher.window
                 return _sharded_count_window(
-                    jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
-                    jnp.asarray(w.pat_lens), pay_d, len_d,
-                    mesh=mesh, axis=axis,
+                    pat_w, pat_m, pat_l, pay_d, len_d, mesh=mesh, axis=axis,
                 )
             cac = matcher.cac
             return _sharded_count(

@@ -181,11 +181,21 @@ def test_match_json_execution_blob(reference_dir, capsys):
     assert ex["engine_resolved"] in ("pallas", "window")
     assert ex["nul_patterns"] is False
     # Large synthetic set routes to the table kernel; the blob says so.
+    # MSM_PALLAS_INTERPRET keeps resolution at "pallas" on the CPU test
+    # backend so the kernel-selection branch actually executes.
+    import os
+
     from multithreading_string_matching_tpu.api import Matcher
 
     big = Matcher([bytes([65 + i % 26, 66, 67, 68, 69, 70, 71, 72 + i % 8])
                    + str(i).encode() for i in range(400)])
-    ex2 = big.explain()
-    assert ex2["total_pattern_words"] > 512
-    if ex2["engine_resolved"] == "pallas":
+    os.environ["MSM_PALLAS_INTERPRET"] = "1"
+    try:
+        ex2 = big.explain()
+        assert ex2["total_pattern_words"] > 512
+        assert ex2["engine_resolved"] == "pallas"
         assert ex2["pallas_kernel"] == "table"
+        small = Matcher([b"http", b"xml"]).explain()
+        assert small["pallas_kernel"] == "unrolled"
+    finally:
+        del os.environ["MSM_PALLAS_INTERPRET"]

@@ -339,3 +339,25 @@ def test_cli_stream_sharded(reference_dir, capsys):
             "--patterns", str(reference_dir / "strings.txt"),
             "--stream", "--sharded", "--offsets",
         ])
+
+
+def test_streamed_sharded_guards(reference_dir):
+    import pytest
+
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+    )
+
+    nul = Matcher([b"ab\x00c"], engine="window")
+    with pytest.raises(ValueError, match="NUL-free"):
+        count_pcap_streamed(
+            nul, reference_dir / "udp.pcap", "udp", sharded=True
+        )
+    plain = Matcher([b"http"], engine="window")
+    from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="mesh"):
+        count_pcap_streamed(
+            plain, reference_dir / "udp.pcap", "udp", mesh=make_mesh()
+        )
