@@ -295,6 +295,13 @@ class PallasTableMatcher:
             outs.append(out[: c.num, 0])
         return jnp.concatenate(outs)
 
+    def count_tile_unique(self, payloads, lengths):
+        """Counts in BUILD (unique-pattern) order for one tile: ``_one_tile``
+        concatenates word-count classes in sorted order, so the inverse
+        permutation must be applied before any caller mixes these counts
+        with build-order data (same contract as PallasWindowMatcher)."""
+        return jnp.take(self._one_tile(payloads, lengths), self._inv)
+
     def _one_tile_rows(self, payloads, lengths):
         payloads, lengths, tn = self._pad_tile(payloads, lengths)
         n, L = payloads.shape

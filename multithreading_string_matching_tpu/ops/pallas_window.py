@@ -219,6 +219,14 @@ class PallasWindowMatcher:
             interpret=self.interpret,
         )(payloads, lengths)
 
+    def count_tile_unique(self, payloads, lengths):
+        """Counts in BUILD (unique-pattern) order for one tile — the shape
+        contract shared with :class:`~.pallas_table.PallasTableMatcher`
+        (whose raw ``_one_tile`` is sorted by word-count class).  Safe to
+        call inside a jit/shard_map trace; parallel.mesh uses it so sharded
+        runs can never see a kernel-internal permutation."""
+        return self._one_tile(payloads, lengths)
+
     def _one_tile_rows(self, payloads, lengths):
         """Per-row counts int32[n_padded, U]; each grid step writes its own
         row block (no cross-step state, no zeroing pass)."""

@@ -157,7 +157,11 @@ def _sharded_count_pallas(pallas_matcher, payloads, lengths, mesh: Mesh, axis: s
     if fn is None:
 
         def local(payloads, lengths):
-            counts = pallas_matcher._one_tile(payloads, lengths)
+            # count_tile_unique returns BUILD-order unique counts for both
+            # kernel classes (PallasTableMatcher's raw _one_tile is permuted
+            # by word-count class — using it here once returned silently
+            # reordered counts for >512-word sets).
+            counts = pallas_matcher.count_tile_unique(payloads, lengths)
             return jax.lax.psum(counts, axis)
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh-

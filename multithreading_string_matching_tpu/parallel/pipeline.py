@@ -31,6 +31,12 @@ from multithreading_string_matching_tpu.ops.window import count_matches_window
 
 DEFAULT_BATCH = 100  # openmp_task.c:113
 
+# Drain device-side int32 accumulators to host int64 after this many scanned
+# positions: one position contributes at most one match per pattern, so the
+# int32 can never wrap between drains (2x margin).  Module-level so overflow
+# tests can lower it without scanning 2 GiB.
+DRAIN_POSITIONS = 2**30
+
 
 def _iter_pcap_paths(pcap_path, batch_packets):
     """Stream chunks from one path or a sequence of paths (rotated captures)."""
@@ -206,7 +212,7 @@ def count_pcap_streamed(
     # One tile can contribute at most tile_rows*pack_width matches per
     # pattern; drain the device int32 accumulator to host int64 before it
     # can wrap (with margin).
-    drain_every = max(1, (2**30) // max(1, tile_rows * pack_width))
+    drain_every = max(1, DRAIN_POSITIONS // max(1, tile_rows * pack_width))
     over_total = None     # host-side counts for oversized payloads
 
     def drain():
@@ -394,11 +400,12 @@ def scan_pcap_streamed(
         )
         if w is not None:
             stats["dumped_packets"] = w.packets_written
-    counts = (
-        np.zeros(len(matcher.patterns), dtype=np.int32)
-        if total is None
-        else total.astype(np.int32)
-    )
+    if total is None:
+        counts = np.zeros(len(matcher.patterns), dtype=np.int32)
+    elif total.size and total.max() > np.iinfo(np.int32).max:
+        counts = total  # beyond int32: exact int64 (mirror count_pcap_streamed)
+    else:
+        counts = total.astype(np.int32)
     if offsets:
         all_rows = (
             np.concatenate(found, axis=0)
@@ -438,7 +445,19 @@ def count_pcap_pipelined(
     producer pulls packets from libpcap incrementally instead of loading the
     capture first (openmp_task.c:131-156) — so captures larger than host RAM
     flow through with bounded residency (one batch + one read buffer)."""
-    total = None
+    total = None          # device-resident int32 accumulator
+    host_total = None     # int64 accumulator drained periodically
+    pos_since_drain = 0   # scanned positions bound the per-pattern growth
+
+    def drain():
+        nonlocal total, host_total, pos_since_drain
+        if total is None:
+            return
+        t = np.asarray(total).astype(np.int64)
+        host_total = t if host_total is None else host_total + t
+        total = None
+        pos_since_drain = 0
+
     for chunk in _iter_pcap_paths(pcap_path, batch_size):
         for payloads, lengths in iter_batches(
             chunk, mode, batch_size, strict=strict, vlan=vlan, ipv6=ipv6
@@ -453,6 +472,15 @@ def count_pcap_pipelined(
                 jnp.asarray(lengths),
             )
             total = counts if total is None else total + counts
-    if total is None:
+            # A batch contributes at most rows*cols matches per pattern;
+            # drain the int32 device accumulator to host int64 before it can
+            # wrap (same rule as count_pcap_streamed's drain_every).
+            pos_since_drain += payloads.shape[0] * payloads.shape[1]
+            if pos_since_drain >= DRAIN_POSITIONS:
+                drain()
+    drain()
+    if host_total is None:
         return np.zeros(len(matcher.patterns), dtype=np.int32)
-    return np.asarray(total)  # single synchronization point
+    if host_total.size and host_total.max() > np.iinfo(np.int32).max:
+        return host_total  # beyond int32: exact int64 totals
+    return host_total.astype(np.int32)

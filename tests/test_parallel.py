@@ -71,6 +71,43 @@ def test_sharded_pallas_equals_single(matcher, udp1000):
         assert (got == want).all(), f"ndev={ndev}"
 
 
+def test_sharded_pallas_table_build_order(monkeypatch):
+    """The table kernel's raw _one_tile returns counts sorted by word-count
+    class; the sharded path must restore BUILD order (advisor round-1 high:
+    mixed-length sets through MSM_PALLAS_TABLE=1 + shard_map silently
+    permuted per-pattern counts)."""
+    from multithreading_string_matching_tpu.ops.pallas_table import (
+        PallasTableMatcher,
+    )
+
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    # Mixed word counts (1..3 words) in deliberately non-sorted order, with
+    # distinct per-pattern counts so any permutation is visible.
+    patterns = [b"abcdefghi", b"xy", b"abcd", b"hello", b"zq"]
+    m = Matcher(patterns)
+    rng = np.random.default_rng(7)
+    payloads = rng.integers(1, 255, size=(64, 128)).astype(np.uint8)
+    for i, p in enumerate(patterns):
+        for j in range(i + 1):  # pattern i appears in i+1 rows
+            payloads[(3 * i + 5 * j) % 64, 8 * i : 8 * i + len(p)] = (
+                np.frombuffer(p, np.uint8)
+            )
+    lengths = np.full(64, 128, np.int32)
+    cols = np.arange(128)[None, :]
+    payloads = np.where(cols < lengths[:, None], payloads, 0).astype(np.uint8)
+    want = m.count(payloads, lengths, engine="window", bucketed=False)
+    pm = PallasTableMatcher(
+        m.window, row_tile=32, interpret=True, assume_zero_padded=True
+    )
+    for ndev in (2, 8):
+        mesh = make_mesh(jax.devices("cpu")[:ndev])
+        got = count_matches_sharded(
+            m.cac, payloads, lengths, mesh,
+            dup_map=m.window.dup_map, engine="pallas", pallas_matcher=pm,
+        )
+        assert (got == want).all(), f"ndev={ndev}: {got} != {want}"
+
+
 def test_shard_batch_pads_to_divisible():
     mesh = make_mesh(jax.devices("cpu")[:8])
     p = np.ones((13, 16), np.uint8)
