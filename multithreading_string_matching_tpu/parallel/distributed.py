@@ -44,9 +44,23 @@ from multithreading_string_matching_tpu.io.decode import extract_payloads
 from multithreading_string_matching_tpu.parallel.mesh import (
     PACKET_AXIS,
     _sharded_count,
+    _sharded_count_pallas,
     _sharded_count_window,
     make_mesh,
 )
+
+
+def _pallas_for_mesh(matcher, mesh):
+    """A Pallas matcher whose interpret flag matches where the MESH lives:
+    ``matcher.pallas`` keys interpret off ``jax.default_backend()``, but a
+    CPU test mesh can coexist with a TPU default backend (and vice versa —
+    the sitecustomize platform race, see __graft_entry__).  Reuses the
+    cached matcher when the flag already agrees."""
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    pm = matcher.pallas
+    if pm.interpret == interpret:
+        return pm
+    return type(pm)(matcher.window, interpret=interpret, assume_zero_padded=True)
 
 
 def initialize_from_env() -> bool:
@@ -84,14 +98,17 @@ def count_pcap_distributed(
     engine: str = "window",
     mesh=None,
 ) -> DistributedResult:
-    """Count patterns over a pcap sharded across all participating hosts."""
-    if engine not in ("window", "ac"):
-        # The multi-host path ships raw padded rows between processes, which
-        # the pallas staged pipeline does not (its tiles are host-local);
-        # reject typos/pallas instead of silently running the ~30x-slower AC.
+    """Count patterns over a pcap sharded across all participating hosts.
+
+    ``engine='pallas'`` runs the flagship VMEM kernel on every shard — the
+    full-speed multi-host configuration, exactly as each reference MPI rank
+    runs the same KMP hot loop as serial (mpi_dumping.c:198-200).  'window'
+    (default, portable) and 'ac' remain available.
+    """
+    if engine not in ("window", "ac", "pallas"):
         raise ValueError(
-            f"count_pcap_distributed supports engine 'window' or 'ac', "
-            f"got {engine!r}"
+            f"count_pcap_distributed supports engine 'pallas', 'window' or "
+            f"'ac', got {engine!r}"
         )
     procs = jax.process_count()
     rank = jax.process_index()
@@ -178,7 +195,11 @@ def count_pcap_distributed(
         g_len = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
 
     # --- SPMD scan + psum merge ---
-    if engine == "window":
+    if engine == "pallas":
+        counts_u = _sharded_count_pallas(
+            _pallas_for_mesh(matcher, mesh), g_pay, g_len, mesh=mesh, axis=axis,
+        )
+    elif engine == "window":
         w = matcher.window
         counts_u = _sharded_count_window(
             jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
@@ -190,7 +211,7 @@ def count_pcap_distributed(
             cac.goto_flat, cac.emit_ids, cac.emit_sub,
             g_pay, g_len, dead=cac.dead, mesh=mesh, axis=axis,
         )
-    dup = matcher.window.dup_map if engine == "window" else matcher.ac.dup_map
+    dup = matcher.ac.dup_map if engine == "ac" else matcher.window.dup_map
     counts = np.asarray(counts_u)[dup]
     elapsed = time.perf_counter() - t0
 

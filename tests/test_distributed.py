@@ -85,12 +85,14 @@ def test_two_process_ingest_failure_aborts_all(reference_dir, tmp_path):
         assert p.returncode == 42, se.decode()[-2000:]
 
 
-@pytest.mark.parametrize("engine", ["window", "ac"])
+@pytest.mark.parametrize("engine", ["window", "ac", "pallas"])
 def test_two_process_distributed(reference_dir, tmp_path, engine):
     out = tmp_path / "counts.json"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    port = 19765 + (os.getpid() + (0 if engine == "window" else 1)) % 2000
+    port = 19765 + (
+        os.getpid() + {"window": 0, "ac": 1, "pallas": 2}[engine]
+    ) % 2000
     coord = f"localhost:{port}"
     env = dict(os.environ)
     env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
@@ -148,5 +150,41 @@ def test_distributed_rejects_unknown_engine(tmp_path, reference_dir):
     m = Matcher([b"http"], engine="window")
     with pytest.raises(ValueError, match="engine"):
         count_pcap_distributed(
-            m, reference_dir / "udp.pcap", "udp", engine="pallas"
+            m, reference_dir / "udp.pcap", "udp", engine="kmp"
         )
+
+
+@pytest.mark.parametrize("table", [None, "1"])
+def test_distributed_pallas_single_process(reference_dir, monkeypatch, table):
+    """The flagship kernel on the distributed entry (single-process
+    degenerate case over the 8-device CPU mesh): counts bit-identical to
+    the one-shot scan, through both the unrolled and the table kernel
+    (whose raw tile order is permuted — count_tile_unique must restore
+    build order here too)."""
+    import jax
+
+    from multithreading_string_matching_tpu import (
+        Matcher,
+        extract_payloads,
+        load_patterns,
+        read_pcap,
+    )
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_distributed,
+    )
+    from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+    if table:
+        monkeypatch.setenv("MSM_PALLAS_TABLE", table)
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats)
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    res = count_pcap_distributed(
+        m, reference_dir / "udp.pcap", "udp", engine="pallas", mesh=mesh
+    )
+    want = m.count_batch(
+        extract_payloads(read_pcap(reference_dir / "udp.pcap"), "udp"),
+        engine="window",
+    )
+    assert res.counts.tolist() == want.tolist()
+    assert int(res.counts.sum()) == 39
