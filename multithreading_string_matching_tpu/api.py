@@ -213,6 +213,19 @@ class Matcher:
             )
         return self._pallas
 
+    def _pattern_stats(self):
+        """(unique_patterns, max_len, total_words) from the pattern list
+        alone — the ONE computation behind both engine-auto resolution and
+        explain() (they previously used different word-count estimates and
+        could disagree near the crossover boundary).  total_words is the
+        exact sum of ceil(len/4) over unique patterns — equal by
+        construction to the WindowProgram's nonzero mask words, without
+        building the [U, K] tables the decision may route away from."""
+        unique = list(dict.fromkeys(self._match_patterns))
+        max_len = max(len(p) for p in unique)
+        total_words = sum(-(-len(p) // 4) for p in unique)
+        return unique, max_len, total_words
+
     def _pallas_table_selected(self, total_words: int) -> bool:
         """ONE place decides unrolled vs table kernel (the pallas property
         and explain() must never disagree).  total_words = nonzero mask
@@ -232,9 +245,7 @@ class Matcher:
         deployment wants to log WHICH engine/kernel a rule-set compiled to
         before traffic arrives.
         """
-        unique = list(dict.fromkeys(self._match_patterns))
-        max_len = max(len(p) for p in unique)
-        total_words = sum(-(-len(p) // 4) for p in unique)
+        unique, max_len, total_words = self._pattern_stats()
         eng = self._resolve_engine(None)
         out = {
             "engine_requested": self.engine,
@@ -320,12 +331,11 @@ class Matcher:
             # design point (U·K ≈ 260, DESIGN.md §1) — so the DFA only wins
             # far beyond it.  Very long patterns also blow the unrolled
             # compare chain's VMEM/compile budget; AC's table grows
-            # gracefully instead.  Decided from the pattern list alone —
-            # never build the WindowProgram the decision may route away
-            # from (its [U, K] tables are exactly what is too big here).
-            unique = dict.fromkeys(self._match_patterns)
-            max_len = max(len(p) for p in unique)
-            total_words = len(unique) * -(-max_len // 4)
+            # gracefully instead.  Decided from the pattern list alone via
+            # the same exact word count explain() reports — never build the
+            # WindowProgram the decision may route away from (its [U, K]
+            # tables are exactly what is too big here).
+            _, max_len, total_words = self._pattern_stats()
             engine = "ac" if total_words > 32_000 or max_len > 256 else "pallas"
         if (
             engine == "pallas"
