@@ -61,11 +61,16 @@ def _build(
     )
 
 
-def _execution_blob(matcher, sharded: bool) -> dict:
-    """matcher.explain(), corrected for CLI-level remaps: the sharded paths
-    have no per-pattern-DFA reducer and run kmp rule sets through AC."""
+def _execution_blob(matcher, sharded: bool, attribution: bool = False) -> dict:
+    """matcher.explain(), corrected for CLI-level remaps: the sharded
+    counts paths have no per-pattern-DFA reducer and run kmp rule sets
+    through AC; sharded ATTRIBUTION (per-row) is window-family only, so
+    ac/kmp remap to window there (identical counts either way)."""
     ex = matcher.explain()
-    if sharded and ex["engine_resolved"] == "kmp":
+    if sharded and attribution and ex["engine_resolved"] in ("ac", "kmp"):
+        ex["sharded_remap"] = f"{ex['engine_resolved']}->window"
+        ex["engine_resolved"] = "window"
+    elif sharded and ex["engine_resolved"] == "kmp":
         ex["engine_resolved"] = "ac"
         ex["sharded_remap"] = "kmp->ac"
     return ex
@@ -306,9 +311,6 @@ def cmd_match(argv: List[str]) -> int:
     cfg.per_packet = a.per_packet or cfg.per_packet
     cfg.profile_dir = a.profile or cfg.profile_dir
     cfg.validate()
-    if a.sharded and cfg.per_packet:
-        raise SystemExit("--sharded is incompatible with --per-packet "
-                         "(the mesh path reduces counts on-device)")
     if cfg.per_packet and not a.json:
         raise SystemExit("--per-packet produces an [N, P] matrix: use --json")
 
@@ -335,19 +337,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
         syntax=a.pattern_syntax, bucketed=cfg.bucketed,
     )
     timer = PhaseTimer()
-    if a.dump_matches and a.sharded:
-        raise SystemExit(
-            "--dump-matches is incompatible with --sharded "
-            "(the mesh path reduces counts without per-packet identity)"
-        )
     if a.stream:
         if cfg.per_packet:
             raise SystemExit("--stream is incompatible with --per-packet")
-        if a.sharded and (a.dump_matches or a.offsets):
-            raise SystemExit(
-                "--stream --sharded is counts-only (the mesh reduces "
-                "without per-packet identity)"
-            )
         from multithreading_string_matching_tpu.parallel.pipeline import (
             count_pcap_streamed,
             scan_pcap_streamed,
@@ -357,12 +349,13 @@ def _run_match(a, cfg, pcap_paths) -> int:
         stream_offsets = None
         with timer.phase("scan"):
             if a.dump_matches or a.offsets:
-                # Attribution wanted: the per-row streamed scanner.
+                # Attribution wanted: the per-row streamed scanner
+                # (sharded=True shards each chunk's rows over the mesh).
                 res = scan_pcap_streamed(
                     matcher, pcap_paths, cfg.mode,
                     dump_path=a.dump_matches, offsets=a.offsets,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
-                    stats=stream_stats,
+                    stats=stream_stats, sharded=a.sharded,
                 )
                 counts, stream_offsets = res if a.offsets else (res, None)
             else:
@@ -381,7 +374,10 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 **stream_stats,  # packets / valid_payloads / payload_bytes
                 "phases": timer.phases,
             }
-            blob["execution"] = _execution_blob(matcher, a.sharded)
+            blob["execution"] = _execution_blob(
+                matcher, a.sharded,
+                attribution=bool(a.dump_matches or a.offsets),
+            )
             if a.dump_matches:
                 blob["dump_path"] = a.dump_matches
             if stream_offsets is not None:
@@ -413,7 +409,8 @@ def _run_match(a, cfg, pcap_paths) -> int:
             pad_n_to=128, pad_len_to=8,
         )
     with timer.phase("scan"):
-        if a.sharded:
+        sharded_attr = a.sharded and (cfg.per_packet or a.dump_matches)
+        if a.sharded and not sharded_attr:
             from multithreading_string_matching_tpu.parallel.mesh import (
                 make_mesh,
                 count_matches_sharded,
@@ -429,9 +426,30 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 engine=eng, window=matcher.window,
                 pallas_matcher=matcher.pallas if eng == "pallas" else None,
             )
+        elif sharded_attr:
+            # Attribution under the mesh: the per-row kernel shards rows
+            # over all devices (rows keep their identity — no collective);
+            # one sharded scan serves --per-packet and --dump-matches.
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                count_rows_sharded,
+                make_mesh,
+            )
+
+            eng = matcher._resolve_engine(cfg.engine)
+            per_row = count_rows_sharded(
+                matcher, batch.payloads, batch.lengths, make_mesh(),
+                engine="pallas" if eng == "pallas" else "window",
+            )
+            counts = (
+                per_row if cfg.per_packet
+                else per_row.sum(axis=0, dtype=np.int64).astype(np.int32)
+            )
         offsets = None
         hit_rows = None
-        if a.dump_matches and a.offsets and not cfg.per_packet:
+        if a.sharded:
+            pass  # counts (and per_row when attribution) computed above —
+            # the unsharded chain below must not clobber them
+        elif a.dump_matches and a.offsets and not cfg.per_packet:
             # One find_matches scan yields all three outputs: the occurrence
             # rows ARE the counts (bincount over unique patterns, dup_map
             # expanded) and the dump selection (rows with any hit).
@@ -499,7 +517,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "valid_payloads": int(batch.valid.sum()),
             "payload_bytes": batch.total_payload_bytes,
             "phases": timer.phases,
-            "execution": _execution_blob(matcher, a.sharded),
+            "execution": _execution_blob(
+                matcher, a.sharded, attribution=sharded_attr
+            ),
         }
         if offsets is not None:
             blob["offsets"] = offsets.tolist()  # (packet, start, unique_pattern)

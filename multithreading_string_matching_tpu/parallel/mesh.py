@@ -176,6 +176,94 @@ def _sharded_count_pallas(pallas_matcher, payloads, lengths, mesh: Mesh, axis: s
     return fn(payloads, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_rows_window(
+    pat_words: jax.Array,
+    pat_masks: jax.Array,
+    pat_lens: jax.Array,
+    payloads: jax.Array,
+    lengths: jax.Array,
+    mesh: Mesh,
+    axis: str,
+) -> jax.Array:
+    """Row-sharded PER-PACKET counts int32[N, U]: each device scans its
+    packet shard and keeps its rows — attribution needs row identity, so
+    the output stays sharded over the mesh axis (no psum; the collective-
+    free flavor of data parallelism)."""
+    from multithreading_string_matching_tpu.ops.window import _window_one
+
+    def local(pw, pm, pl, payloads, lengths):
+        return _window_one(pw, pm, pl, payloads, lengths, per_packet=True)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(pat_words, pat_masks, pat_lens, payloads, lengths)
+
+
+def _sharded_rows_pallas(pallas_matcher, payloads, lengths, mesh: Mesh, axis: str):
+    """Row-sharded per-packet counts through the Pallas per-row kernel
+    (``_one_tile_rows`` — BUILD-order [n, U] for both kernel classes).
+    Same jit-cache-per-(mesh, axis) discipline as _sharded_count_pallas."""
+    cache = getattr(pallas_matcher, "_sharded_rows_jit_cache", None)
+    if cache is None:
+        cache = pallas_matcher._sharded_rows_jit_cache = {}
+    fn = cache.get((mesh, axis))
+    if fn is None:
+
+        def local(payloads, lengths):
+            n = payloads.shape[0]
+            # _one_tile_rows pads its row axis to the kernel row tile; slice
+            # back to this shard's true rows so out_specs shapes agree.
+            return pallas_matcher._one_tile_rows(payloads, lengths)[:n]
+
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                out_specs=P(axis), check_vma=False,
+            )
+        )
+        cache[(mesh, axis)] = fn
+    return fn(payloads, lengths)
+
+
+def count_rows_sharded(
+    matcher,
+    payloads,
+    lengths,
+    mesh: Mesh,
+    *,
+    engine: str = "window",
+    expand_duplicates: bool = True,
+) -> np.ndarray:
+    """Per-packet counts [N, U or P] with the heavy scan sharded over the
+    mesh (rows stay with their shard; no collective).  Pads the packet axis
+    to the mesh and slices the padding back off, so the caller sees exactly
+    its N rows.  engine='pallas' uses the VMEM per-row kernel, everything
+    else the XLA window matcher (identical counts)."""
+    axis = mesh.axis_names[0]
+    n = int(np.shape(payloads)[0])
+    payloads = matcher._maybe_fold(np.asarray(payloads))
+    payloads, lengths = shard_batch(payloads, np.asarray(lengths), mesh)
+    sharding = NamedSharding(mesh, P(axis))
+    pay_d = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
+    len_d = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+    if engine == "pallas":
+        out = _sharded_rows_pallas(matcher.pallas, pay_d, len_d, mesh, axis)
+    else:
+        w = matcher.window
+        out = _sharded_rows_window(
+            jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
+            jnp.asarray(w.pat_lens), pay_d, len_d, mesh=mesh, axis=axis,
+        )
+    out = np.asarray(out)[:n]
+    if expand_duplicates:
+        out = out[:, matcher.window.dup_map]
+    return out
+
+
 def count_matches_sharded(
     cac: CompiledAC,
     payloads,

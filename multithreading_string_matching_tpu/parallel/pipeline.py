@@ -129,26 +129,22 @@ def count_pcap_streamed(
     rows shard over the device ``mesh`` (default: all devices), the per-
     pattern merge is one psum per tile, and accumulation stays device-side
     — streamed ingest feeding every chip of a slice through one fixed
-    executable.  (The NUL-pattern fallback above runs unsharded.)
+    executable.  (NUL-pattern sets can't pack and route through the
+    per-row scanner instead — sharded over the same mesh.)
     """
     if mesh is not None and not sharded:
         raise ValueError("mesh= is only meaningful with sharded=True")
     if any(0 in p for p in matcher.window.unique_patterns):
-        if sharded:
-            # The fallback below is single-device; running it silently at
-            # 1/N of the mesh's throughput would be a lie.
-            raise ValueError(
-                "sharded streaming requires NUL-free patterns (packing is "
-                "inexact otherwise and the per-row fallback is unsharded); "
-                "drop sharded=True or the NUL patterns"
-            )
         # Packing is inexact for NUL-containing patterns; the per-row
         # streamed scanner is still bounded-memory and fills the caller's
-        # stats (the pipelined path would silently drop them).
+        # stats (the pipelined path would silently drop them).  The sharded
+        # flavor shards each chunk's rows over the mesh (exact fit masks —
+        # no packing needed), so NUL sets keep pod-scale throughput too.
         return scan_pcap_streamed(
             matcher, pcap_path, mode,
             batch_packets=batch_packets,
             strict=strict, vlan=vlan, ipv6=ipv6, stats=stats,
+            sharded=sharded, mesh=mesh,
         )
     from multithreading_string_matching_tpu.ops.bucketing import pack_rows
 
@@ -312,6 +308,8 @@ def scan_pcap_streamed(
     vlan: bool = False,
     ipv6: bool = False,
     stats: Optional[dict] = None,
+    sharded: bool = False,
+    mesh=None,
 ):
     """Bounded-memory scan with per-packet attribution: counts, plus
     optionally a matched-packet dump and/or exact match offsets.
@@ -327,11 +325,51 @@ def scan_pcap_streamed(
     sees in wireshark, and consistent with the dump.  Peak host memory is
     one ingest chunk + one [chunk, P] count matrix (+ the offsets found).
 
+    ``sharded=True`` makes attribution pod-scale: each chunk's rows shard
+    over the device ``mesh`` through the per-row kernel (counts stay with
+    their rows — no collective), shapes quantized to powers of two so the
+    whole run reuses a handful of executables.  Match POSITIONS are then
+    extracted only from the (typically sparse) rows the sharded scan
+    flagged — the heavy full-corpus scan is what the mesh parallelizes.
+    Works for any pattern set, NUL-containing included (the per-row kernel
+    carries exact fit masks).  The ac/kmp engines remap to the window
+    family here (identical counts; attribution is window-native).
+
     Returns ``counts`` or ``(counts, offsets)`` when ``offsets=True``;
     ``stats`` (if given) receives packet/byte totals plus
     ``dumped_packets`` when dumping.
     """
     from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    if mesh is not None and not sharded:
+        raise ValueError("mesh= is only meaningful with sharded=True")
+    row_fn = None
+    if sharded:
+        from multithreading_string_matching_tpu.parallel.mesh import (
+            count_rows_sharded,
+            make_mesh,
+        )
+
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+        row_engine = (
+            "pallas" if matcher._resolve_engine(None) == "pallas" else "window"
+        )
+
+        def row_fn(payloads, lengths):
+            # Quantize to pow2 rows x pow2 width (padding rows are length-0,
+            # zero bytes): a long stream reuses O(log) compiled shapes
+            # instead of one per chunk geometry.
+            n, L = payloads.shape
+            lq = max(128, _next_pow2(L))
+            nq = -(-max(n_dev, _next_pow2(n)) // n_dev) * n_dev
+            payloads = np.pad(payloads, ((0, nq - n), (0, lq - L)))
+            lengths = np.pad(lengths, (0, nq - n))
+            per_row = count_rows_sharded(
+                matcher, payloads, lengths, mesh,
+                engine=row_engine, expand_duplicates=False,
+            )
+            return per_row[:n]  # [n, U] build-order unique counts
 
     total = None
     n_packets = n_valid = n_bytes = 0
@@ -353,6 +391,29 @@ def scan_pcap_streamed(
                     # linktype/resolution (an all-invalid capture must not
                     # dump with guessed metadata).
                     w.write(chunk, valid_idx)
+                continue
+            if row_fn is not None:
+                # Sharded per-row scan over the mesh; attribution follows
+                # from the per-row counts, positions (if wanted) from the
+                # hit rows only.
+                per_row_u = row_fn(batch.payloads, batch.lengths)
+                uniq_tot = per_row_u.sum(axis=0, dtype=np.int64)
+                chunk_counts = uniq_tot[matcher.window.dup_map]
+                total = chunk_counts + (0 if total is None else total)
+                row_hits = per_row_u[: valid_idx.size].sum(axis=1) > 0
+                if w is not None:
+                    w.write(chunk, valid_idx[row_hits])
+                if found is not None and row_hits.any():
+                    hit = np.flatnonzero(row_hits)
+                    rows = np.asarray(
+                        matcher.find_matches(
+                            batch.payloads[hit], batch.lengths[hit]
+                        )
+                    )
+                    if rows.size:
+                        rows = rows.copy()
+                        rows[:, 0] = packet_base + valid_idx[hit[rows[:, 0]]]
+                        found.append(rows)
                 continue
             if found is not None:
                 # One scan serves all three outputs: the occurrence rows ARE

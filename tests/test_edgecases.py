@@ -55,13 +55,23 @@ def test_per_packet_text_mode_rejected(reference_dir):
     assert out.returncode != 0 and "--json" in (out.stdout + out.stderr)
 
 
-def test_sharded_per_packet_rejected(reference_dir):
+def test_sharded_per_packet_matrix(reference_dir):
+    """--sharded --per-packet: the row-sharded per-row kernel keeps packet
+    identity, so the [N, P] matrix equals the unsharded one exactly."""
     out = _run_match(
         "--pcap", str(reference_dir / "udp.pcap"),
         "--patterns", str(reference_dir / "strings.txt"),
-        "--per-packet", "--sharded", "--json", check=False,
+        "--per-packet", "--sharded", "--json",
     )
-    assert out.returncode != 0
+    sharded = json.loads(out.stdout)["counts"]
+    out_u = _run_match(
+        "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--per-packet", "--json",
+    )
+    unsharded = json.loads(out_u.stdout)["counts"]
+    assert np.asarray(sharded).shape == np.asarray(unsharded).shape
+    assert sharded == unsharded
 
 
 def test_format_report_rejects_matrix():

@@ -108,6 +108,37 @@ def test_sharded_pallas_table_build_order(monkeypatch):
         assert (got == want).all(), f"ndev={ndev}: {got} != {want}"
 
 
+def test_count_rows_sharded_equals_per_packet(matcher, udp1000, monkeypatch):
+    """Row-sharded per-packet attribution: counts stay with their rows (no
+    collective) and equal the single-device per-packet matrix — window and
+    both Pallas kernel classes (interpret mode via MSM_PALLAS_INTERPRET)."""
+    from multithreading_string_matching_tpu.parallel.mesh import (
+        count_rows_sharded,
+    )
+
+    batch, _ = udp1000
+    want = np.asarray(
+        matcher.count(batch.payloads, batch.lengths, per_packet=True,
+                      engine="window", bucketed=False)
+    )
+    for ndev in (2, 8):
+        mesh = make_mesh(jax.devices("cpu")[:ndev])
+        got = count_rows_sharded(
+            matcher, batch.payloads, batch.lengths, mesh, engine="window"
+        )
+        assert (got == want).all(), f"window ndev={ndev}"
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    for table in ("0", "1"):
+        monkeypatch.setenv("MSM_PALLAS_TABLE", table)
+        m2 = Matcher(matcher.patterns)  # fresh: kernel choice is cached
+        mesh = make_mesh(jax.devices("cpu")[:4])
+        got = count_rows_sharded(
+            m2, batch.payloads, batch.lengths, mesh, engine="pallas"
+        )
+        assert (got == want).all(), f"pallas table={table}"
+
+
 def test_shard_batch_pads_to_divisible():
     mesh = make_mesh(jax.devices("cpu")[:8])
     p = np.ones((13, 16), np.uint8)

@@ -113,13 +113,29 @@ def test_dump_matches_preserves_all_counts(reference_dir, tmp_path, capsys):
     assert int((per_row[:n_valid].sum(axis=1) > 0).sum()) == dump.num_packets
 
 
-def test_dump_matches_incompatible_flags(reference_dir, tmp_path):
-    with pytest.raises(SystemExit, match="dump-matches"):
-        main([
-            "match", "--pcap", str(reference_dir / "udp.pcap"),
-            "--patterns", str(reference_dir / "strings.txt"),
-            "--dump-matches", str(tmp_path / "x.pcap"), "--sharded",
-        ])
+def test_dump_matches_sharded(reference_dir, tmp_path, capsys):
+    """--dump-matches --sharded: the row-sharded scan keeps packet identity,
+    so the dumped capture is byte-identical to the unsharded dump."""
+    out_s = tmp_path / "s.pcap"
+    out_u = tmp_path / "u.pcap"
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json",
+        "--dump-matches", str(out_s), "--sharded",
+    ])
+    assert code == 0
+    blob_s = json.loads(capsys.readouterr().out)
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--dump-matches", str(out_u),
+    ])
+    assert code == 0
+    blob_u = json.loads(capsys.readouterr().out)
+    assert blob_s["counts"] == blob_u["counts"]
+    assert blob_s["dumped_packets"] == blob_u["dumped_packets"] > 0
+    assert out_s.read_bytes() == out_u.read_bytes()
 
 
 def test_dump_matches_with_per_packet_json(reference_dir, tmp_path, capsys):
