@@ -146,154 +146,227 @@ def count_pcap_streamed(
             strict=strict, vlan=vlan, ipv6=ipv6, stats=stats,
             sharded=sharded, mesh=mesh,
         )
-    from multithreading_string_matching_tpu.ops.bucketing import pack_rows
-
-    engine = matcher._resolve_engine(engine)
-    if sharded and engine == "kmp":
-        engine = "ac"  # per-pattern DFAs have no sharded path; AC is exact
-    use_pallas = engine == "pallas"
-    engine_fn = None if use_pallas else matcher._engine_fn(engine)
-
-    shard_fn = None
-    if sharded:
-        # Pod-scale serving: every packed tile's rows shard over the device
-        # mesh, counts merge with one psum per tile and accumulate device-
-        # side (UNIQUE-pattern counts; dup expansion happens after the final
-        # drain).  Same fixed executable per tile as the single-chip path.
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from multithreading_string_matching_tpu.parallel.mesh import (
-            _sharded_count,
-            _sharded_count_pallas,
-            _sharded_count_window,
-            make_mesh,
-        )
-
-        mesh = mesh or make_mesh()
-        axis = mesh.axis_names[0]
-        n_dev = mesh.devices.size
-        tile_rows = -(-tile_rows // n_dev) * n_dev  # shard rows evenly
-        sharding = NamedSharding(mesh, P(axis))
-        # Stage the pattern program ONCE — never re-upload in the per-tile
-        # loop (CLAUDE.md: the tunnel moves ~60 MB/s).
-        if engine == "window":
-            w = matcher.window
-            pat_w = jnp.asarray(w.pat_words)
-            pat_m = jnp.asarray(w.pat_masks)
-            pat_l = jnp.asarray(w.pat_lens)
-
-        def shard_fn(buf, fill):
-            pay_d = jax.device_put(jnp.asarray(buf, jnp.uint8), sharding)
-            len_d = jax.device_put(jnp.asarray(fill, jnp.int32), sharding)
-            if use_pallas:
-                return _sharded_count_pallas(
-                    matcher.pallas, pay_d, len_d, mesh=mesh, axis=axis
-                )
-            if engine == "window":
-                return _sharded_count_window(
-                    pat_w, pat_m, pat_l, pay_d, len_d, mesh=mesh, axis=axis,
-                )
-            cac = matcher.cac
-            return _sharded_count(
-                cac.goto_flat, cac.emit_ids, cac.emit_sub,
-                pay_d, len_d, dead=cac.dead, mesh=mesh, axis=axis,
-            )
-    buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
-    fill = np.zeros(tile_rows, dtype=np.int32)
-    r = 0
-    total = None          # device-resident [P] expanded counts (int32)
-    host_total = None     # int64 accumulator drained periodically
-    tiles_since_drain = 0
-    # One tile can contribute at most tile_rows*pack_width matches per
-    # pattern; drain the device int32 accumulator to host int64 before it
-    # can wrap (with margin).
-    drain_every = max(1, DRAIN_POSITIONS // max(1, tile_rows * pack_width))
-    over_total = None     # host-side counts for oversized payloads
-
-    def drain():
-        nonlocal total, host_total, tiles_since_drain
-        if total is None:
-            return
-        t = np.asarray(total).astype(np.int64)
-        host_total = t if host_total is None else host_total + t
-        total = None
-        tiles_since_drain = 0
-
-    def dispatch():
-        # Fresh host buffers each tile: the dispatch is asynchronous and
-        # jnp.asarray may alias a numpy buffer (zero-copy on CPU backends),
-        # so mutating the old tile after dispatch would corrupt the pending
-        # computation.
-        nonlocal total, buf, fill, r, tiles_since_drain
-        if shard_fn is not None:
-            out = shard_fn(buf, fill)  # UNIQUE counts, device-replicated
-        elif use_pallas:
-            out = matcher.pallas.count_tiles([(buf, fill)])
-        else:
-            out = engine_fn(
-                jnp.asarray(buf), jnp.asarray(fill), per_packet=False
-            )
-        total = out if total is None else total + out
-        tiles_since_drain += 1
-        if tiles_since_drain >= drain_every:
-            drain()  # one fetch per ~2^30 scanned positions: async dispatch
-            # stays the common case, int32 wraparound becomes impossible
-        buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
-        fill = np.zeros(tile_rows, dtype=np.int32)
-        r = 0
-
+    counter = PackedTileCounter(
+        matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width,
+        sharded=sharded, mesh=mesh,
+    )
     n_packets = n_valid = n_bytes = 0
     for chunk in _iter_pcap_paths(pcap_path, batch_packets):
         batch = extract_payloads(chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6)
         n_packets += batch.num_packets
         n_valid += int(batch.valid.sum())
         n_bytes += batch.total_payload_bytes
-        # Case-insensitive matchers fold bytes before packing (idempotent,
-        # so the oversized-payload detour through matcher.count is safe).
-        payloads_m = matcher._maybe_fold(batch.payloads)
-        lens = batch.lengths.astype(np.int64)
-        big = lens > pack_width
-        if big.any():
-            over = matcher.count(
-                batch.payloads[big], batch.lengths[big], engine=engine
-            )
-            over_total = over if over_total is None else over_total + over
-            lens = np.where(big, 0, lens)
-        rows_c, fill_c = pack_rows(payloads_m, lens, width=pack_width)
-        if not fill_c.any():
-            continue
-        i = 0
-        while i < rows_c.shape[0]:
-            take = min(tile_rows - r, rows_c.shape[0] - i)
-            buf[r : r + take, : rows_c.shape[1]] = rows_c[i : i + take]
-            fill[r : r + take] = fill_c[i : i + take]
-            r += take
-            i += take
-            if r == tile_rows:
-                dispatch()
-    if r:
-        dispatch()
-    drain()
+        counter.add(batch.payloads, batch.lengths)
     if stats is not None:
         stats.update(
             packets=n_packets, valid_payloads=n_valid, payload_bytes=n_bytes
         )
-    counts = (
-        host_total
-        if host_total is not None
-        else np.zeros(len(matcher.patterns), dtype=np.int64)
-    )
-    if sharded and host_total is not None:
-        # The sharded per-tile reducers return UNIQUE-pattern counts (the
-        # collective payload stays minimal); expand to the original list.
-        dup = matcher.ac.dup_map if engine == "ac" else matcher.window.dup_map
-        counts = counts[dup]
-    if over_total is not None:
-        counts = counts + np.asarray(over_total).astype(np.int64)
+    counts = counter.totals()
     if counts.size and counts.max() > np.iinfo(np.int32).max:
         return counts  # beyond int32: return the exact int64 totals
     return counts.astype(np.int32)
+
+
+class PackedTileCounter:
+    """Fixed-shape packed-tile scan accumulator — the serving engine behind
+    :func:`count_pcap_streamed` and the live ``StreamMatcher``'s packed mode.
+
+    Feed ``(payloads, lengths)`` groups of any size through :meth:`add`;
+    rows sequence-pack into ``[tile_rows, pack_width]`` tiles
+    (ops/bucketing.pack_rows, 0x00-separated) and every FULL tile dispatches
+    asynchronously through one fixed executable (Pallas kernel on TPU), so
+    the per-dispatch round-trip amortizes over the tile no matter how small
+    the feeds are — the property that lets a live capture loop (10-packet
+    batches, live_openmp_task.c:142) run at the kernel's rate instead of the
+    dispatch rate.  Payloads wider than ``pack_width`` route through the
+    bucketed one-shot engine; device int32 accumulators drain to host int64
+    before they can wrap (DRAIN_POSITIONS).
+
+    Count-exactness requires NUL-free patterns (callers guard; the argument
+    is in pack_rows's docstring).  :meth:`totals` is safe to call repeatedly
+    mid-stream: it flushes the partial tile, drains, and returns exact int64
+    counts over the original pattern list.
+    """
+
+    def __init__(
+        self,
+        matcher,
+        *,
+        engine: Optional[str] = None,
+        tile_rows: int = 4096,
+        pack_width: int = 2048,
+        sharded: bool = False,
+        mesh=None,
+    ):
+        self.matcher = matcher
+        engine = matcher._resolve_engine(engine)
+        if sharded and engine == "kmp":
+            engine = "ac"  # per-pattern DFAs have no sharded path; AC is exact
+        self.engine = engine
+        self.sharded = sharded
+        self.pack_width = pack_width
+        self._use_pallas = engine == "pallas"
+        self._engine_fn = None if self._use_pallas else matcher._engine_fn(engine)
+        self._shard_fn = None
+        if sharded:
+            # Pod-scale serving: every packed tile's rows shard over the
+            # device mesh, counts merge with one psum per tile and accumulate
+            # device-side (UNIQUE-pattern counts; dup expansion happens after
+            # the final drain).  Same fixed executable per tile as the
+            # single-chip path.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                _sharded_count,
+                _sharded_count_pallas,
+                _sharded_count_window,
+                make_mesh,
+            )
+
+            mesh = mesh or make_mesh()
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.size
+            tile_rows = -(-tile_rows // n_dev) * n_dev  # shard rows evenly
+            sharding = NamedSharding(mesh, P(axis))
+            # Stage the pattern program ONCE — never re-upload in the
+            # per-tile loop (CLAUDE.md: the tunnel moves ~60 MB/s).
+            if engine == "window":
+                w = matcher.window
+                pat_w = jnp.asarray(w.pat_words)
+                pat_m = jnp.asarray(w.pat_masks)
+                pat_l = jnp.asarray(w.pat_lens)
+
+            def shard_fn(buf, fill):
+                pay_d = jax.device_put(jnp.asarray(buf, jnp.uint8), sharding)
+                len_d = jax.device_put(jnp.asarray(fill, jnp.int32), sharding)
+                if self._use_pallas:
+                    return _sharded_count_pallas(
+                        matcher.pallas, pay_d, len_d, mesh=mesh, axis=axis
+                    )
+                if engine == "window":
+                    return _sharded_count_window(
+                        pat_w, pat_m, pat_l, pay_d, len_d,
+                        mesh=mesh, axis=axis,
+                    )
+                cac = matcher.cac
+                return _sharded_count(
+                    cac.goto_flat, cac.emit_ids, cac.emit_sub,
+                    pay_d, len_d, dead=cac.dead, mesh=mesh, axis=axis,
+                )
+
+            self._shard_fn = shard_fn
+        self.tile_rows = tile_rows
+        self._buf = np.zeros((tile_rows, pack_width), dtype=np.uint8)
+        self._fill = np.zeros(tile_rows, dtype=np.int32)
+        self._r = 0
+        self._total = None          # device-resident counts (int32)
+        self._host_total = None     # int64 accumulator drained periodically
+        self._tiles_since_drain = 0
+        # One tile can contribute at most tile_rows*pack_width matches per
+        # pattern; drain the device int32 accumulator to host int64 before
+        # it can wrap (with margin).
+        self._drain_every = max(
+            1, DRAIN_POSITIONS // max(1, tile_rows * pack_width)
+        )
+        self._over_total = None     # host-side counts for oversized payloads
+        self.tiles_dispatched = 0   # observability: dispatches, not feeds
+
+    def _drain(self):
+        if self._total is None:
+            return
+        t = np.asarray(self._total).astype(np.int64)
+        self._host_total = t if self._host_total is None else self._host_total + t
+        self._total = None
+        self._tiles_since_drain = 0
+
+    def _dispatch(self):
+        # Fresh host buffers each tile: the dispatch is asynchronous and
+        # jnp.asarray may alias a numpy buffer (zero-copy on CPU backends),
+        # so mutating the old tile after dispatch would corrupt the pending
+        # computation.  That same freshness is what lets the host pack tile
+        # k+1 while the device stages+scans tile k (producer/consumer
+        # overlap with no explicit double buffering).
+        buf, fill = self._buf, self._fill
+        if self._shard_fn is not None:
+            out = self._shard_fn(buf, fill)  # UNIQUE counts, replicated
+        elif self._use_pallas:
+            out = self.matcher.pallas.count_tiles([(buf, fill)])
+        else:
+            out = self._engine_fn(
+                jnp.asarray(buf), jnp.asarray(fill), per_packet=False
+            )
+        self._total = out if self._total is None else self._total + out
+        self.tiles_dispatched += 1
+        self._tiles_since_drain += 1
+        if self._tiles_since_drain >= self._drain_every:
+            self._drain()  # one fetch per ~2^30 scanned positions: async
+            # dispatch stays the common case, int32 wrap impossible
+        self._buf = np.zeros((self.tile_rows, self.pack_width), dtype=np.uint8)
+        self._fill = np.zeros(self.tile_rows, dtype=np.int32)
+        self._r = 0
+
+    def add(self, payloads, lengths):
+        """Pack one feed's rows into the current tile, dispatching every
+        tile that fills.  Any row count and byte width accepted."""
+        from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+
+        # Case-insensitive matchers fold bytes before packing (idempotent,
+        # so the oversized-payload detour through matcher.count is safe).
+        payloads_m = self.matcher._maybe_fold(
+            np.asarray(payloads, dtype=np.uint8)
+        )
+        lens = np.asarray(lengths).astype(np.int64)
+        big = lens > self.pack_width
+        if big.any():
+            over = self.matcher.count(
+                payloads_m[big], lens[big], engine=self.engine
+            )
+            self._over_total = (
+                over if self._over_total is None else self._over_total + over
+            )
+            lens = np.where(big, 0, lens)
+        rows_c, fill_c = pack_rows(payloads_m, lens, width=self.pack_width)
+        if not fill_c.any():
+            return
+        i = 0
+        while i < rows_c.shape[0]:
+            take = min(self.tile_rows - self._r, rows_c.shape[0] - i)
+            self._buf[self._r : self._r + take, : rows_c.shape[1]] = (
+                rows_c[i : i + take]
+            )
+            self._fill[self._r : self._r + take] = fill_c[i : i + take]
+            self._r += take
+            i += take
+            if self._r == self.tile_rows:
+                self._dispatch()
+
+    def flush(self):
+        """Dispatch the partial tile (drain point: SIGINT, checkpoint)."""
+        if self._r:
+            self._dispatch()
+
+    def totals(self) -> np.ndarray:
+        """Exact int64 counts over the original pattern list, so far."""
+        self.flush()
+        self._drain()
+        counts = (
+            self._host_total
+            if self._host_total is not None
+            else np.zeros(len(self.matcher.patterns), dtype=np.int64)
+        )
+        if self.sharded and self._host_total is not None:
+            # The sharded per-tile reducers return UNIQUE-pattern counts
+            # (the collective payload stays minimal); expand here.
+            dup = (
+                self.matcher.ac.dup_map
+                if self.engine == "ac"
+                else self.matcher.window.dup_map
+            )
+            counts = counts[dup]
+        if self._over_total is not None:
+            counts = counts + np.asarray(self._over_total).astype(np.int64)
+        return counts
 
 
 def scan_pcap_streamed(

@@ -38,7 +38,18 @@ DEFAULT_BATCH = 10  # live_openmp_task.c:142
 class StreamMatcher:
     """Engine 'window' (default): whole-packet batches via the shifted-window
     matcher; long payloads chunked with a carried byte halo.  Engine 'ac':
-    the Aho-Corasick path with carried DFA states — same counts."""
+    the Aho-Corasick path with carried DFA states — same counts.
+
+    ``packed`` ('auto' default) is the TPU-rate serving shape: feeds
+    accumulate into fixed ``[tile_rows, pack_width]`` sequence-packed tiles
+    (parallel.pipeline.PackedTileCounter) and ONE dispatch per full tile
+    runs the matcher's fast engine — so a live loop fed 10-packet batches
+    (live_openmp_task.c:142) amortizes the per-dispatch round-trip ~100x
+    instead of paying it per batch.  Counts are bit-identical; the partial
+    tile flushes on :meth:`counts` (report, SIGINT drain, checkpoint).
+    'auto' enables packing whenever the pattern set is NUL-free (packing is
+    inexact otherwise — same rule as count_pcap_streamed); ``packed=True``
+    on NUL patterns raises."""
 
     def __init__(
         self,
@@ -47,6 +58,9 @@ class StreamMatcher:
         fixed_len: int = 2048,
         engine: str = "window",
         dump_writer=None,
+        packed="auto",
+        tile_rows: int = 1024,
+        pack_width: int = 2048,
     ):
         self.matcher = matcher
         self.batch_size = batch_size
@@ -56,6 +70,25 @@ class StreamMatcher:
         # also append their MATCHING packets (original records) to it — the
         # live-capture analogue of `match --dump-matches`.
         self.dump_writer = dump_writer
+        self._tiles = None
+        nul_free = not any(0 in p for p in matcher.window.unique_patterns)
+        if packed is True and not nul_free:
+            raise ValueError(
+                "packed tiles require NUL-free patterns (sequence packing "
+                "is inexact otherwise); use packed='auto' or False"
+            )
+        if packed is True or (packed == "auto" and nul_free):
+            from multithreading_string_matching_tpu.parallel.pipeline import (
+                PackedTileCounter,
+            )
+
+            # engine=None: the tile path exists to run the matcher's FAST
+            # engine (Pallas on TPU) — the ctor `engine` arg only steers the
+            # carried-state long-payload fallback, which stays exact.
+            self._tiles = PackedTileCounter(
+                matcher, engine=None, tile_rows=tile_rows,
+                pack_width=pack_width,
+            )
         self._counts: Optional[jax.Array] = None
         self._chunk_states: Optional[jax.Array] = None
         self.packets_seen = 0
@@ -81,6 +114,14 @@ class StreamMatcher:
 
     def feed_batch(self, payloads: np.ndarray, lengths: np.ndarray):
         """Accumulate counts for one batch of whole packets (async dispatch)."""
+        if self._tiles is not None:
+            # Packed serving shape: rows accumulate host-side and dispatch
+            # once per FULL tile (oversized rows detour internally) — the
+            # batch size stops mattering to throughput.
+            payloads = np.asarray(payloads, dtype=np.uint8)
+            self.packets_seen += payloads.shape[0]
+            self._tiles.add(payloads, np.asarray(lengths))
+            return
         payloads = self.matcher._maybe_fold(np.asarray(payloads, dtype=np.uint8))
         lengths = np.asarray(lengths, dtype=np.int32)
         self.packets_seen += payloads.shape[0]
@@ -228,7 +269,19 @@ class StreamMatcher:
     # -- results -----------------------------------------------------------
 
     def counts(self) -> np.ndarray:
-        """Synchronize and return counts over the original pattern list."""
-        if self._counts is None:
-            return np.zeros(len(self.matcher.patterns), dtype=np.int32)
-        return np.asarray(self._counts)
+        """Synchronize and return counts over the original pattern list
+        (flushes the packed partial tile first; exact int64 past int32)."""
+        total = np.zeros(len(self.matcher.patterns), dtype=np.int64)
+        if self._counts is not None:
+            total = total + np.asarray(self._counts).astype(np.int64)
+        if self._tiles is not None:
+            total = total + self._tiles.totals()
+        if total.size and total.max() > np.iinfo(np.int32).max:
+            return total  # beyond int32: exact int64 (reference wraps here)
+        return total.astype(np.int32)
+
+    @property
+    def tiles_dispatched(self) -> int:
+        """Packed-mode dispatch count (0 when unpacked) — the amortization
+        observable: tiles, not batches."""
+        return self._tiles.tiles_dispatched if self._tiles is not None else 0

@@ -33,6 +33,8 @@ class MatchConfig:
     batch_size: int = 100             # [lib] pipeline batch (openmp_task.c:113)
     stream_batch: int = 10            # [live] live batch (live_openmp_task.c:142)
     stream_window: int = 2048         # [live] streaming chunk width (bytes)
+    stream_packed: str = "auto"       # [live] packed-tile dispatch: auto|0|1
+    stream_tile_rows: int = 1024      # [live] packed-tile rows per dispatch
     n_tile: int = 2048                # [match] bucket tile rows
     l_quant: int = 128                # [match] bucket byte-length quantum (lanes)
     row_tile: int = 512               # [lib] Pallas kernel rows per grid step
@@ -44,8 +46,12 @@ class MatchConfig:
             raise ValueError(f"mode must be udp or tcp, got {self.mode!r}")
         if self.engine not in ("auto", "pallas", "window", "ac", "kmp"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.stream_packed not in ("auto", "0", "1"):
+            raise ValueError(
+                f"stream_packed must be auto, 0 or 1, got {self.stream_packed!r}"
+            )
         for f_ in ("batch_size", "stream_batch", "stream_window", "n_tile",
-                   "l_quant", "row_tile"):
+                   "l_quant", "row_tile", "stream_tile_rows"):
             if getattr(self, f_) <= 0:
                 raise ValueError(f"{f_} must be positive")
         return self

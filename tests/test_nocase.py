@@ -98,7 +98,7 @@ def test_nocase_streaming_and_pipeline(tmp_path):
     assert (sm.counts() == want).all()
     # Long-payload carried-state path (chunked scan), both engines.
     for eng in ("window", "ac"):
-        sm2 = StreamMatcher(m, fixed_len=32, engine=eng)
+        sm2 = StreamMatcher(m, fixed_len=32, engine=eng, packed=False)
         sm2.feed_batch(np.asarray(batch.payloads), np.asarray(batch.lengths))
         assert (sm2.counts() == want).all(), eng
 

@@ -168,6 +168,74 @@ def test_iter_batches_shapes(reference_dir):
         assert p.shape[1] % 2 == 0
 
 
+def test_stream_packed_tiles_amortize_dispatch(reference_dir, matcher, udp1000):
+    """VERDICT r1 #4 (live at TPU rate): the default StreamMatcher packs
+    feeds into fixed tiles, so dispatches scale with TILES, not the 100
+    10-packet batches — and counts stay bit-identical to offline."""
+    _, want = udp1000
+    stream = StreamMatcher(matcher, batch_size=10, tile_rows=256)
+    assert stream._tiles is not None  # NUL-free set: auto-packed
+    n_batches = 0
+    for part in FileReplaySource(reference_dir / "udp_1000.pcap", batch_size=10):
+        stream.feed_pcap_slice(part, "udp")
+        n_batches += 1
+    assert n_batches == 100
+    assert (stream.counts() == want).all()  # flushes the partial tile
+    assert stream.packets_seen == 1000
+    assert 1 <= stream.tiles_dispatched < 10 < n_batches
+
+
+def test_stream_packed_guards_and_fallback():
+    """packed=True demands NUL-free patterns; 'auto' quietly falls back to
+    the per-batch path for NUL sets (counts unchanged)."""
+    nul = Matcher([b"a\x00b", b"zz"], engine="window")
+    with pytest.raises(ValueError, match="NUL-free"):
+        StreamMatcher(nul, packed=True)
+    s = StreamMatcher(nul)
+    assert s._tiles is None
+    pay = np.zeros((2, 16), np.uint8)
+    pay[0, 3:6] = np.frombuffer(b"a\x00b", np.uint8)
+    pay[1, 0:2] = np.frombuffer(b"zz", np.uint8)
+    lens = np.array([16, 8], np.int32)
+    s.feed_batch(pay, lens)
+    assert (s.counts() == nul.count(pay, lens)).all()
+
+
+def test_stream_packed_oversized_payload(matcher):
+    """Rows wider than pack_width detour through the bucketed one-shot
+    engine inside the tile counter; totals still exact."""
+    s = StreamMatcher(matcher, pack_width=128, tile_rows=64)
+    assert s._tiles is not None
+    rng = np.random.default_rng(7)
+    pay = rng.integers(0, 256, size=(5, 400)).astype(np.uint8)
+    pay[1, 200:204] = np.frombuffer(b"http", np.uint8)
+    pay[4, 10:13] = np.frombuffer(b"rpc", np.uint8)
+    lens = np.array([400, 400, 50, 0, 40], np.int32)
+    want = matcher.count(pay, lens)
+    s.feed_batch(pay, lens)
+    assert (s.counts() == want).all()
+
+
+def test_stream_packed_checkpoint_resume(reference_dir, matcher, udp1000):
+    """Checkpoint mid-tile: save() flushes via counts(), a fresh stream
+    resumes from the .npz and finishes with exact totals."""
+    import tempfile, os
+
+    _, want = udp1000
+    batches = list(FileReplaySource(reference_dir / "udp_1000.pcap", batch_size=50))
+    s1 = StreamMatcher(matcher, tile_rows=256)
+    for b in batches[:10]:
+        s1.feed_pcap_slice(b, "udp")
+    with tempfile.TemporaryDirectory() as d:
+        ck = s1.save(os.path.join(d, "ck"))
+        s2 = StreamMatcher(matcher, tile_rows=256)
+        s2.load(ck)
+        for b in batches[10:]:
+            s2.feed_pcap_slice(b, "udp")
+        assert (s2.counts() == want).all()
+        assert s2.packets_seen == 1000
+
+
 def test_stream_matches_oneshot(reference_dir, matcher, udp1000):
     _, want = udp1000
     stream = StreamMatcher(matcher, batch_size=10)
@@ -180,7 +248,7 @@ def test_stream_matches_oneshot(reference_dir, matcher, udp1000):
 def test_stream_long_payload_chunked(matcher):
     """A payload longer than the stream window goes through the carried-state
     chunk path; straddling matches must count once."""
-    stream = StreamMatcher(matcher, fixed_len=64)
+    stream = StreamMatcher(matcher, fixed_len=64, packed=False)
     rng = np.random.default_rng(4)
     payload = rng.integers(0, 256, size=(1, 300)).astype(np.uint8)
     payload[0, 60:64] = np.frombuffer(b"http", np.uint8)  # straddles 64-edge

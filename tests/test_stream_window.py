@@ -82,7 +82,7 @@ def test_stream_matcher_window_engine_long_payload(strings_path):
     lengths = np.array([300, 290], np.int32)
     want = m.count(payload, lengths)
     for engine in ("window", "ac"):
-        s = StreamMatcher(m, fixed_len=64, engine=engine)
+        s = StreamMatcher(m, fixed_len=64, engine=engine, packed=False)
         s.feed_batch(payload, lengths)
         assert (s.counts() == want).all(), engine
 
