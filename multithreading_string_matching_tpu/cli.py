@@ -194,8 +194,17 @@ def cmd_live(argv: List[str]) -> int:
     # An existing file path replays offline (testing hook); otherwise open
     # the named interface for real capture.  The source comes first: a
     # source-open failure must not leave a truncated dump file behind.
+    # Real interfaces get the reference's capture setup: the kernel-level
+    # "udp"/"tcp" BPF filter (pcap_setfilter, live_openmp_task.c:127-136)
+    # and promiscuous mode (pcap_open_live promisc=1, :111-112; opt out
+    # with MSM_LIVE_PROMISC=0).
     source = (
-        FileReplaySource(argv[0]) if os.path.exists(argv[0]) else LiveSource(argv[0])
+        FileReplaySource(argv[0])
+        if os.path.exists(argv[0])
+        else LiveSource(
+            argv[0], filter_mode=mode,
+            promiscuous=os.environ.get("MSM_LIVE_PROMISC", "1") != "0",
+        )
     )
     writer = PcapWriter(dump_path) if dump_path else None
     # Stream tuning comes from MSM_STREAM_BATCH / MSM_STREAM_WINDOW env vars
