@@ -100,6 +100,7 @@ def count_pcap_streamed(
     stats: Optional[dict] = None,
     sharded: bool = False,
     mesh=None,
+    sync_dispatch: bool = False,
 ) -> np.ndarray:
     """Production-rate streaming scan: bounded-memory ingest feeding the
     fast engine through ONE fixed compiled shape.
@@ -148,7 +149,7 @@ def count_pcap_streamed(
         )
     counter = PackedTileCounter(
         matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width,
-        sharded=sharded, mesh=mesh,
+        sharded=sharded, mesh=mesh, sync_dispatch=sync_dispatch,
     )
     n_packets = n_valid = n_bytes = 0
     for chunk in _iter_pcap_paths(pcap_path, batch_packets):
@@ -197,7 +198,14 @@ class PackedTileCounter:
         pack_width: int = 2048,
         sharded: bool = False,
         mesh=None,
+        sync_dispatch: bool = False,
     ):
+        # sync_dispatch=True blocks on every tile's counts before packing
+        # the next — it DISABLES the producer/consumer overlap (host packs
+        # tile k+1 while the device stages+scans tile k) that asynchronous
+        # dispatch provides.  It exists so benches can MEASURE that overlap:
+        # the async/sync end-to-end ratio is the pipelining gain.
+        self._sync_dispatch = sync_dispatch
         self.matcher = matcher
         engine = matcher._resolve_engine(engine)
         if sharded and engine == "kmp":
@@ -299,6 +307,11 @@ class PackedTileCounter:
         self._total = out if self._total is None else self._total + out
         self.tiles_dispatched += 1
         self._tiles_since_drain += 1
+        if self._sync_dispatch:
+            # Fetch (the only trustworthy sync through the remote tunnel —
+            # block_until_ready returns early there): serializes transfer,
+            # scan, and the dispatch round-trip with host-side packing.
+            self._drain()
         if self._tiles_since_drain >= self._drain_every:
             self._drain()  # one fetch per ~2^30 scanned positions: async
             # dispatch stays the common case, int32 wrap impossible

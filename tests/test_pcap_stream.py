@@ -453,6 +453,25 @@ def test_streamed_sharded_guards(reference_dir):
         )
 
 
+def test_streamed_sync_dispatch_identical(reference_dir):
+    """sync_dispatch=True (the bench's overlap-measurement mode) changes
+    only the blocking schedule, never the counts."""
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.io.patterns import load_patterns
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+    )
+
+    m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
+    a = count_pcap_streamed(m, reference_dir / "udp_1000.pcap", "udp",
+                            batch_packets=64, tile_rows=32)
+    b = count_pcap_streamed(m, reference_dir / "udp_1000.pcap", "udp",
+                            batch_packets=64, tile_rows=32,
+                            sync_dispatch=True)
+    assert a.tolist() == b.tolist()
+    assert int(a.sum()) == 1006
+
+
 def test_streamed_sharded_nul_patterns(reference_dir):
     """NUL-containing pattern sets can't sequence-pack, so sharded streaming
     routes them through the per-row scanner — sharded over the same mesh,
