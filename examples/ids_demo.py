@@ -65,10 +65,13 @@ def scan_live(iface, patterns_path, mode):
     from multithreading_string_matching_tpu.utils.report import format_report
 
     matcher = Matcher(load_patterns(patterns_path), engine="auto")
+    # Defaults give the serving shape for free: packed tiles (one device
+    # dispatch per tile, not per batch) and the kernel-level BPF protocol
+    # filter + promiscuous open an IDS tap needs.
     stream = StreamMatcher(matcher)
     stream.install_sigint()
     try:
-        with LiveSource(iface) as src:
+        with LiveSource(iface, filter_mode=mode, promiscuous=True) as src:
             for pcap_slice in src:
                 stream.feed_pcap_slice(pcap_slice, mode=mode)
                 if stream.stopped:
