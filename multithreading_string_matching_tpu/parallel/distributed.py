@@ -228,3 +228,127 @@ def count_pcap_distributed(
         local_packets=pcap.num_packets,
         local_payload_bytes=int(batch.lengths.sum()),
     )
+
+
+def _allgather_int64(local: np.ndarray) -> np.ndarray:
+    """SUM of an int64 vector across processes, exactly.
+
+    ``process_allgather`` goes through jnp, which silently downcasts int64
+    to int32 without the x64 flag — so ship (lo, hi) uint32 halves and
+    reassemble host-side."""
+    from jax.experimental import multihost_utils
+
+    lo = (local & 0xFFFFFFFF).astype(np.uint32)
+    hi = (local >> 32).astype(np.uint32)
+    g = np.asarray(
+        multihost_utils.process_allgather(
+            jnp.stack([jnp.asarray(lo), jnp.asarray(hi)])
+        )
+    ).reshape(-1, 2, local.shape[0])  # [procs, 2, P]
+    return (
+        g[:, 0].astype(np.int64) + (g[:, 1].astype(np.int64) << 32)
+    ).sum(axis=0)
+
+
+def count_pcap_streamed_distributed(
+    matcher,
+    pcap_path,
+    mode: str = "udp",
+    *,
+    batch_packets: int = 8192,
+    tile_rows: int = 4096,
+    pack_width: int = 2048,
+    strict: bool = False,
+    vlan: bool = False,
+    ipv6: bool = False,
+    engine: Optional[str] = None,
+    stats: Optional[dict] = None,
+) -> DistributedResult:
+    """Bounded-memory multi-host streaming scan — the serving shape of
+    :func:`count_pcap_distributed` for captures larger than any host's RAM.
+
+    Where the one-shot path materializes the whole capture per host before
+    sharding, here every host streams it (``iter_pcap``) and scans only the
+    chunks whose index ≡ its rank (mod processes) — deterministic
+    round-robin needs no up-front packet count and balances heavy-tailed
+    captures.  Each host's chunks pack into fixed tiles on ITS OWN devices
+    (``PackedTileCounter`` — the flagship Pallas kernel at its resident
+    rate) with NO per-tile collective: hosts may process unequal tile
+    counts, so the collective schedule must not depend on them.  The whole
+    run has exactly three collectives, all at the end — error flag, count
+    merge, MAX-elapsed — the streaming analogue of mpi_dumping.c's single
+    MPI_Reduce(SUM)+Reduce(MAX) (:202-206), with the error-flag-first
+    discipline of the one-shot path (no host can deadlock a peer).
+
+    NUL-containing pattern sets (sequence packing inexact) scan per-chunk
+    through the bucketed one-shot engine instead — still bounded-memory,
+    still local-only until the final merge.  Counts are exact int64
+    host-side (int32 on return when they fit); single-process runs
+    degenerate to the local streamed scan.
+    """
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        PackedTileCounter,
+        _iter_pcap_paths,
+    )
+
+    procs = jax.process_count()
+    rank = jax.process_index()
+    t0 = time.perf_counter()
+    exc: Optional[BaseException] = None
+    local = np.zeros(len(matcher.patterns), dtype=np.int64)
+    n_pkts = n_valid = n_bytes = 0
+    nul = any(0 in p for p in matcher.window.unique_patterns)
+    counter = None if nul else PackedTileCounter(
+        matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width
+    )
+    try:
+        for i, chunk in enumerate(_iter_pcap_paths(pcap_path, batch_packets)):
+            if i % procs != rank:
+                continue
+            batch = extract_payloads(
+                chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
+            )
+            n_pkts += batch.num_packets
+            n_valid += int(batch.valid.sum())
+            n_bytes += batch.total_payload_bytes
+            if counter is not None:
+                counter.add(batch.payloads, batch.lengths)
+            else:
+                local += np.asarray(
+                    matcher.count(batch.payloads, batch.lengths, engine=engine)
+                ).astype(np.int64)
+        if counter is not None:
+            local += counter.totals()
+    except (FileNotFoundError, ValueError, OSError) as e:
+        exc = e
+    elapsed = time.perf_counter() - t0
+
+    if procs > 1:
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            jnp.asarray([0 if exc is None else 1])
+        )
+        if int(np.asarray(flags).sum()):
+            raise RuntimeError(
+                "pcap ingest failed on at least one host; all hosts aborting"
+            ) from exc
+        counts = _allgather_int64(local)
+        all_e = multihost_utils.process_allgather(jnp.asarray([elapsed]))
+        elapsed = float(np.max(np.asarray(all_e)))
+    else:
+        if exc is not None:
+            raise exc
+        counts = local
+    if stats is not None:
+        stats.update(
+            packets=n_pkts, valid_payloads=n_valid, payload_bytes=n_bytes
+        )
+    if not (counts.size and counts.max() > np.iinfo(np.int32).max):
+        counts = counts.astype(np.int32)
+    return DistributedResult(
+        counts=counts,
+        elapsed_max_s=elapsed,
+        local_packets=n_pkts,
+        local_payload_bytes=n_bytes,
+    )

@@ -64,6 +64,134 @@ sys.exit(1)  # should not get here
 """
 
 
+STREAM_WORKER = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+from multithreading_string_matching_tpu import Matcher, load_patterns
+from multithreading_string_matching_tpu.parallel.distributed import (
+    count_pcap_streamed_distributed,
+)
+
+ref = sys.argv[4]
+m = Matcher(load_patterns(ref + "/strings.txt"))
+stats = {}
+res = count_pcap_streamed_distributed(
+    m, ref + "/udp_1000.pcap", "udp", batch_packets=100, tile_rows=64,
+    stats=stats,
+)
+if int(sys.argv[3]) == 0:
+    with open(sys.argv[5], "w") as f:
+        json.dump({"counts": res.counts.tolist(),
+                   "local_packets": res.local_packets,
+                   "stats": stats}, f)
+"""
+
+
+def test_two_process_streamed_distributed(reference_dir, tmp_path):
+    """Streamed multi-host serving: round-robin chunks, local tiles, ONE
+    end merge — counts equal the oracle, each rank streamed only its half."""
+    out = tmp_path / "counts.json"
+    script = tmp_path / "stream_worker.py"
+    script.write_text(STREAM_WORKER)
+    port = 23765 + os.getpid() % 2000
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, "2", str(i),
+             str(reference_dir), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    import json
+
+    import oracle
+
+    from multithreading_string_matching_tpu import load_patterns
+
+    data = json.loads(out.read_text())
+    pats = load_patterns(reference_dir / "strings.txt")
+    want = oracle.oracle_pcap_counts(reference_dir / "udp_1000.pcap", pats, "udp")
+    assert data["counts"] == list(want)
+    # 10 chunks of 100 round-robin over 2 ranks -> 500 packets each.
+    assert data["local_packets"] == 500
+    assert data["stats"]["packets"] == 500
+
+
+def test_streamed_distributed_single_process(reference_dir):
+    """Single-process degenerate case: equals the one-shot scan and the
+    local streamed scan, for both packed (NUL-free) and per-chunk (NUL)
+    modes."""
+    from multithreading_string_matching_tpu import (
+        Matcher,
+        extract_payloads,
+        load_patterns,
+        read_pcap,
+    )
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_streamed_distributed,
+    )
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    batch = extract_payloads(read_pcap(reference_dir / "udp_1000.pcap"), "udp")
+    want = m.count_batch(batch)
+    stats = {}
+    res = count_pcap_streamed_distributed(
+        m, reference_dir / "udp_1000.pcap", "udp",
+        batch_packets=130, tile_rows=64, stats=stats,
+    )
+    assert res.counts.tolist() == want.tolist()
+    assert res.local_packets == 1000 == stats["packets"]
+    assert stats["payload_bytes"] == batch.total_payload_bytes
+
+    nul = Matcher([b"ab\x00c", b"http"], engine="window")
+    res2 = count_pcap_streamed_distributed(
+        nul, reference_dir / "udp.pcap", "udp", batch_packets=7
+    )
+    want2 = nul.count_batch(
+        extract_payloads(read_pcap(reference_dir / "udp.pcap"), "udp")
+    )
+    assert res2.counts.tolist() == want2.tolist()
+
+
+def test_streamed_distributed_missing_file_single(reference_dir):
+    from multithreading_string_matching_tpu import Matcher
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_streamed_distributed,
+    )
+
+    m = Matcher([b"x"], engine="window")
+    with pytest.raises((FileNotFoundError, OSError)):
+        count_pcap_streamed_distributed(m, "/nonexistent.pcap", "udp")
+
+
+def test_allgather_int64_halves_roundtrip():
+    """The uint32 (lo, hi) split used for the exact int64 merge reassembles
+    values past 2^31 (jnp would silently downcast int64 without x64)."""
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        _allgather_int64,
+    )
+
+    vals = np.array([0, 1, 2**31 + 7, 2**40 + 123456789], dtype=np.int64)
+    # Single process: allgather returns this process's halves only.
+    assert _allgather_int64(vals).tolist() == vals.tolist()
+
+
 def test_two_process_ingest_failure_aborts_all(reference_dir, tmp_path):
     """One host's pcap open fails -> every host raises cleanly instead of
     deadlocking in a later collective (mpi_dumping.c error-flag analogue)."""
