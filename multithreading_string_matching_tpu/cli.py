@@ -61,12 +61,28 @@ def _build(
     )
 
 
-def _execution_blob(matcher, sharded: bool, attribution: bool = False) -> dict:
-    """matcher.explain(), corrected for CLI-level remaps: the sharded
-    counts paths have no per-pattern-DFA reducer and run kmp rule sets
-    through AC; sharded ATTRIBUTION (per-row) is window-family only, so
-    ac/kmp remap to window there (identical counts either way)."""
+def _execution_blob(
+    matcher, sharded: bool, attribution: bool = False,
+    actual: "str | None" = None,
+) -> dict:
+    """matcher.explain(), corrected for CLI-level remaps.
+
+    ``actual`` (when the pipeline reported the engine it really resolved,
+    via its stats dict) is authoritative — no rule re-derivation.  Without
+    it, mirror the pipeline rules: the sharded counts paths have no
+    per-pattern-DFA reducer and run kmp rule sets through AC; sharded
+    ATTRIBUTION (per-row) is window-family only, so ac/kmp remap to window
+    there (identical counts either way)."""
     ex = matcher.explain()
+    if actual is not None:
+        if actual != ex["engine_resolved"]:
+            ex["sharded_remap" if sharded else "streamed_remap"] = (
+                f"{ex['engine_resolved']}->{actual}"
+            )
+            ex["engine_resolved"] = actual
+        if actual != "pallas":
+            ex.pop("pallas_kernel", None)
+        return ex
     if sharded and attribution and ex["engine_resolved"] in ("ac", "kmp"):
         ex["sharded_remap"] = f"{ex['engine_resolved']}->window"
         ex["engine_resolved"] = "window"
@@ -238,6 +254,7 @@ def cmd_live(argv: List[str]) -> int:
         pass
     finally:
         stream.uninstall_sigint()
+        stream.flush()  # pending dump scan + partial tile, BEFORE close
         if writer is not None:
             writer.close()
     _report(
@@ -381,6 +398,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     engine=cfg.engine, stats=stream_stats,
                     sharded=a.sharded,
                 )
+        # The pipeline reports the engine it ACTUALLY resolved through the
+        # stats dict — authoritative over the blob's re-derived rules.
+        actual_engine = stream_stats.pop("engine_resolved", None)
         if a.json:
             import json
 
@@ -393,6 +413,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             blob["execution"] = _execution_blob(
                 matcher, a.sharded,
                 attribution=bool(a.dump_matches or a.offsets),
+                actual=actual_engine,
             )
             if a.dump_matches:
                 blob["dump_path"] = a.dump_matches

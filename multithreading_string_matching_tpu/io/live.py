@@ -207,11 +207,15 @@ class LiveSource:
             socket.AF_PACKET, socket.SOCK_RAW, socket.htons(ETH_P_ALL)
         )
         try:
+            # Order matters (libpcap's): BIND first — an unbound ETH_P_ALL
+            # socket receives from EVERY interface, so anything queued
+            # pre-bind could be mistaken for this interface's traffic.
+            # Then filter, then drain the frames that raced in unfiltered
+            # (post-bind, so they are at least from the right interface),
+            # then promisc.
+            self._sock.bind((self.interface, 0))
             if self.filter_mode is not None:
                 _attach_kernel_filter(self._sock, self.filter_mode)
-                # Unfiltered frames can land between socket() and the
-                # setsockopt — drain them so the stream starts clean (the
-                # same race libpcap handles after pcap_setfilter).
                 self._sock.setblocking(False)
                 try:
                     while True:
@@ -225,7 +229,6 @@ class LiveSource:
                 )
                 self._sock.setsockopt(SOL_PACKET, PACKET_ADD_MEMBERSHIP, mreq)
                 self._promisc_on = True
-            self._sock.bind((self.interface, 0))
             self._sock.settimeout(self.timeout_s)
         except BaseException:
             self._sock.close()

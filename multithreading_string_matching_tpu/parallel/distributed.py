@@ -60,7 +60,14 @@ def _pallas_for_mesh(matcher, mesh):
     pm = matcher.pallas
     if pm.interpret == interpret:
         return pm
-    return type(pm)(matcher.window, interpret=interpret, assume_zero_padded=True)
+    # Cache the alternate-interpret matcher on its sibling: a fresh instance
+    # per call would start with empty jit/kernel caches, re-tracing (and on
+    # TPU re-compiling) the sharded program on every invocation.
+    alt = getattr(pm, "_alt_interpret", None)
+    if alt is None or alt.interpret != interpret:
+        alt = type(pm)(matcher.window, interpret=interpret, assume_zero_padded=True)
+        pm._alt_interpret = alt
+    return alt
 
 
 def initialize_from_env() -> bool:

@@ -136,6 +136,14 @@ def count_pcap_streamed(
     if mesh is not None and not sharded:
         raise ValueError("mesh= is only meaningful with sharded=True")
     if any(0 in p for p in matcher.window.unique_patterns):
+        if sync_dispatch:
+            # The blocking-schedule measurement mode only exists on the
+            # packed-tile path; silently timing the per-row fallback would
+            # report a fictitious "overlap gain".
+            raise ValueError(
+                "sync_dispatch requires the packed-tile path (NUL-free "
+                "patterns); this set falls back to the per-row scanner"
+            )
         # Packing is inexact for NUL-containing patterns; the per-row
         # streamed scanner is still bounded-memory and fills the caller's
         # stats (the pipelined path would silently drop them).  The sharded
@@ -151,6 +159,11 @@ def count_pcap_streamed(
         matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width,
         sharded=sharded, mesh=mesh, sync_dispatch=sync_dispatch,
     )
+    if stats is not None:
+        # Observability: report the engine the counter ACTUALLY resolved
+        # (incl. its sharded kmp->ac remap) so CLI blobs echo the truth
+        # instead of re-deriving the remap rules.
+        stats["engine_resolved"] = counter.engine
     n_packets = n_valid = n_bytes = 0
     for chunk in _iter_pcap_paths(pcap_path, batch_packets):
         batch = extract_payloads(chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6)
@@ -442,6 +455,9 @@ def scan_pcap_streamed(
             "pallas" if matcher._resolve_engine(None) == "pallas" else "window"
         )
 
+        if stats is not None:
+            stats["engine_resolved"] = row_engine
+
         def row_fn(payloads, lengths):
             # Quantize to pow2 rows x pow2 width (padding rows are length-0,
             # zero bytes): a long stream reuses O(log) compiled shapes
@@ -457,6 +473,8 @@ def scan_pcap_streamed(
             )
             return per_row[:n]  # [n, U] build-order unique counts
 
+    if stats is not None and not sharded:
+        stats["engine_resolved"] = "window"  # find_matches is window-native
     total = None
     n_packets = n_valid = n_bytes = 0
     found = [] if offsets else None

@@ -91,6 +91,13 @@ class StreamMatcher:
             )
         self._counts: Optional[jax.Array] = None
         self._chunk_states: Optional[jax.Array] = None
+        # Packed-mode dump attribution is batched the same way counting is:
+        # pend slices until ~dump_scan_rows rows, then ONE per-row scan
+        # serves them all (a per-slice scan would reinstate the per-batch
+        # dispatch round-trip that packed mode exists to amortize).
+        self._dump_pending = []  # (pcap_slice, src_idx, payloads, lengths)
+        self._dump_pending_rows = 0
+        self.dump_scan_rows = 1024
         self.packets_seen = 0
         self.stopped = False
         self._old_handler = None
@@ -220,11 +227,16 @@ class StreamMatcher:
             payloads, lengths = payloads[mask], lengths[mask]
             src_idx = src_idx[mask]
         if self.dump_writer is not None:
-            if payloads.shape[0]:
+            if payloads.shape[0] and self._tiles is not None:
                 # keep_invalid=True means rows ARE the slice's packets (in
                 # order), so per-row attribution maps straight back to
-                # records.  The extra per-packet scan is negligible at live
-                # batch sizes; totals still come from feed_batch below.
+                # records.  Batched: pend the slice, scan once per
+                # ~dump_scan_rows (one dispatch instead of one per batch).
+                self._dump_pending.append((pcap, src_idx, payloads, lengths))
+                self._dump_pending_rows += payloads.shape[0]
+                if self._dump_pending_rows >= self.dump_scan_rows:
+                    self._flush_dump()
+            elif payloads.shape[0]:
                 per_row = np.asarray(
                     self.matcher.count(payloads, lengths, per_packet=True)
                 )
@@ -268,9 +280,42 @@ class StreamMatcher:
 
     # -- results -----------------------------------------------------------
 
+    def _flush_dump(self):
+        """One per-row scan over all pending slices, hits written in feed
+        order — the batched flavor of the per-slice dump attribution."""
+        if not self._dump_pending:
+            return
+        pend, self._dump_pending = self._dump_pending, []
+        self._dump_pending_rows = 0
+        lmax = max(p.shape[1] for _, _, p, _ in pend)
+        rows = sum(p.shape[0] for _, _, p, _ in pend)
+        pays = np.zeros((rows, lmax), dtype=np.uint8)
+        lens = np.zeros(rows, dtype=np.int32)
+        r = 0
+        for _, _, p, l in pend:
+            pays[r : r + p.shape[0], : p.shape[1]] = p
+            lens[r : r + p.shape[0]] = l
+            r += p.shape[0]
+        per_row = np.asarray(self.matcher.count(pays, lens, per_packet=True))
+        r = 0
+        for pcap, src_idx, p, _ in pend:
+            hits = per_row[r : r + p.shape[0]][: src_idx.size].sum(axis=1) > 0
+            self.dump_writer.write(pcap, src_idx[hits])
+            r += p.shape[0]
+
+    def flush(self):
+        """Flush pending work — the batched dump scan and the partial
+        packed tile.  Call before closing a dump writer; counts() also
+        flushes."""
+        self._flush_dump()
+        if self._tiles is not None:
+            self._tiles.flush()
+
     def counts(self) -> np.ndarray:
         """Synchronize and return counts over the original pattern list
-        (flushes the packed partial tile first; exact int64 past int32)."""
+        (flushes the packed partial tile and any pending dump scan first;
+        exact int64 past int32)."""
+        self._flush_dump()
         total = np.zeros(len(self.matcher.patterns), dtype=np.int64)
         if self._counts is not None:
             total = total + np.asarray(self._counts).astype(np.int64)

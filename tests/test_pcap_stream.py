@@ -472,6 +472,45 @@ def test_streamed_sync_dispatch_identical(reference_dir):
     assert int(a.sum()) == 1006
 
 
+def test_sync_dispatch_rejects_nul_fallback(reference_dir):
+    """sync_dispatch is a packed-path measurement mode; silently timing the
+    per-row fallback would fabricate an 'overlap gain' — so it raises."""
+    import pytest
+
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+    )
+
+    nul = Matcher([b"a\x00b"], engine="window")
+    with pytest.raises(ValueError, match="sync_dispatch"):
+        count_pcap_streamed(
+            nul, reference_dir / "udp.pcap", "udp", sync_dispatch=True
+        )
+
+
+def test_stream_blob_reports_actual_engine(reference_dir, capsys):
+    """The execution blob echoes the engine the pipeline REPORTED (stats),
+    not a re-derived rule: streamed attribution is window-native, so a kmp
+    matcher shows engine_resolved=window with the remap note."""
+    import json
+
+    from multithreading_string_matching_tpu.cli import main
+
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--stream", "--offsets",
+        "--engine", "kmp",
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert blob["execution"]["engine_resolved"] == "window"
+    assert blob["execution"]["streamed_remap"] == "kmp->window"
+    assert sum(blob["counts"]) == 39
+    assert "engine_resolved" not in blob  # popped from the stats spread
+
+
 def test_streamed_sharded_nul_patterns(reference_dir):
     """NUL-containing pattern sets can't sequence-pack, so sharded streaming
     routes them through the per-row scanner — sharded over the same mesh,

@@ -260,6 +260,35 @@ def test_stream_matcher_dump_writer(reference_dir, tmp_path):
     assert dump.num_packets == 10  # matching packets of udp.pcap
 
 
+def test_stream_matcher_dump_batched_flush(reference_dir, tmp_path):
+    """Packed-mode dump attribution batches slices into ONE scan per
+    ~dump_scan_rows (no per-slice dispatch); explicit flush() before the
+    writer closes yields the same dump as per-slice mode."""
+    from multithreading_string_matching_tpu.io.live import FileReplaySource
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+    from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(pats, engine="window")
+    out_b = tmp_path / "batched.pcap"
+    out_u = tmp_path / "per_slice.pcap"
+    with PcapWriter(out_b) as w:
+        s = StreamMatcher(m, dump_writer=w)
+        assert s._tiles is not None
+        for batch in FileReplaySource(str(reference_dir / "udp.pcap")):
+            s.feed_pcap_slice(batch, "udp", bpf_filter=True)
+        # Nothing written yet: 20 packets < dump_scan_rows -> all pending.
+        assert s._dump_pending_rows > 0 and w.packets_written == 0
+        s.flush()
+        assert s._dump_pending_rows == 0
+    with PcapWriter(out_u) as w2:
+        s2 = StreamMatcher(m, dump_writer=w2, packed=False)
+        for batch in FileReplaySource(str(reference_dir / "udp.pcap")):
+            s2.feed_pcap_slice(batch, "udp", bpf_filter=True)
+    assert out_b.read_bytes() == out_u.read_bytes()
+    assert read_pcap(out_b).num_packets == 10
+
+
 def test_cli_live_dump_matches(reference_dir, tmp_path, capsys):
     out = tmp_path / "live_hits.pcap"
     code = main([
