@@ -316,6 +316,12 @@ def cmd_match(argv: List[str]) -> int:
     )
     p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
     p.add_argument(
+        "--distributed", action="store_true",
+        help="with --stream: multi-host streamed counting "
+             "(count_pcap_streamed_distributed; set MSM_COORDINATOR etc. "
+             "on every host — single-process runs degenerate locally)",
+    )
+    p.add_argument(
         "--stream", action="store_true",
         help="bounded-memory streaming scan (fixed packed tiles; any-size captures)",
     )
@@ -370,6 +376,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
         syntax=a.pattern_syntax, bucketed=cfg.bucketed,
     )
     timer = PhaseTimer()
+    if a.distributed and not a.stream:
+        raise SystemExit("--distributed requires --stream (the one-shot "
+                         "multi-host path is the `mesh` subcommand)")
     if a.stream:
         if cfg.per_packet:
             raise SystemExit("--stream is incompatible with --per-packet")
@@ -378,10 +387,29 @@ def _run_match(a, cfg, pcap_paths) -> int:
             scan_pcap_streamed,
         )
 
+        if a.distributed and (a.dump_matches or a.offsets or a.sharded):
+            raise SystemExit(
+                "--distributed streaming is counts-only (per-host tiles, "
+                "one end-of-run merge); drop --sharded/--offsets/"
+                "--dump-matches"
+            )
         stream_stats = {}
         stream_offsets = None
         with timer.phase("scan"):
-            if a.dump_matches or a.offsets:
+            if a.distributed:
+                from multithreading_string_matching_tpu.parallel.distributed import (
+                    count_pcap_streamed_distributed,
+                    initialize_from_env,
+                )
+
+                initialize_from_env()
+                res = count_pcap_streamed_distributed(
+                    matcher, pcap_paths, cfg.mode,
+                    strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
+                    engine=cfg.engine, stats=stream_stats,
+                )
+                counts = res.counts
+            elif a.dump_matches or a.offsets:
                 # Attribution wanted: the per-row streamed scanner
                 # (sharded=True shards each chunk's rows over the mesh).
                 res = scan_pcap_streamed(

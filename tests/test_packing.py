@@ -100,6 +100,54 @@ def test_packed_counts_random_all_engines():
         assert (got == want).all(), engine
 
 
+def test_tile_counter_fuzz_feed_splits():
+    """PackedTileCounter property fuzz: ANY split of a corpus into feeds of
+    random sizes/widths — including oversized rows, empty feeds, nocase
+    folding, and mid-stream totals() — equals the one-shot scan."""
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        PackedTileCounter,
+    )
+
+    rng = np.random.default_rng(11)
+    pats = [b"http", b"AbC", b"zz", b"http"]  # duplicate kept
+    for trial in range(4):
+        nocase = bool(trial % 2)
+        m = Matcher(pats, engine="window", case_insensitive=nocase)
+        n = int(rng.integers(30, 120))
+        lmax = int(rng.integers(40, 400))
+        payloads = rng.integers(0, 256, size=(n, lmax)).astype(np.uint8)
+        lengths = rng.integers(0, lmax + 1, size=n).astype(np.int64)
+        for _ in range(n // 3):  # plant matches
+            i = int(rng.integers(0, n))
+            p = pats[int(rng.integers(0, len(pats)))]
+            if lengths[i] > len(p):
+                o = int(rng.integers(0, lengths[i] - len(p)))
+                payloads[i, o : o + len(p)] = np.frombuffer(p, np.uint8)
+        want = m.count(payloads, lengths)
+
+        pack_width = int(rng.integers(64, 256))
+        counter = PackedTileCounter(
+            m, tile_rows=int(rng.integers(8, 64)), pack_width=pack_width
+        )
+        i = 0
+        checked_mid = False
+        while i < n:
+            k = int(rng.integers(0, 12))  # 0 = empty feed
+            counter.add(payloads[i : i + k], lengths[i : i + k])
+            i += k
+            if not checked_mid and i > n // 2:
+                # totals() mid-stream must be non-destructive.
+                mid = counter.totals()
+                assert (mid <= want.astype(np.int64)).all()
+                checked_mid = True
+        got = counter.totals()
+        assert got.tolist() == want.tolist(), (
+            f"trial={trial} nocase={nocase} pack_width={pack_width}"
+        )
+        assert counter.totals().tolist() == want.tolist()  # idempotent
+
+
 def test_packed_conformance_udp1000(reference_dir):
     from multithreading_string_matching_tpu import extract_payloads, read_pcap
 

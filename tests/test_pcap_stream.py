@@ -472,6 +472,40 @@ def test_streamed_sync_dispatch_identical(reference_dir):
     assert int(a.sum()) == 1006
 
 
+def test_cli_stream_distributed_single_process(reference_dir, capsys):
+    """match --stream --distributed: single-process degenerate run equals
+    the plain streamed scan; guards reject non-counts flags and
+    --distributed without --stream."""
+    import json
+
+    import pytest
+
+    from multithreading_string_matching_tpu.cli import main
+
+    code = main([
+        "match", "--pcap", str(reference_dir / "udp_1000.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--mode", "udp", "--json", "--stream", "--distributed",
+    ])
+    assert code == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 1006
+    assert blob["packets"] == 1000
+
+    with pytest.raises(SystemExit, match="counts-only"):
+        main([
+            "match", "--pcap", str(reference_dir / "udp.pcap"),
+            "--patterns", str(reference_dir / "strings.txt"),
+            "--stream", "--distributed", "--offsets",
+        ])
+    with pytest.raises(SystemExit, match="requires --stream"):
+        main([
+            "match", "--pcap", str(reference_dir / "udp.pcap"),
+            "--patterns", str(reference_dir / "strings.txt"),
+            "--distributed",
+        ])
+
+
 def test_sync_dispatch_rejects_nul_fallback(reference_dir):
     """sync_dispatch is a packed-path measurement mode; silently timing the
     per-row fallback would fabricate an 'overlap gain' — so it raises."""
