@@ -473,7 +473,27 @@ def scan_pcap_streamed(
             )
             return per_row[:n]  # [n, U] build-order unique counts
 
-    if stats is not None and not sharded:
+    elif matcher._resolve_engine(None) == "pallas":
+        # Unsharded attribution, same two-phase trick minus the mesh: the
+        # Pallas per-row kernel counts every row at kernel rate and
+        # find_matches (window engine) then touches only the flagged rows
+        # — the heavy full-corpus pass never degrades to the XLA window
+        # engine just because positions were requested.
+        if stats is not None:
+            stats["engine_resolved"] = "pallas"
+        pm = matcher.pallas
+
+        def row_fn(payloads, lengths):
+            n, L = payloads.shape
+            lq = max(128, _next_pow2(L))
+            payloads = np.pad(payloads, ((0, 0), (0, lq - L)))
+            out = pm.count_tiles_per_row(
+                [(matcher._maybe_fold(payloads), lengths)],
+                expand_duplicates=False,
+            )[0]
+            return np.asarray(out)[:n]  # [n, U] build-order unique counts
+
+    if stats is not None and row_fn is None:
         stats["engine_resolved"] = "window"  # find_matches is window-native
     total = None
     n_packets = n_valid = n_bytes = 0

@@ -506,6 +506,40 @@ def test_cli_stream_distributed_single_process(reference_dir, capsys):
         ])
 
 
+def test_scan_streamed_unsharded_pallas_rows(reference_dir, monkeypatch, tmp_path):
+    """Unsharded streamed attribution with a pallas-resolving matcher takes
+    the two-phase per-row path (kernel counts, find_matches on hit rows
+    only) — counts, offsets, and dump bytes identical to the window path."""
+    import json
+
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.io.patterns import load_patterns
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        scan_pcap_streamed,
+    )
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    w_dump, p_dump = tmp_path / "w.pcap", tmp_path / "p.pcap"
+    m_w = Matcher(pats, engine="window")
+    c_w, o_w = scan_pcap_streamed(
+        m_w, reference_dir / "udp_1000.pcap", "udp", offsets=True,
+        dump_path=w_dump, batch_packets=130,
+    )
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    m_p = Matcher(pats)  # fresh: engine resolution is env-dependent
+    stats = {}
+    c_p, o_p = scan_pcap_streamed(
+        m_p, reference_dir / "udp_1000.pcap", "udp", offsets=True,
+        dump_path=p_dump, batch_packets=130, stats=stats,
+    )
+    assert stats["engine_resolved"] == "pallas"
+    assert c_p.tolist() == c_w.tolist()
+    assert int(c_p.sum()) == 1006
+    assert sorted(map(tuple, o_p)) == sorted(map(tuple, o_w))
+    assert w_dump.read_bytes() == p_dump.read_bytes()
+
+
 def test_sync_dispatch_rejects_nul_fallback(reference_dir):
     """sync_dispatch is a packed-path measurement mode; silently timing the
     per-row fallback would fabricate an 'overlap gain' — so it raises."""
