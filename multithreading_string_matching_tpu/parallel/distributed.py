@@ -305,8 +305,15 @@ def count_pcap_streamed_distributed(
     local = np.zeros(len(matcher.patterns), dtype=np.int64)
     n_pkts = n_valid = n_bytes = 0
     nul = any(0 in p for p in matcher.window.unique_patterns)
+    # Multi-chip hosts shard each tile over THEIR OWN devices (a
+    # local-devices mesh — its psum never crosses hosts, so per-host tile
+    # imbalance still cannot desynchronize anything); single-chip hosts
+    # run the plain counter.
+    local_devs = jax.local_devices()
     counter = None if nul else PackedTileCounter(
-        matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width
+        matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width,
+        sharded=len(local_devs) > 1,
+        mesh=make_mesh(local_devs) if len(local_devs) > 1 else None,
     )
     try:
         for i, chunk in enumerate(_iter_pcap_paths(pcap_path, batch_packets)):
