@@ -179,7 +179,14 @@ def cmd_mesh(argv: List[str]) -> int:
     initialize_from_env()
     mode = _mode_arg(argv[2:])
     matcher = _build(argv[1])
-    res = count_pcap_distributed(matcher, argv[0], mode)
+    # Run the matcher's resolved engine per shard — the flagship Pallas
+    # kernel on TPU hosts, exactly as every reference rank runs its
+    # full-speed matcher (mpi_dumping.c:198-200); window on CPU hosts.
+    eng = matcher._resolve_engine(None)
+    res = count_pcap_distributed(
+        matcher, argv[0], mode,
+        engine=eng if eng in ("pallas", "window", "ac") else "window",
+    )
     if jax.process_index() == 0:
         _report(matcher, res.counts, res.elapsed_max_s)
     return 0
