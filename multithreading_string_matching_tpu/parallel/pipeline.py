@@ -629,7 +629,14 @@ def count_pcap_pipelined(
     Ingest is streamed (``io.pcap.iter_pcap``), exactly as the reference's
     producer pulls packets from libpcap incrementally instead of loading the
     capture first (openmp_task.c:131-156) — so captures larger than host RAM
-    flow through with bounded residency (one batch + one read buffer)."""
+    flow through with bounded residency (one batch + one read buffer).
+
+    The batch kernel is the matcher's RESOLVED engine — the Pallas kernel
+    on TPU hosts (each reference task runs the same full-speed matcher as
+    serial, openmp_task.c:171-183), the XLA window engine on CPU hosts;
+    pow2 width bucketing keeps the compiled-shape count logarithmic either
+    way."""
+    use_pallas = matcher._resolve_engine(None) == "pallas"
     total = None          # device-resident int32 accumulator
     host_total = None     # int64 accumulator drained periodically
     pos_since_drain = 0   # scanned positions bound the per-pattern growth
@@ -648,14 +655,19 @@ def count_pcap_pipelined(
             chunk, mode, batch_size, strict=strict, vlan=vlan, ipv6=ipv6
         ):
             # Async dispatch: does NOT block — device consumes batch k while
-            # the host (producer) reads + extracts batch k+1.  The gather-free
-            # window engine is the batch kernel (the AC scan is ~30x slower on
-            # TPU; see docs/DESIGN.md §1 — counts are identical either way).
-            counts = count_matches_window(
-                matcher.window,
-                jnp.asarray(matcher._maybe_fold(payloads)),
-                jnp.asarray(lengths),
-            )
+            # the host (producer) reads + extracts batch k+1.  (The AC scan
+            # is ~30x slower on TPU; see docs/DESIGN.md §1 — counts are
+            # identical across engines either way.)
+            if use_pallas:
+                counts = matcher.pallas.count_tiles(
+                    [(matcher._maybe_fold(payloads), lengths)]
+                )
+            else:
+                counts = count_matches_window(
+                    matcher.window,
+                    jnp.asarray(matcher._maybe_fold(payloads)),
+                    jnp.asarray(lengths),
+                )
             total = counts if total is None else total + counts
             # A batch contributes at most rows*cols matches per pattern;
             # drain the int32 device accumulator to host int64 before it can

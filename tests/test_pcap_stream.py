@@ -472,6 +472,25 @@ def test_streamed_sync_dispatch_identical(reference_dir):
     assert int(a.sum()) == 1006
 
 
+def test_pipelined_pallas_engine(reference_dir, monkeypatch):
+    """count_pcap_pipelined runs the matcher's resolved engine — the Pallas
+    kernel when it resolves (interpret mode here), identical counts."""
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_pipelined,
+    )
+
+    pats = load_patterns(reference_dir / "strings.txt")
+    want = count_pcap_pipelined(
+        Matcher(pats, engine="window"), reference_dir / "udp_1000.pcap", "udp"
+    )
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    got = count_pcap_pipelined(
+        Matcher(pats), reference_dir / "udp_1000.pcap", "udp"
+    )
+    assert got.tolist() == want.tolist()
+    assert int(got.sum()) == 1006
+
+
 def test_cli_stream_distributed_single_process(reference_dir, capsys):
     """match --stream --distributed: single-process degenerate run equals
     the plain streamed scan; guards reject non-counts flags and
