@@ -546,17 +546,20 @@ def test_scan_streamed_unsharded_pallas_rows(reference_dir, monkeypatch, tmp_pat
     )
 
     monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
-    m_p = Matcher(pats)  # fresh: engine resolution is env-dependent
-    stats = {}
-    c_p, o_p = scan_pcap_streamed(
-        m_p, reference_dir / "udp_1000.pcap", "udp", offsets=True,
-        dump_path=p_dump, batch_packets=130, stats=stats,
-    )
-    assert stats["engine_resolved"] == "pallas"
-    assert c_p.tolist() == c_w.tolist()
-    assert int(c_p.sum()) == 1006
-    assert sorted(map(tuple, o_p)) == sorted(map(tuple, o_w))
-    assert w_dump.read_bytes() == p_dump.read_bytes()
+    for table in ("0", "1"):  # both kernel classes (table order is permuted)
+        monkeypatch.setenv("MSM_PALLAS_TABLE", table)
+        p_dump = tmp_path / f"p{table}.pcap"
+        m_p = Matcher(pats)  # fresh: engine/kernel resolution is env-bound
+        stats = {}
+        c_p, o_p = scan_pcap_streamed(
+            m_p, reference_dir / "udp_1000.pcap", "udp", offsets=True,
+            dump_path=p_dump, batch_packets=130, stats=stats,
+        )
+        assert stats["engine_resolved"] == "pallas"
+        assert c_p.tolist() == c_w.tolist(), f"table={table}"
+        assert int(c_p.sum()) == 1006
+        assert sorted(map(tuple, o_p)) == sorted(map(tuple, o_w))
+        assert w_dump.read_bytes() == p_dump.read_bytes()
 
 
 def test_sync_dispatch_rejects_nul_fallback(reference_dir):
