@@ -416,6 +416,11 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     engine=cfg.engine, stats=stream_stats,
                 )
                 counts = res.counts
+                import jax
+
+                if jax.process_index() != 0:
+                    # Rank-0 print parity with `mesh` / mpi_dumping.c:208.
+                    return 0
             elif a.dump_matches or a.offsets:
                 # Attribution wanted: the per-row streamed scanner
                 # (sharded=True shards each chunk's rows over the mesh).

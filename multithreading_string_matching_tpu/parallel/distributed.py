@@ -315,6 +315,13 @@ def count_pcap_streamed_distributed(
         sharded=len(local_devs) > 1,
         mesh=make_mesh(local_devs) if len(local_devs) > 1 else None,
     )
+    if stats is not None:
+        # The engine the run ACTUALLY uses (incl. the counter's sharded
+        # kmp->ac remap; NUL sets scan per-chunk with the resolved engine).
+        stats["engine_resolved"] = (
+            counter.engine if counter is not None
+            else matcher._resolve_engine(engine)
+        )
     try:
         for i, chunk in enumerate(_iter_pcap_paths(pcap_path, batch_packets)):
             if i % procs != rank:
@@ -347,16 +354,24 @@ def count_pcap_streamed_distributed(
             raise RuntimeError(
                 "pcap ingest failed on at least one host; all hosts aborting"
             ) from exc
-        counts = _allgather_int64(local)
+        # Merge counts AND the ingest stats in the same exact-int64
+        # collective (each host streamed only its chunks; the caller's
+        # stats must describe the whole capture, not one rank's share).
+        merged = _allgather_int64(np.concatenate([
+            local, np.array([n_pkts, n_valid, n_bytes], dtype=np.int64),
+        ]))
+        counts, (g_pkts, g_valid, g_bytes) = merged[:-3], merged[-3:]
         all_e = multihost_utils.process_allgather(jnp.asarray([elapsed]))
         elapsed = float(np.max(np.asarray(all_e)))
     else:
         if exc is not None:
             raise exc
         counts = local
+        g_pkts, g_valid, g_bytes = n_pkts, n_valid, n_bytes
     if stats is not None:
         stats.update(
-            packets=n_pkts, valid_payloads=n_valid, payload_bytes=n_bytes
+            packets=int(g_pkts), valid_payloads=int(g_valid),
+            payload_bytes=int(g_bytes),
         )
     if not (counts.size and counts.max() > np.iinfo(np.int32).max):
         counts = counts.astype(np.int32)

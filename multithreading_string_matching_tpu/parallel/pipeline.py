@@ -442,56 +442,53 @@ def scan_pcap_streamed(
 
     if mesh is not None and not sharded:
         raise ValueError("mesh= is only meaningful with sharded=True")
+    # The two-phase per-row scan: the fast kernel counts EVERY row (sharded
+    # over the mesh, or local when the matcher resolves to pallas), and
+    # find_matches (window engine) then touches only the flagged rows — so
+    # requesting positions/dumps never demotes the heavy full-corpus pass.
     row_fn = None
+    row_engine = None
     if sharded:
-        from multithreading_string_matching_tpu.parallel.mesh import (
-            count_rows_sharded,
-            make_mesh,
-        )
+        from multithreading_string_matching_tpu.parallel.mesh import make_mesh
 
         mesh = mesh or make_mesh()
-        n_dev = mesh.devices.size
         row_engine = (
             "pallas" if matcher._resolve_engine(None) == "pallas" else "window"
         )
+    elif matcher._resolve_engine(None) == "pallas":
+        row_engine = "pallas"
+    if row_engine is not None:
+        from multithreading_string_matching_tpu.parallel.mesh import (
+            count_rows_sharded,
+        )
 
+        n_dev = mesh.devices.size if sharded else 1
         if stats is not None:
             stats["engine_resolved"] = row_engine
 
         def row_fn(payloads, lengths):
-            # Quantize to pow2 rows x pow2 width (padding rows are length-0,
-            # zero bytes): a long stream reuses O(log) compiled shapes
-            # instead of one per chunk geometry.
+            # ONE quantization rule for both flavors: pow2 rows x pow2
+            # width (padding rows are length-0, zero bytes), so a long
+            # stream reuses O(log) compiled shapes instead of one per
+            # chunk geometry.
             n, L = payloads.shape
             lq = max(128, _next_pow2(L))
             nq = -(-max(n_dev, _next_pow2(n)) // n_dev) * n_dev
             payloads = np.pad(payloads, ((0, nq - n), (0, lq - L)))
             lengths = np.pad(lengths, (0, nq - n))
-            per_row = count_rows_sharded(
-                matcher, payloads, lengths, mesh,
-                engine=row_engine, expand_duplicates=False,
-            )
+            if sharded:
+                per_row = count_rows_sharded(
+                    matcher, payloads, lengths, mesh,
+                    engine=row_engine, expand_duplicates=False,
+                )
+            else:
+                per_row = np.asarray(
+                    matcher.pallas.count_tiles_per_row(
+                        [(matcher._maybe_fold(payloads), lengths)],
+                        expand_duplicates=False,
+                    )[0]
+                )
             return per_row[:n]  # [n, U] build-order unique counts
-
-    elif matcher._resolve_engine(None) == "pallas":
-        # Unsharded attribution, same two-phase trick minus the mesh: the
-        # Pallas per-row kernel counts every row at kernel rate and
-        # find_matches (window engine) then touches only the flagged rows
-        # — the heavy full-corpus pass never degrades to the XLA window
-        # engine just because positions were requested.
-        if stats is not None:
-            stats["engine_resolved"] = "pallas"
-        pm = matcher.pallas
-
-        def row_fn(payloads, lengths):
-            n, L = payloads.shape
-            lq = max(128, _next_pow2(L))
-            payloads = np.pad(payloads, ((0, 0), (0, lq - L)))
-            out = pm.count_tiles_per_row(
-                [(matcher._maybe_fold(payloads), lengths)],
-                expand_duplicates=False,
-            )[0]
-            return np.asarray(out)[:n]  # [n, U] build-order unique counts
 
     if stats is not None and row_fn is None:
         stats["engine_resolved"] = "window"  # find_matches is window-native
