@@ -61,6 +61,8 @@ class StreamMatcher:
         packed="auto",
         tile_rows: int = 1024,
         pack_width: int = 2048,
+        sharded: bool = False,
+        mesh=None,
     ):
         self.matcher = matcher
         self.batch_size = batch_size
@@ -77,6 +79,11 @@ class StreamMatcher:
                 "packed tiles require NUL-free patterns (sequence packing "
                 "is inexact otherwise); use packed='auto' or False"
             )
+        if sharded and not (packed is True or (packed == "auto" and nul_free)):
+            raise ValueError(
+                "sharded live streaming rides the packed tiles; it needs "
+                "packed=True/'auto' and a NUL-free pattern set"
+            )
         if packed is True or (packed == "auto" and nul_free):
             from multithreading_string_matching_tpu.parallel.pipeline import (
                 PackedTileCounter,
@@ -85,9 +92,11 @@ class StreamMatcher:
             # engine=None: the tile path exists to run the matcher's FAST
             # engine (Pallas on TPU) — the ctor `engine` arg only steers the
             # carried-state long-payload fallback, which stays exact.
+            # sharded=True scans each full tile across the mesh (a live
+            # monitor on a multi-chip host keeps every chip busy).
             self._tiles = PackedTileCounter(
                 matcher, engine=None, tile_rows=tile_rows,
-                pack_width=pack_width,
+                pack_width=pack_width, sharded=sharded, mesh=mesh,
             )
         self._counts: Optional[jax.Array] = None
         self._chunk_states: Optional[jax.Array] = None

@@ -236,6 +236,21 @@ def test_stream_packed_checkpoint_resume(reference_dir, matcher, udp1000):
         assert s2.packets_seen == 1000
 
 
+def test_stream_packed_sharded_mesh(reference_dir, matcher, udp1000):
+    """Live streaming on a multi-chip host: packed tiles shard over the
+    mesh; counts bit-identical to offline.  sharded without packed raises."""
+    _, want = udp1000
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    stream = StreamMatcher(matcher, tile_rows=256, sharded=True, mesh=mesh)
+    for part in FileReplaySource(reference_dir / "udp_1000.pcap", batch_size=25):
+        stream.feed_pcap_slice(part, "udp")
+    assert (stream.counts() == want).all()
+    assert stream.packets_seen == 1000
+
+    with pytest.raises(ValueError, match="packed"):
+        StreamMatcher(matcher, packed=False, sharded=True)
+
+
 def test_stream_matches_oneshot(reference_dir, matcher, udp1000):
     _, want = udp1000
     stream = StreamMatcher(matcher, batch_size=10)
