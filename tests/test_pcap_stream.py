@@ -472,6 +472,43 @@ def test_streamed_sync_dispatch_identical(reference_dir):
     assert int(a.sum()) == 1006
 
 
+def test_new_paths_empty_and_runt_captures(tmp_path):
+    """Round-2 surfaces on degenerate inputs: header-only and all-runt
+    captures return zeros everywhere (no crash, no shape error)."""
+    import jax
+
+    from multithreading_string_matching_tpu.api import Matcher
+    from multithreading_string_matching_tpu.io.pcap import classic_global_header
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_streamed_distributed,
+    )
+    from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+        scan_pcap_streamed,
+    )
+    from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+
+    empty = tmp_path / "empty.pcap"
+    empty.write_bytes(classic_global_header())
+    runts = tmp_path / "runts.pcap"
+    raw = classic_global_header()
+    for _ in range(5):
+        raw += struct.pack("<IIII", 0, 0, 10, 10) + b"\x00" * 10
+    runts.write_bytes(raw)
+
+    m = Matcher([b"http", b"xml"], engine="window")
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    for p in (empty, runts):
+        assert scan_pcap_streamed(m, p, "udp", sharded=True, mesh=mesh).tolist() == [0, 0]
+        c, o = scan_pcap_streamed(m, p, "udp", sharded=True, mesh=mesh, offsets=True)
+        assert c.tolist() == [0, 0] and len(o) == 0
+        assert count_pcap_streamed(m, p, "udp", sharded=True, mesh=mesh).tolist() == [0, 0]
+        assert count_pcap_streamed_distributed(m, p, "udp").counts.tolist() == [0, 0]
+    s = StreamMatcher(m, sharded=True, mesh=mesh)
+    assert s.counts().tolist() == [0, 0]
+
+
 def test_pipelined_pallas_engine(reference_dir, monkeypatch):
     """count_pcap_pipelined runs the matcher's resolved engine — the Pallas
     kernel when it resolves (interpret mode here), identical counts."""
