@@ -309,6 +309,15 @@ def test_streamed_sharded_equals_oneshot(reference_dir):
     assert int(counts.sum()) == 1006
     assert stats["packets"] == 1000
 
+    # Oversized routing composes with sharding: the host-side detour
+    # returns EXPANDED [P] counts while the sharded tiles accumulate
+    # UNIQUE [U] — the dup expansion must apply to the tile side only.
+    counts_over = count_pcap_streamed(
+        m, reference_dir / "udp_1000.pcap", "udp",
+        sharded=True, batch_packets=64, tile_rows=16, pack_width=128,
+    )
+    assert counts_over.tolist() == want.tolist()
+
     # AC engine shards too (unique->dup expansion via its own map).
     counts_ac = count_pcap_streamed(
         m, reference_dir / "udp_1000.pcap", "udp",
