@@ -79,6 +79,10 @@ class StreamMatcher:
                 "packed tiles require NUL-free patterns (sequence packing "
                 "is inexact otherwise); use packed='auto' or False"
             )
+        if mesh is not None and not sharded:
+            # Same guard as count_pcap_streamed: a dropped mesh= would
+            # silently run every tile on one device.
+            raise ValueError("mesh= is only meaningful with sharded=True")
         if sharded and not (packed is True or (packed == "auto" and nul_free)):
             raise ValueError(
                 "sharded live streaming rides the packed tiles; it needs "

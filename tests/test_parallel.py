@@ -249,6 +249,8 @@ def test_stream_packed_sharded_mesh(reference_dir, matcher, udp1000):
 
     with pytest.raises(ValueError, match="packed"):
         StreamMatcher(matcher, packed=False, sharded=True)
+    with pytest.raises(ValueError, match="mesh"):
+        StreamMatcher(matcher, mesh=mesh)  # mesh without sharded
 
 
 def test_stream_matches_oneshot(reference_dir, matcher, udp1000):
