@@ -237,23 +237,17 @@ class PallasTableMatcher:
         self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
 
     def _pad_tile(self, payloads, lengths):
-        """Same padding/VMEM-budget rule as the unrolled kernel (the live
-        set is ~(K + 8) uint32 [tn, L] temporaries)."""
-        n, L = payloads.shape
-        if L % 128:
-            payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
-            L = payloads.shape[1]
-        K = self._maxK
         # Budget swept on v5e: 2.75M (the unrolled kernel's) spills registers
         # with 16 concurrent accumulator chains (0.98 GB/s on the fixture);
         # 1.6M avoids the spill (4.8 GB/s) and 1.2M gains nothing more.
-        vmem_cap = max(8, (self.vmem_budget // ((K + 8) * L)) // 8 * 8)
-        tn = min(self.row_tile, vmem_cap, -(-n // 8) * 8)
-        if n % tn:
-            pad = tn - n % tn
-            payloads = jnp.pad(payloads, ((0, pad), (0, 0)))
-            lengths = jnp.pad(lengths, (0, pad))
-        return payloads, lengths.reshape(-1, 1).astype(jnp.int32), tn
+        from multithreading_string_matching_tpu.ops.pallas_window import (
+            pad_tile,
+        )
+
+        return pad_tile(
+            payloads, lengths, row_tile=self.row_tile,
+            K=self._maxK, vmem_budget=self.vmem_budget,
+        )
 
     def _class_call(self, c: _PatternClass, kernel, payloads, lengths, tn,
                     reps=None):
@@ -345,7 +339,10 @@ class PallasTableMatcher:
     def count_tiles_repeated(self, tiles, repeats: int):
         """repeats x counts over unique patterns inside ONE executable (the
         repeat axis is a grid dimension per pattern block — same measurement
-        honesty rule as the unrolled kernel)."""
+        honesty rule, and the same repeats x count < 2^31 int32 bound, as
+        the unrolled kernel)."""
+        if not tiles:
+            return jnp.zeros((self.num_unique,), jnp.int32)
         tiles = tuple(
             (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32))
             for p, l in tiles

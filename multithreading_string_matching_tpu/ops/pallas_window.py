@@ -120,6 +120,27 @@ def _make_kernel(
     return kernel
 
 
+def pad_tile(payloads, lengths, *, row_tile: int, K: int, vmem_budget: int):
+    """Pad to hardware-friendly tiles and pick the row-tile size — the ONE
+    padding rule both Pallas kernel classes rest on: width padded to the
+    128-lane quantum, rows to a multiple of the row tile (padding rows are
+    length-0 / all-zero, which the kernels mask out), and the row tile
+    capped by the VMEM budget for the ~(K + 8) uint32 [tn, L] live
+    temporaries.  A ZERO-row tile pads to one full row tile of empty lanes
+    (callers get zero counts instead of a degenerate grid)."""
+    n, L = payloads.shape
+    if L % 128:
+        payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
+        L = payloads.shape[1]
+    vmem_cap = max(8, (vmem_budget // ((K + 8) * L)) // 8 * 8)
+    tn = min(row_tile, vmem_cap, max(8, -(-n // 8) * 8))
+    n_pad = max(tn, -(-n // tn) * tn)
+    if n_pad != n:
+        payloads = jnp.pad(payloads, ((0, n_pad - n), (0, 0)))
+        lengths = jnp.pad(lengths, (0, n_pad - n))
+    return payloads, lengths.reshape(-1, 1).astype(jnp.int32), tn
+
+
 class PallasWindowMatcher:
     """Holds the pattern-specialized kernel + a jitted multi-tile dispatcher."""
 
@@ -163,25 +184,15 @@ class PallasWindowMatcher:
         self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
 
     def _pad_tile(self, payloads, lengths):
-        """Pad to hardware-friendly tiles (padding rows are length-0 / all-
-        zero, which both kernels mask out) and pick the row-tile size."""
-        n, L = payloads.shape
-        if L % 128:
-            payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
-            L = payloads.shape[1]
         # VMEM budget: the live set is ~(K + 8) uint32 [tn, L] temporaries
         # (K shifted word views + payload/pos/len/acc and roll scratch) and
         # must fit in ~12 MB of scoped VMEM -> cap tn by width AND word count
         # (long patterns mean more live word views).  K=3 reproduces the
         # empirically tuned 250k/L cap.
-        K = self.wp.pat_words.shape[1]
-        vmem_cap = max(8, (2_750_000 // ((K + 8) * L)) // 8 * 8)
-        tn = min(self.row_tile, vmem_cap, -(-n // 8) * 8)
-        if n % tn:
-            pad = tn - n % tn
-            payloads = jnp.pad(payloads, ((0, pad), (0, 0)))
-            lengths = jnp.pad(lengths, (0, pad))
-        return payloads, lengths.reshape(-1, 1).astype(jnp.int32), tn
+        return pad_tile(
+            payloads, lengths, row_tile=self.row_tile,
+            K=self.wp.pat_words.shape[1], vmem_budget=2_750_000,
+        )
 
     def _one_tile(self, payloads, lengths):
         payloads, lengths, tn = self._pad_tile(payloads, lengths)
@@ -278,7 +289,12 @@ class PallasWindowMatcher:
         the honest way to measure steady-state scan rate on devices whose
         per-dispatch round-trip dwarfs the kernel: grid steps always
         execute, so repeats cannot be elided or deduplicated (returns
-        repeats x counts, over unique patterns)."""
+        repeats x counts, over unique patterns).  The int32 accumulator
+        bounds honest use: repeats x per-pattern corpus count must stay
+        below 2^31 (bench.py's rep == count * REPS assertion catches a
+        wrap)."""
+        if not tiles:
+            return jnp.zeros((self.num_unique,), jnp.int32)
         tiles = tuple(
             (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
         )

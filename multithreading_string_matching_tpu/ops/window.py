@@ -85,6 +85,41 @@ class WindowProgram(NamedTuple):
 GROUP = 8
 
 
+def _word_views(payloads, K: int):
+    """The shared window algebra, step 1: right-pad so every shifted window
+    is a static [N, L] slice, then build the little-endian 4-byte word
+    starting at EVERY byte position once — all patterns and word offsets
+    reuse shifted views of the result (uint32[N, L + 4(K-1) + 1])."""
+    n, L = payloads.shape
+    x = jnp.pad(payloads, ((0, 0), (0, 4 * K + 4))).astype(jnp.uint32)
+    L4 = L + 4 * (K - 1) + 1
+
+    def shifted(j):
+        return jax.lax.slice(x, (0, j), (n, j + L4))
+
+    return shifted(0) | (shifted(1) << 8) | (shifted(2) << 16) | (shifted(3) << 24)
+
+
+def _group_bitmap(pat_words, pat_masks, pat_lens, w32, lengths, positions, g0, g1):
+    """The shared window algebra, step 2: acc[g, n, i] = pattern g (of group
+    [g0, g1)) matches at position i.  One masked word compare per 4 pattern
+    bytes — words past a pattern's end have mask 0 and word 0, which compare
+    true automatically — then the whole-pattern fit mask.  Counting and
+    offset extraction both reduce from THIS bitmap, so they cannot diverge."""
+    n, L = positions.shape
+    K = pat_words.shape[1]
+    pw = pat_words[g0:g1]
+    pm = pat_masks[g0:g1]
+    pl = pat_lens[g0:g1]
+    acc = None
+    for k in range(K):
+        wk = jax.lax.slice(w32, (0, 4 * k), (n, 4 * k + L))   # [N, L]
+        hit = (wk[None, :, :] & pm[:, k, None, None]) == pw[:, k, None, None]
+        acc = hit if acc is None else acc & hit
+    fit = positions[None, :, :] + pl[:, None, None] <= lengths[None, :, None]
+    return acc & fit
+
+
 def _window_one(
     pat_words, pat_masks, pat_lens, payloads, lengths, per_packet: bool,
     min_end: int = 0, min_start: int = 0,
@@ -96,51 +131,28 @@ def _window_one(
     last (m_max - 1) bytes prepended, and min_end = halo width assigns every
     match to exactly one chunk (the one its end falls in) — a match never
     needs forward bytes, so a backward halo is sufficient and exact.
-    ``min_start``: count only matches starting at/after this index — the
-    very first chunk of a stream has a fabricated all-zero halo, and a
-    NUL-containing pattern must not match into it.
+    ``min_start``: count only matches starting at/after this index — a
+    stream's halo starts as fabricated zeros, and a NUL-containing pattern
+    must not match into them.  Accepts a TRACED scalar (halo-fill chunking
+    passes H - real_fill, which shrinks to 0 as real bytes arrive) or a
+    static int (0 skips the mask entirely on the hot paths).
     """
     n, L = payloads.shape
     U, K = pat_words.shape
-    # Right-pad so every shifted window is a static [N, L] slice, then build
-    # the little-endian 4-byte word starting at every byte position ONCE —
-    # all patterns and word offsets reuse shifted views of it.
-    x = jnp.pad(payloads, ((0, 0), (0, 4 * K + 4))).astype(jnp.uint32)
-    L4 = L + 4 * (K - 1) + 1
-
-    def shifted(j, width):
-        return jax.lax.slice(x, (0, j), (n, j + width))
-
-    w32 = (
-        shifted(0, L4)
-        | (shifted(1, L4) << 8)
-        | (shifted(2, L4) << 16)
-        | (shifted(3, L4) << 24)
-    )  # uint32[N, L4]: word starting at each position
-
+    w32 = _word_views(payloads, K)
     positions = jax.lax.broadcasted_iota(jnp.int32, (n, L), 1)
 
     outs = []
     for g0 in range(0, U, GROUP):
         g1 = min(g0 + GROUP, U)
-        # acc[g, n, i] = pattern g matches at position i.  One masked word
-        # compare per 4 pattern bytes; words past a pattern's end have
-        # mask 0 and word 0, which compare true automatically.
-        pw = pat_words[g0:g1]
-        pm = pat_masks[g0:g1]
+        acc = _group_bitmap(
+            pat_words, pat_masks, pat_lens, w32, lengths, positions, g0, g1
+        )
         pl = pat_lens[g0:g1]
-        acc = None
-        for k in range(K):
-            wk = jax.lax.slice(w32, (0, 4 * k), (n, 4 * k + L))   # [N, L]
-            hit = (wk[None, :, :] & pm[:, k, None, None]) == pw[:, k, None, None]
-            acc = hit if acc is None else acc & hit
-        # Position validity: the whole pattern must lie inside the payload.
-        fit = positions[None, :, :] + pl[:, None, None] <= lengths[None, :, None]
-        acc = acc & fit
         if min_end:
             # end index = i + m - 1 must fall at/after min_end
             acc = acc & (positions[None, :, :] + pl[:, None, None] - 1 >= min_end)
-        if min_start:
+        if not (isinstance(min_start, int) and min_start == 0):
             acc = acc & (positions[None, :, :] >= min_start)
         if per_packet:
             outs.append(acc.sum(axis=2, dtype=jnp.int32).T)       # [N, g]
@@ -204,30 +216,15 @@ def count_matches_window(
 
 @functools.partial(jax.jit, static_argnames=("g0", "g1"))
 def _window_bitmap_group(pat_words, pat_masks, pat_lens, payloads, lengths, g0: int, g1: int):
-    """Match bitmap acc[g, n, i] for one pattern group (offset extraction)."""
+    """Match bitmap acc[g, n, i] for one pattern group (offset extraction) —
+    the same _word_views/_group_bitmap algebra the counting path reduces."""
     n, L = payloads.shape
-    U, K = pat_words.shape
-    x = jnp.pad(payloads, ((0, 0), (0, 4 * K + 4))).astype(jnp.uint32)
-    L4 = L + 4 * (K - 1) + 1
-
-    def shifted(j, width):
-        return jax.lax.slice(x, (0, j), (n, j + width))
-
-    w32 = (
-        shifted(0, L4) | (shifted(1, L4) << 8)
-        | (shifted(2, L4) << 16) | (shifted(3, L4) << 24)
-    )
-    pw = pat_words[g0:g1]
-    pm = pat_masks[g0:g1]
-    pl = pat_lens[g0:g1]
-    acc = None
-    for k in range(K):
-        wk = jax.lax.slice(w32, (0, 4 * k), (n, 4 * k + L))
-        hit = (wk[None, :, :] & pm[:, k, None, None]) == pw[:, k, None, None]
-        acc = hit if acc is None else acc & hit
+    K = pat_words.shape[1]
+    w32 = _word_views(payloads, K)
     positions = jax.lax.broadcasted_iota(jnp.int32, (n, L), 1)
-    fit = positions[None, :, :] + pl[:, None, None] <= lengths[None, :, None]
-    return acc & fit
+    return _group_bitmap(
+        pat_words, pat_masks, pat_lens, w32, lengths, positions, g0, g1
+    )
 
 
 def find_matches(wp: WindowProgram, payloads, lengths, *, group: int = GROUP):
@@ -260,19 +257,32 @@ def find_matches(wp: WindowProgram, payloads, lengths, *, group: int = GROUP):
     return out[np.lexsort((out[:, 2], out[:, 1], out[:, 0]))]
 
 
-@functools.partial(jax.jit, static_argnames=("first",))
-def _window_chunk(pat_words, pat_masks, pat_lens, chunk, rel_len, halo, first: bool):
+class StreamHalo(NamedTuple):
+    """Carried streaming state: the previous chunk's tail bytes plus how
+    many of them are REAL stream bytes (the rest are the fabricated zeros
+    the stream started with — matches must never begin inside those)."""
+
+    data: jax.Array  # uint8[N, H]
+    fill: jax.Array  # int32 scalar, 0 <= fill <= H
+
+
+@jax.jit
+def _window_chunk(pat_words, pat_masks, pat_lens, chunk, rel_len, halo, fill):
     H = halo.shape[1]
     C = chunk.shape[1]
     x = jnp.concatenate([halo, chunk], axis=1)            # [N, H+C]
     # Valid bytes: the halo plus whatever of the payload remains; capping at
     # the array width keeps match ends inside this chunk's real bytes.
     eff_len = jnp.minimum(jnp.clip(rel_len, 0, None) + H, H + C).astype(jnp.int32)
+    # The first H - fill halo columns are fabricated zeros (shrinks to none
+    # once H real bytes have streamed) — a NUL-containing pattern must not
+    # start inside them, on ANY chunk.  Traced, so chunk 1..k share one
+    # executable instead of recompiling per offset.
     counts = _window_one(
         pat_words, pat_masks, pat_lens, x, eff_len,
-        per_packet=False, min_end=H, min_start=H if first else 0,
+        per_packet=False, min_end=H, min_start=H - fill,
     )
-    return counts, x[:, -H:]
+    return counts, x[:, -H:], jnp.minimum(fill + C, H)
 
 
 def window_stream_chunk(
@@ -285,28 +295,36 @@ def window_stream_chunk(
     supported input meaning the lane's payload ended in an earlier chunk —
     callers pass raw ``lengths - start`` without clipping, and the fit masks
     treat any non-positive remainder as an empty lane).  ``halo=None`` marks
-    the stream start.  Returns ``(counts, new_halo)``; feeding consecutive
-    chunks sums to exactly the unchunked counts, matches straddling chunk
-    edges included (see _window_one docstring for the assignment argument).
+    the stream start.  Returns ``(counts, new_halo)`` where ``new_halo`` is
+    an opaque :class:`StreamHalo` to thread into the next call; feeding
+    consecutive chunks sums to exactly the unchunked counts, matches
+    straddling chunk edges included (see _window_one for the assignment
+    argument).  The halo carries its REAL-byte fill so fabricated stream-
+    start zeros are excluded on every chunk, even when the chunk width is
+    smaller than the halo (NUL-pattern exactness for any chunk size).
     """
     chunk = jnp.asarray(chunk, jnp.uint8)
     n = chunk.shape[0]
     H = max(int(wp.max_len) - 1, 1)
-    first = halo is None
-    if first:
-        halo = jnp.zeros((n, H), jnp.uint8)
-    counts, new_halo = _window_chunk(
+    if halo is None:
+        halo_b, fill = jnp.zeros((n, H), jnp.uint8), jnp.int32(0)
+    elif isinstance(halo, StreamHalo):
+        halo_b, fill = halo.data, halo.fill
+    else:
+        # Legacy raw-array halo: the caller asserts all H bytes are real.
+        halo_b, fill = jnp.asarray(halo, jnp.uint8), jnp.int32(H)
+    counts, new_halo, new_fill = _window_chunk(
         jnp.asarray(wp.pat_words),
         jnp.asarray(wp.pat_masks),
         jnp.asarray(wp.pat_lens),
         chunk,
         jnp.asarray(rel_len, jnp.int32),
-        halo,
-        first=first,
+        halo_b,
+        fill,
     )
     if expand_duplicates:
         counts = jnp.take(counts, jnp.asarray(wp.dup_map), axis=-1)
-    return counts, new_halo
+    return counts, StreamHalo(new_halo, new_fill)
 
 
 def count_matches_window_tiles(

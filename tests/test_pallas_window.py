@@ -49,6 +49,27 @@ def test_repeated_chain(pwm):
     assert (rep == one * 3).all()
 
 
+def test_zero_row_tile_and_empty_repeats():
+    """Regression (round-2 review): a 0-row tile used to ZeroDivisionError
+    in _pad_tile, and count_tiles_repeated([]) used to crash in reduce();
+    both kernel classes now return zeros."""
+    from multithreading_string_matching_tpu.ops.pallas_table import (
+        PallasTableMatcher,
+    )
+
+    wp = WindowProgram.build([b"ab", b"c", b"ab"])
+    for cls in (PallasWindowMatcher, PallasTableMatcher):
+        pm = cls(wp, interpret=True)
+        z_pay = np.zeros((0, 128), np.uint8)
+        z_len = np.zeros((0,), np.int32)
+        out = np.asarray(pm.count_tiles([(z_pay, z_len)]))
+        assert out.tolist() == [0, 0, 0], cls.__name__
+        rep = np.asarray(pm.count_tiles_repeated([], 3))
+        assert rep.tolist() == [0, 0], cls.__name__  # unique, no dup expand
+        rows = np.asarray(pm.count_tiles_per_row([(z_pay, z_len)])[0])
+        assert rows.shape[1] == 3 and not rows.any(), cls.__name__
+
+
 def test_matcher_pallas_engine(reference_dir, monkeypatch):
     # MSM_PALLAS_INTERPRET keeps this on the ACTUAL pallas fixture path
     # (count_prepared's staged tiles + dup expansion) — without it the CPU

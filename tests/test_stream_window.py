@@ -61,6 +61,32 @@ def test_nul_pattern_does_not_match_initial_halo():
     assert got.tolist() == [0]
 
 
+def test_nul_pattern_chunk_narrower_than_halo():
+    """Regression (round-2 review): with chunk width < halo width, the
+    fabricated stream-start zeros used to persist into later chunks' halos
+    where the min_start guard no longer applied — a \\x00-led pattern could
+    'match' before position 0.  The carried fill count closes that for any
+    chunk width."""
+    wp = WindowProgram.build([b"\x00\x01\x01", b"\x00\x00\x01\x02"])  # H=3
+    payloads = np.array([[1, 1, 9, 9]], np.uint8)
+    lengths = np.array([4], np.int32)
+    want = np.asarray(count_matches_window(wp, payloads, lengths))
+    assert want.tolist() == [0, 0]  # nothing matches the real stream
+    for chunk in (1, 2, 3, 4):
+        got = _stream(wp, payloads, lengths, chunk)
+        assert got.tolist() == want.tolist(), f"chunk={chunk}: {got}"
+    # And a stream where the NUL pattern DOES occur mid-stream still counts
+    # exactly once at every chunk width.
+    text = bytes([1, 0, 1, 1, 7, 7])
+    p2 = np.frombuffer(text, np.uint8)[None, :].copy()
+    l2 = np.array([len(text)], np.int32)
+    want2 = np.asarray(count_matches_window(wp, p2, l2))
+    assert want2.tolist() == [1, 0]
+    for chunk in (1, 2, 3, 6):
+        got = _stream(wp, p2, l2, chunk)
+        assert got.tolist() == want2.tolist(), f"chunk={chunk}: {got}"
+
+
 def test_nul_pattern_across_chunks():
     wp = WindowProgram.build([b"\x00\x00a"])
     text = bytes([0, 0]) + b"a" + bytes([0, 0]) + b"a" + b"xx"
