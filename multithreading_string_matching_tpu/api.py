@@ -316,7 +316,10 @@ class Matcher:
         fn = self._engine_fn(engine)
         if bucketed:
             return np.asarray(
-                run_bucketed(fn, payloads, lengths, per_packet=per_packet)
+                run_bucketed(
+                    fn, payloads, lengths,
+                    n_tile=n_tile, l_quant=l_quant, per_packet=per_packet,
+                )
             )
         return np.asarray(fn(payloads, lengths, per_packet=per_packet))
 
@@ -457,9 +460,14 @@ class Matcher:
                 rows.append(idx)
         else:
             tp = sanitize(payloads, lengths)
-            tiles.append(
-                (jnp.asarray(tp, jnp.uint8), jnp.asarray(lengths, jnp.int32))
-            )
+            # Fresh lengths copy: jnp.asarray may alias the CALLER'S buffer
+            # on CPU backends, and a PreparedBatch is long-lived — a caller
+            # reusing its lengths array would silently corrupt the staged
+            # tile (the payload side is already fresh via sanitize()).
+            tiles.append((
+                jnp.asarray(tp, jnp.uint8),
+                jnp.asarray(np.array(lengths, dtype=np.int32, copy=True)),
+            ))
             rows.append(np.arange(payloads.shape[0]))
         return PreparedBatch(
             tiles=tiles,

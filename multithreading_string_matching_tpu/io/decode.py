@@ -320,9 +320,18 @@ def bpf_protocol_mask(pcap: PcapFile, mode: str) -> np.ndarray:
     proto = _safe_byte(buf, off + l2 + 9, ok_proto).astype(np.int64)
     ok_next = cap >= l2 + 7
     next_hdr = _safe_byte(buf, off + l2 + 6, ok_next).astype(np.int64)
+    # IPv6 fragment (next-header 44): tcpdump's 'udp'/'tcp' — and the cBPF
+    # program LiveSource installs (io/live.py bpf_protocol_program) — also
+    # accept a fragment whose post-fragment-header next-header matches; the
+    # fragment extension header starts right after the fixed 40-byte IPv6
+    # header, so its next-header byte sits at l2 + 40.
+    ok_frag = cap >= l2 + 41
+    frag_next = _safe_byte(buf, off + l2 + 40, ok_frag).astype(np.int64)
+    v6_hit = (next_hdr == want) | (
+        (next_hdr == 44) & ok_frag & (frag_next == want)
+    )
     return np.asarray(
-        (is_v4 & ok_proto & (proto == want))
-        | (is_v6 & ok_next & (next_hdr == want)),
+        (is_v4 & ok_proto & (proto == want)) | (is_v6 & ok_next & v6_hit),
         dtype=bool,
     )
 
@@ -392,11 +401,9 @@ def extract_payloads(
     if keep_invalid:
         starts = pcap.offsets + poff
         lens = np.where(valid, read_len, 0)
-        logical = np.where(valid, plen, 0)
     else:
         starts = (pcap.offsets + poff)[valid]
         lens = read_len[valid]
-        logical = plen[valid]
 
     n = starts.shape[0]
     n_padded = max(n, 1)
@@ -405,13 +412,13 @@ def extract_payloads(
     if n_padded != n:
         starts = np.concatenate([starts, np.zeros(n_padded - n, dtype=starts.dtype)])
         lens = np.concatenate([lens, np.zeros(n_padded - n, dtype=lens.dtype)])
-        logical = np.concatenate([logical, np.zeros(n_padded - n, dtype=logical.dtype)])
 
     payloads = _materialize_padded(pcap.buf, starts, lens, pad_len_to)
-    # Lengths the scan should honor: the reference's origlen arithmetic,
-    # clipped to what was actually captured (equal on all fixtures).
-    lengths = np.minimum(logical, payloads.shape[1]).astype(np.int32)
-    lengths = np.minimum(lengths, lens.astype(np.int32) + 0)  # never exceed real bytes
+    # Lengths the scan honors = the bytes actually materialized: the
+    # reference's origlen arithmetic (plen) clipped to what was captured —
+    # lens is already min(plen, caplen - poff), so it IS that clip (the
+    # oracle clips identically; equal on all fixtures).
+    lengths = lens.astype(np.int32)
     return PayloadBatch(
         payloads=payloads,
         lengths=lengths,

@@ -26,14 +26,23 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a per-process temp name, then atomically rename into place:
+    # concurrent builders (pytest workers, CLI + bench) each produce a whole
+    # .so and the last rename wins — nobody can CDLL a half-written file.
+    tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.tmp")
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.CalledProcessError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

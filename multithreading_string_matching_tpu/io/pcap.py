@@ -262,6 +262,13 @@ def _parse_pcapng_block(
         return struct.unpack_from(end + "I", b, o)[0]
 
     def ticks_to_usec(ts_hi, ts_lo, iface):
+        # A packet block citing a not-yet-seen interface keeps the
+        # microsecond default (the spec says IDBs come first, but writers
+        # that emit a late IDB exist and the packets are still countable —
+        # the EOF interface check + test_stream_pcapng_idb_after_epb pin
+        # this leniency).  KNOWN TRADEOFF: if the late IDB declares a
+        # non-microsecond if_tsresol, the early blocks' timestamps are
+        # scaled with the default — byte counts are unaffected.
         div = interfaces[iface][2] if iface < len(interfaces) else 1_000_000
         ticks = (ts_hi << 32) | ts_lo
         return ticks // div, ((ticks % div) * 1_000_000) // div
@@ -275,6 +282,13 @@ def _parse_pcapng_block(
             code, olen = struct.unpack_from(end + "HH", body, o)
             if code == 0:
                 break
+            if o + 4 + olen > len(body):
+                # Truncated option value: struct.error so the caller's
+                # strictness mapping applies (ValueError / stop-at-prefix)
+                # instead of a raw IndexError escaping both modes.
+                raise struct.error(
+                    f"pcapng IDB option truncated at byte {pos}"
+                )
             if code == 9 and olen >= 1:  # if_tsresol
                 v = body[o + 4]
                 tsres_div = 2 ** (v & 0x7F) if v & 0x80 else 10 ** v
@@ -407,7 +421,18 @@ def iter_pcap(
                     )
                 break
             sec, frac, incl, orig = rec.unpack_from(pend, pos)
-            if incl > _MAX_STREAM_RECORD or not refill(16 + incl):
+            if incl > _MAX_STREAM_RECORD:
+                # Distinct from truncation: the record may be VALID but
+                # exceeds the streaming buffer bound (read_pcap has no such
+                # cap) — say so instead of mislabeling it 'truncated'.
+                if strict:
+                    raise ValueError(
+                        f"pcap record of {incl} bytes exceeds the "
+                        f"{_MAX_STREAM_RECORD}-byte streaming bound; "
+                        "use read_pcap for this capture"
+                    )
+                break
+            if not refill(16 + incl):
                 if strict:
                     raise ValueError(
                         f"truncated pcap record: needs {incl} bytes, "
@@ -508,7 +533,15 @@ def _iter_pcapng_stream(
                     first_meta = (interfaces[0][0], interfaces[0][1])
             interfaces.clear()
         blen = struct.unpack_from(end + "I", pend, pos + 4)[0]
-        if blen < 12 or blen % 4 or blen > _MAX_STREAM_RECORD or not refill(blen):
+        if blen > _MAX_STREAM_RECORD:
+            if strict:
+                raise ValueError(
+                    f"pcapng block of {blen} bytes exceeds the "
+                    f"{_MAX_STREAM_RECORD}-byte streaming bound; "
+                    "use read_pcap for this capture"
+                )
+            break
+        if blen < 12 or blen % 4 or not refill(blen):
             if strict:
                 raise ValueError(
                     f"truncated/invalid pcapng block at byte {file_off}"

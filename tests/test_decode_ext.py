@@ -419,3 +419,49 @@ def test_fuzz_extended_decode_vs_oracle(tmp_path, lt, mode):
                     lt, mode, strict, i,
                 )
                 assert batch.payload(i) == frame[poff : poff + int(batch.lengths[i])]
+
+
+def test_bpf_mask_ipv6_fragment_matches_kernel_program(tmp_path):
+    """Regression (round-2 review): tcpdump's 'udp' — and the kernel cBPF
+    program LiveSource installs — accept an IPv6 FRAGMENT whose post-
+    fragment next-header matches; bpf_protocol_mask must agree, or live
+    and replay 'sniffed' totals diverge on fragmented v6 traffic."""
+    import struct
+
+    from multithreading_string_matching_tpu.io.decode import bpf_protocol_mask
+    from multithreading_string_matching_tpu.io.live import (
+        bpf_protocol_program,
+        bpf_simulate,
+    )
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+
+    def v6_frame(next_hdr, frag_next=None):
+        payload = b"\x00" * 16
+        ext = b""
+        if frag_next is not None:
+            ext = struct.pack(">BB", frag_next, 0) + b"\x00" * 6  # frag hdr
+        ip = struct.pack(
+            ">IHBB16s16s", 0x6 << 28, len(ext) + len(payload), next_hdr, 64,
+            b"\x00" * 16, b"\x00" * 16,
+        )
+        return b"\xaa" * 12 + b"\x86\xdd" + ip + ext + payload
+
+    frames = [
+        v6_frame(17),            # plain v6 UDP
+        v6_frame(44, frag_next=17),   # fragmented v6 UDP
+        v6_frame(44, frag_next=6),    # fragmented v6 TCP
+        v6_frame(6),             # plain v6 TCP
+    ]
+    raw = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    for f in frames:
+        raw += struct.pack("<IIII", 0, 0, len(f), len(f)) + f
+    p = tmp_path / "v6frag.pcap"
+    p.write_bytes(raw)
+    pcap = read_pcap(p)
+
+    for mode in ("udp", "tcp"):
+        mask = bpf_protocol_mask(pcap, mode).tolist()
+        prog = bpf_protocol_program(mode)
+        kernel = [bpf_simulate(prog, f) > 0 for f in frames]
+        assert mask == kernel, f"{mode}: mask {mask} != cBPF {kernel}"
+    assert bpf_protocol_mask(pcap, "udp").tolist() == [True, True, False, False]

@@ -13,6 +13,7 @@ import pytest
 from multithreading_string_matching_tpu import (
     Matcher,
     extract_payloads,
+    iter_pcap,
     load_patterns,
     read_pcap,
 )
@@ -188,3 +189,55 @@ def test_multi_section_interface_scoping(tmp_path):
     chunks = list(iter_pcap(p, batch_packets=1))
     assert len(chunks) == 2
     assert (int(chunks[1].ts_sec[0]), int(chunks[1].ts_frac[0])) == (7, 123_456)
+
+
+def _block(end, btype, body):
+    pad = (-len(body)) % 4
+    blen = 12 + len(body) + pad
+    return (
+        struct.pack(end + "II", btype, blen)
+        + body + b"\x00" * pad
+        + struct.pack(end + "I", blen)
+    )
+
+
+def test_pcapng_truncated_idb_option(tmp_path):
+    """Regression (round-2 review): an IDB whose body ends at a 4-byte
+    option header (if_tsresol with no value byte) used to escape both
+    strictness modes as a raw IndexError."""
+    end = "<"
+    shb = _block(end, 0x0A0D0D0A, struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+    # IDB body: linktype/reserved/snaplen + option header (code=9, olen=1)
+    # with NO value byte — body ends exactly at the header.
+    idb_body = struct.pack(end + "HHI", 1, 0, 65535) + struct.pack(end + "HH", 9, 1)
+    bad = tmp_path / "bad_idb.pcapng"
+    bad.write_bytes(shb + _block(end, 0x00000001, idb_body))
+    with pytest.raises(ValueError):
+        read_pcap(bad, strict=True)
+    # Tolerant: the complete prefix (zero packets), not a crash.
+    got = read_pcap(bad, strict=False)
+    assert got.num_packets == 0
+    with pytest.raises(ValueError):
+        list(iter_pcap(bad, batch_packets=4))  # strict default raises too
+    chunks = list(iter_pcap(bad, batch_packets=4, strict=False))
+    assert sum(c.num_packets for c in chunks) == 0
+
+
+def test_pcapng_epb_before_idb_lenient(reference_dir, tmp_path):
+    """An EPB citing a not-yet-seen interface keeps its packet BYTES (the
+    late-IDB leniency pinned by test_stream_pcapng_idb_after_epb) with the
+    documented microsecond timestamp fallback — a known tradeoff, not a
+    crash or a dropped packet."""
+    end = "<"
+    classic = read_pcap(reference_dir / "udp.pcap")
+    data = classic.packet(0).tobytes()
+    shb = _block(end, 0x0A0D0D0A, struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+    epb = _block(end, 0x00000006, struct.pack(
+        end + "IIIII", 0, 0, 7_000_000, len(data), len(data)) + data)
+    idb = _block(end, 0x00000001, struct.pack(end + "HHI", 1, 0, 65535))
+    late = tmp_path / "epb_first.pcapng"
+    late.write_bytes(shb + epb + idb)
+    got = read_pcap(late, strict=True)
+    assert got.num_packets == 1
+    assert got.packet(0).tobytes() == data
+    assert int(got.ts_sec[0]) == 7  # microsecond default scaling
