@@ -191,7 +191,7 @@ def main():
     # timed passes move every byte from disk each time.  sync_dispatch=True
     # re-runs with per-tile blocking — the async/sync ratio is the measured
     # producer/consumer overlap gain of asynchronous dispatch.
-    e2e_bps = e2e_sync_bps = None
+    e2e_bps = e2e_sync_bps = link_bps = host_bps = None
     e2e_src = None
     if engine == "pallas" and not os.environ.get("MSM_BENCH_NO_E2E"):
         from multithreading_string_matching_tpu.parallel.pipeline import (
@@ -211,6 +211,39 @@ def main():
         assert (np.asarray(e2e_counts) == np.asarray(e2e_sync)).all()
         if e2e_src == PCAP:
             assert (np.asarray(e2e_counts) == np.asarray(counts)).all()
+
+        # Context probes: the streamed path is transfer-bound on this
+        # remote-attached device, and the link rate VARIES between sessions
+        # (measured 16-60 MB/s on different days at identical code).  Report
+        # the raw host->device link rate measured NOW, plus the host-only
+        # pipeline rate (ingest -> extract -> pack, no device), so the e2e
+        # number is attributable: e2e ~= min(link, host) when asynchronous
+        # dispatch overlaps them.  Distinct random buffers per transfer —
+        # identical-argument transfers can be deduplicated (CLAUDE.md).
+        rng = np.random.default_rng(7)
+        bufs = [
+            rng.integers(0, 255, size=(4096, 2048), dtype=np.uint8)
+            for _ in range(3)
+        ]
+        np.asarray(jnp.asarray(bufs[0])[:1, :1])  # warm the transfer path
+        t0 = time.perf_counter()
+        for b in bufs:
+            np.asarray(jnp.asarray(b)[:1, :1])  # sync per transfer
+        link_bps = sum(b.nbytes for b in bufs) / (time.perf_counter() - t0)
+
+        from multithreading_string_matching_tpu.io.decode import (
+            extract_payloads as _extract,
+        )
+        from multithreading_string_matching_tpu.io.pcap import iter_pcap
+        from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+
+        t0 = time.perf_counter()
+        host_bytes = 0
+        for chunk in iter_pcap(e2e_src, batch_packets=8192):
+            b = _extract(chunk, "udp")
+            host_bytes += b.total_payload_bytes
+            pack_rows(b.payloads, b.lengths.astype(np.int64), width=2048)
+        host_bps = host_bytes / (time.perf_counter() - t0)
 
     payload_list = [
         batch.payloads[i, : batch.lengths[i]].tobytes()
@@ -246,6 +279,15 @@ def main():
                 "end_to_end_corpus": e2e_src.name if e2e_src is not None else None,
                 "async_overlap_gain": (
                     round(e2e_bps / e2e_sync_bps, 3) if e2e_sync_bps else None
+                ),
+                "h2d_link_bytes_per_sec": (
+                    round(link_bps, 1) if link_bps else None
+                ),
+                "host_pipeline_bytes_per_sec": (
+                    round(host_bps, 1) if host_bps else None
+                ),
+                "e2e_fraction_of_link": (
+                    round(e2e_bps / link_bps, 3) if link_bps else None
                 ),
             }
         )

@@ -236,6 +236,12 @@ class PallasTableMatcher:
 
         self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
 
+        def run_summary(payloads, lengths):
+            rows = self._one_tile_rows(payloads, lengths)[: payloads.shape[0]]
+            return rows.sum(axis=0), rows.sum(axis=1) > 0
+
+        self._jit_summary = jax.jit(run_summary)
+
     def _pad_tile(self, payloads, lengths):
         # Budget swept on v5e: 2.75M (the unrolled kernel's) spills registers
         # with 16 concurrent accumulator chains (0.98 GB/s on the fixture);
@@ -348,6 +354,15 @@ class PallasTableMatcher:
             for p, l in tiles
         )
         return self._jit_repeated(tiles, r=repeats)
+
+    def count_tile_summary(self, payloads, lengths):
+        """(build-order totals int32[U], row_hits bool[n]) reduced on device
+        — same contract and int32 bound as PallasWindowMatcher's (the
+        ``_one_tile_rows`` output is already inverse-permuted to build
+        order, so the summary needs no extra bookkeeping)."""
+        return self._jit_summary(
+            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32)
+        )
 
     def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
         outs = []

@@ -183,6 +183,12 @@ class PallasWindowMatcher:
 
         self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
 
+        def run_summary(payloads, lengths):
+            rows = self._one_tile_rows(payloads, lengths)[: payloads.shape[0]]
+            return rows.sum(axis=0), rows.sum(axis=1) > 0
+
+        self._jit_summary = jax.jit(run_summary)
+
     def _pad_tile(self, payloads, lengths):
         # VMEM budget: the live set is ~(K + 8) uint32 [tn, L] temporaries
         # (K shifted word views + payload/pos/len/acc and roll scratch) and
@@ -269,6 +275,18 @@ class PallasWindowMatcher:
                 out = jnp.take(out, self._dup, axis=-1)
             outs.append(out)
         return outs
+
+    def count_tile_summary(self, payloads, lengths):
+        """One tile's attribution SUMMARY, reduced on device:
+        ``(totals int32[U] in build order, row_hits bool[n])`` — the only two
+        things the streamed attribution path needs per chunk, fetched as
+        ``U*4 + n`` bytes instead of the ``n*U*4`` per-row matrix (~300x less
+        d2h at the serving chunk shape).  int32-exact while the tile scans
+        fewer than 2^31 positions (``n*L``): a position starts at most one
+        match per pattern (callers slice bigger feeds)."""
+        return self._jit_summary(
+            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32)
+        )
 
     def count_tiles(self, tiles, *, expand_duplicates: bool = True):
         """Counts over device-resident (payloads, lengths) tiles, one dispatch."""

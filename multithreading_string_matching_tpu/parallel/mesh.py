@@ -229,6 +229,101 @@ def _sharded_rows_pallas(pallas_matcher, payloads, lengths, mesh: Mesh, axis: st
     return fn(payloads, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_rows_summary_window(
+    pat_words: jax.Array,
+    pat_masks: jax.Array,
+    pat_lens: jax.Array,
+    payloads: jax.Array,
+    lengths: jax.Array,
+    mesh: Mesh,
+    axis: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Attribution SUMMARY over the mesh: each device scans its packet shard
+    per-row, but only ``(psum'd unique totals int32[U], row-hit flags
+    bool[n])`` leave the devices — the full [n, U] matrix never crosses the
+    host link (it is what the streamed attribution consumer reduces to
+    anyway).  Same int32 bound as the local summary: < 2^31 scanned
+    positions per call."""
+    from multithreading_string_matching_tpu.ops.window import _window_one
+
+    def local(pw, pm, pl, payloads, lengths):
+        rows = _window_one(pw, pm, pl, payloads, lengths, per_packet=True)
+        return jax.lax.psum(rows.sum(axis=0), axis), rows.sum(axis=1) > 0
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis)),
+    )(pat_words, pat_masks, pat_lens, payloads, lengths)
+
+
+def _sharded_rows_summary_pallas(
+    pallas_matcher, payloads, lengths, mesh: Mesh, axis: str
+):
+    """Pallas flavor of the sharded attribution summary (same jit-cache-
+    per-(mesh, axis) discipline as the other pallas shard_map wrappers)."""
+    cache = getattr(pallas_matcher, "_sharded_summary_jit_cache", None)
+    if cache is None:
+        cache = pallas_matcher._sharded_summary_jit_cache = {}
+    fn = cache.get((mesh, axis))
+    if fn is None:
+
+        def local(payloads, lengths):
+            n = payloads.shape[0]
+            rows = pallas_matcher._one_tile_rows(payloads, lengths)[:n]
+            return jax.lax.psum(rows.sum(axis=0), axis), rows.sum(axis=1) > 0
+
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                out_specs=(P(), P(axis)), check_vma=False,
+            )
+        )
+        cache[(mesh, axis)] = fn
+    return fn(payloads, lengths)
+
+
+def count_rows_summary(
+    matcher,
+    payloads,
+    lengths,
+    mesh: Mesh,
+    *,
+    engine: str = "window",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``(unique totals int64[U] in build order, row_hits bool[N])`` with the
+    per-row scan sharded over the mesh and the reduction DONE ON DEVICE —
+    the transfer-diet flavor of :func:`count_rows_sharded` for consumers
+    (streamed attribution) that only need totals + which-rows-hit.  Rejects
+    calls whose scanned-position count could wrap the device int32
+    accumulator; callers slice their feed (pipeline does)."""
+    axis = mesh.axis_names[0]
+    n = int(np.shape(payloads)[0])
+    if int(np.shape(payloads)[0]) * int(np.shape(payloads)[1]) >= 2**31:
+        raise ValueError(
+            "feed scans >= 2^31 positions; slice it to keep the device "
+            "int32 totals exact"
+        )
+    payloads = matcher._maybe_fold(np.asarray(payloads))
+    payloads, lengths = shard_batch(payloads, np.asarray(lengths), mesh)
+    sharding = NamedSharding(mesh, P(axis))
+    pay_d = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
+    len_d = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+    if engine == "pallas":
+        tot, hits = _sharded_rows_summary_pallas(
+            matcher.pallas, pay_d, len_d, mesh, axis
+        )
+    else:
+        w = matcher.window
+        tot, hits = _sharded_rows_summary_window(
+            jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
+            jnp.asarray(w.pat_lens), pay_d, len_d, mesh=mesh, axis=axis,
+        )
+    return np.asarray(tot).astype(np.int64), np.asarray(hits)[:n]
+
+
 def count_rows_sharded(
     matcher,
     payloads,

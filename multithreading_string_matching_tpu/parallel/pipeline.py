@@ -459,7 +459,7 @@ def scan_pcap_streamed(
         row_engine = "pallas"
     if row_engine is not None:
         from multithreading_string_matching_tpu.parallel.mesh import (
-            count_rows_sharded,
+            count_rows_summary,
         )
 
         n_dev = mesh.devices.size if sharded else 1
@@ -470,25 +470,40 @@ def scan_pcap_streamed(
             # ONE quantization rule for both flavors: pow2 rows x pow2
             # width (padding rows are length-0, zero bytes), so a long
             # stream reuses O(log) compiled shapes instead of one per
-            # chunk geometry.
+            # chunk geometry.  The per-row counts REDUCE ON DEVICE
+            # (count_*_summary): only the unique totals [U] and the per-row
+            # hit flags [n] come back over the host link, not the [n, U]
+            # matrix — ~300x less d2h at the default chunk shape, and the
+            # hit rows are re-scanned host-side only when positions are
+            # requested.
             n, L = payloads.shape
             lq = max(128, _next_pow2(L))
             nq = -(-max(n_dev, _next_pow2(n)) // n_dev) * n_dev
             payloads = np.pad(payloads, ((0, nq - n), (0, lq - L)))
             lengths = np.pad(lengths, (0, nq - n))
-            if sharded:
-                per_row = count_rows_sharded(
-                    matcher, payloads, lengths, mesh,
-                    engine=row_engine, expand_duplicates=False,
-                )
-            else:
-                per_row = np.asarray(
-                    matcher.pallas.count_tiles_per_row(
-                        [(matcher._maybe_fold(payloads), lengths)],
-                        expand_duplicates=False,
-                    )[0]
-                )
-            return per_row[:n]  # [n, U] build-order unique counts
+            # Device totals are int32: slice the feed so one dispatch never
+            # scans >= 2^31 positions (a position starts at most one match
+            # per pattern).  At default shapes step == nq (no split).
+            step = nq
+            while step > n_dev and step * lq >= 2**31:
+                step //= 2
+            tot = np.zeros(
+                len(matcher.window.unique_patterns), dtype=np.int64
+            )
+            hit_parts = []
+            for s in range(0, nq, step):
+                pp, ll = payloads[s : s + step], lengths[s : s + step]
+                if sharded:
+                    t, h = count_rows_summary(
+                        matcher, pp, ll, mesh, engine=row_engine
+                    )
+                else:
+                    t, h = matcher.pallas.count_tile_summary(
+                        matcher._maybe_fold(pp), ll
+                    )
+                tot += np.asarray(t).astype(np.int64)
+                hit_parts.append(np.asarray(h))
+            return tot, np.concatenate(hit_parts)[:n]
 
     if stats is not None and row_fn is None:
         stats["engine_resolved"] = "window"  # find_matches is window-native
@@ -514,14 +529,14 @@ def scan_pcap_streamed(
                     w.write(chunk, valid_idx)
                 continue
             if row_fn is not None:
-                # Sharded per-row scan over the mesh; attribution follows
-                # from the per-row counts, positions (if wanted) from the
-                # hit rows only.
-                per_row_u = row_fn(batch.payloads, batch.lengths)
-                uniq_tot = per_row_u.sum(axis=0, dtype=np.int64)
+                # Per-row scan (sharded over the mesh, or the local Pallas
+                # kernel), reduced device-side; attribution follows from the
+                # totals + hit flags, positions (if wanted) from the hit
+                # rows only.
+                uniq_tot, hits = row_fn(batch.payloads, batch.lengths)
                 chunk_counts = uniq_tot[matcher.window.dup_map]
                 total = chunk_counts + (0 if total is None else total)
-                row_hits = per_row_u[: valid_idx.size].sum(axis=1) > 0
+                row_hits = hits[: valid_idx.size]
                 if w is not None:
                     w.write(chunk, valid_idx[row_hits])
                 if found is not None and row_hits.any():

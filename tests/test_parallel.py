@@ -139,6 +139,69 @@ def test_count_rows_sharded_equals_per_packet(matcher, udp1000, monkeypatch):
         assert (got == want).all(), f"pallas table={table}"
 
 
+def test_count_rows_summary_matches_matrix(matcher, udp1000, monkeypatch):
+    """The device-side attribution summary (unique totals + row-hit flags)
+    must equal the reductions of the full per-packet matrix — window and
+    both Pallas kernel classes, across mesh sizes."""
+    from multithreading_string_matching_tpu.parallel.mesh import (
+        count_rows_summary,
+    )
+
+    batch, _ = udp1000
+    per_row = np.asarray(
+        matcher.count(batch.payloads, batch.lengths, per_packet=True,
+                      engine="window", bucketed=False)
+    )  # [N, P] expanded over the original pattern list
+    dup = matcher.window.dup_map
+    want_tot_exp = per_row.sum(axis=0).astype(np.int64)
+    want_hits = per_row.sum(axis=1) > 0
+    for ndev in (2, 8):
+        mesh = make_mesh(jax.devices("cpu")[:ndev])
+        tot, hits = count_rows_summary(
+            matcher, batch.payloads, batch.lengths, mesh, engine="window"
+        )
+        assert tot.dtype == np.int64
+        assert (tot[dup] == want_tot_exp).all(), f"window ndev={ndev}"
+        assert (hits == want_hits).all(), f"window ndev={ndev}"
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    for table in ("0", "1"):
+        monkeypatch.setenv("MSM_PALLAS_TABLE", table)
+        m2 = Matcher(matcher.patterns)  # fresh: kernel choice is cached
+        mesh = make_mesh(jax.devices("cpu")[:4])
+        tot, hits = count_rows_summary(
+            m2, batch.payloads, batch.lengths, mesh, engine="pallas"
+        )
+        assert (tot[dup] == want_tot_exp).all(), f"pallas table={table}"
+        assert (hits == want_hits).all(), f"pallas table={table}"
+        # The local (unsharded) tile summary — same contract, no mesh.
+        tot_l, hits_l = m2.pallas.count_tile_summary(
+            batch.payloads, batch.lengths
+        )
+        assert (
+            np.asarray(tot_l)[dup] == want_tot_exp
+        ).all(), f"local table={table}"
+        assert (
+            np.asarray(hits_l)[: batch.payloads.shape[0]] == want_hits
+        ).all(), f"local table={table}"
+
+
+def test_count_rows_summary_rejects_wrappable_feed(matcher):
+    """Feeds that could wrap the device int32 totals are rejected, not
+    silently wrapped (callers slice; pipeline.row_fn does)."""
+    from multithreading_string_matching_tpu.parallel.mesh import (
+        count_rows_summary,
+    )
+
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    # Shape-only guard: build a view-backed fake via np.broadcast_to so the
+    # 2^31-position feed costs no memory.
+    p = np.broadcast_to(np.zeros((1, 2**20), np.uint8), (2**11, 2**20))
+    l = np.zeros(2**11, np.int32)
+    with pytest.raises(ValueError, match="2\\^31 positions"):
+        count_rows_summary(matcher, p, l, mesh)
+
+
 def test_shard_batch_pads_to_divisible():
     mesh = make_mesh(jax.devices("cpu")[:8])
     p = np.ones((13, 16), np.uint8)
