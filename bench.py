@@ -223,12 +223,16 @@ def main():
         rng = np.random.default_rng(7)
         bufs = [
             rng.integers(0, 255, size=(4096, 2048), dtype=np.uint8)
-            for _ in range(3)
+            for _ in range(4)
         ]
         np.asarray(jnp.asarray(bufs[0])[:1, :1])  # warm the transfer path
         t0 = time.perf_counter()
-        for b in bufs:
-            np.asarray(jnp.asarray(b)[:1, :1])  # sync per transfer
+        # PIPELINED, like the streamed path uses the link: enqueue every
+        # transfer asynchronously, then sync — a per-transfer sync would
+        # serialize round-trips into the measurement.
+        staged = [jnp.asarray(b) for b in bufs]
+        for d in staged:
+            np.asarray(d[:1, :1])
         link_bps = sum(b.nbytes for b in bufs) / (time.perf_counter() - t0)
 
         from multithreading_string_matching_tpu.io.decode import (

@@ -92,6 +92,16 @@ def _execution_blob(
     return ex
 
 
+def _exact_counts(total) -> np.ndarray:
+    """int32 counts unless the exact totals exceed it — then int64 (the
+    same rule as the streamed paths; the reference's ``int string_count[]``
+    wraps here, serial.c:163-169)."""
+    total = np.asarray(total, dtype=np.int64)
+    if total.size and total.max() > np.iinfo(np.int32).max:
+        return total
+    return total.astype(np.int32)
+
+
 def _report(matcher, counts, elapsed, **kw):
     from multithreading_string_matching_tpu.utils.report import format_report
 
@@ -486,7 +496,11 @@ def _run_match(a, cfg, pcap_paths) -> int:
             pad_n_to=128, pad_len_to=8,
         )
     with timer.phase("scan"):
-        sharded_attr = a.sharded and (cfg.per_packet or a.dump_matches)
+        offsets = None
+        hit_rows = None
+        sharded_attr = a.sharded and (
+            cfg.per_packet or a.dump_matches or a.offsets
+        )
         if a.sharded and not sharded_attr:
             from multithreading_string_matching_tpu.parallel.mesh import (
                 make_mesh,
@@ -504,28 +518,49 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 pallas_matcher=matcher.pallas if eng == "pallas" else None,
             )
         elif sharded_attr:
-            # Attribution under the mesh: the per-row kernel shards rows
-            # over all devices (rows keep their identity — no collective);
-            # one sharded scan serves --per-packet and --dump-matches.
+            # Attribution under the mesh: ONE sharded per-row pass serves
+            # --per-packet / --dump-matches / --offsets (rows keep their
+            # identity — no collective).  Without --per-packet the matrix
+            # never leaves the devices (count_rows_summary); positions are
+            # then extracted from the sparse HIT rows only, so --sharded
+            # never degrades to an unsharded full-corpus re-scan.
             from multithreading_string_matching_tpu.parallel.mesh import (
                 count_rows_sharded,
+                count_rows_summary,
                 make_mesh,
             )
 
             eng = matcher._resolve_engine(cfg.engine)
-            per_row = count_rows_sharded(
-                matcher, batch.payloads, batch.lengths, make_mesh(),
-                engine="pallas" if eng == "pallas" else "window",
-            )
-            counts = (
-                per_row if cfg.per_packet
-                else per_row.sum(axis=0, dtype=np.int64).astype(np.int32)
-            )
-        offsets = None
-        hit_rows = None
+            row_eng = "pallas" if eng == "pallas" else "window"
+            mesh = make_mesh()
+            if cfg.per_packet:
+                per_row = count_rows_sharded(
+                    matcher, batch.payloads, batch.lengths, mesh,
+                    engine=row_eng,
+                )
+                counts = per_row
+                hit_rows = np.flatnonzero(per_row.sum(axis=1) > 0)
+            else:
+                tot, hits = count_rows_summary(
+                    matcher, batch.payloads, batch.lengths, mesh,
+                    engine=row_eng,
+                )
+                counts = _exact_counts(tot[matcher.window.dup_map])
+                hit_rows = np.flatnonzero(hits)
+            # Padding rows (length 0) cannot hit, but keep the row->packet
+            # map defensive: only rows that correspond to valid packets.
+            hit_rows = hit_rows[hit_rows < int(batch.valid.sum())]
+            if a.offsets:
+                rows = np.asarray(matcher.find_matches(
+                    batch.payloads[hit_rows], batch.lengths[hit_rows]
+                ))
+                if rows.size:
+                    rows = rows.copy()
+                    rows[:, 0] = hit_rows[rows[:, 0]]
+                offsets = rows
         if a.sharded:
-            pass  # counts (and per_row when attribution) computed above —
-            # the unsharded chain below must not clobber them
+            pass  # counts/offsets/hit_rows computed above — the unsharded
+            # chain below must not clobber them
         elif a.dump_matches and a.offsets and not cfg.per_packet:
             # One find_matches scan yields all three outputs: the occurrence
             # rows ARE the counts (bincount over unique patterns, dup_map
@@ -537,7 +572,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 rows[:, 2] if rows.size else np.zeros(0, np.int64),
                 minlength=len(matcher.window.unique_patterns),
             )
-            counts = uniq_counts[matcher.window.dup_map].astype(np.int32)
+            counts = _exact_counts(uniq_counts[matcher.window.dup_map])
             hit_rows = (
                 np.unique(rows[:, 0]) if rows.size else np.zeros(0, np.int64)
             )
@@ -555,7 +590,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             per_row = np.asarray(matcher.count_batch(
                 batch, per_packet=True, n_tile=cfg.n_tile, l_quant=cfg.l_quant,
             ))
-            counts = per_row.sum(axis=0, dtype=np.int64).astype(np.int32)
+            counts = _exact_counts(per_row.sum(axis=0, dtype=np.int64))
         else:
             counts = matcher.count_batch(
                 batch, per_packet=cfg.per_packet, staging=a.staging,

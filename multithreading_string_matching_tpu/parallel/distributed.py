@@ -47,27 +47,13 @@ from multithreading_string_matching_tpu.parallel.mesh import (
     _sharded_count_pallas,
     _sharded_count_window,
     make_mesh,
+    pallas_for_mesh,
 )
 
-
-def _pallas_for_mesh(matcher, mesh):
-    """A Pallas matcher whose interpret flag matches where the MESH lives:
-    ``matcher.pallas`` keys interpret off ``jax.default_backend()``, but a
-    CPU test mesh can coexist with a TPU default backend (and vice versa —
-    the sitecustomize platform race, see __graft_entry__).  Reuses the
-    cached matcher when the flag already agrees."""
-    interpret = mesh.devices.flat[0].platform == "cpu"
-    pm = matcher.pallas
-    if pm.interpret == interpret:
-        return pm
-    # Cache the alternate-interpret matcher on its sibling: a fresh instance
-    # per call would start with empty jit/kernel caches, re-tracing (and on
-    # TPU re-compiling) the sharded program on every invocation.
-    alt = getattr(pm, "_alt_interpret", None)
-    if alt is None or alt.interpret != interpret:
-        alt = type(pm)(matcher.window, interpret=interpret, assume_zero_padded=True)
-        pm._alt_interpret = alt
-    return alt
+# Lived here first; now shared from parallel.mesh so EVERY sharded pallas
+# entry (count_rows_sharded/summary, PackedTileCounter, this module) gets
+# the interpret-flag-vs-mesh-platform remap, not just the distributed one.
+_pallas_for_mesh = pallas_for_mesh
 
 
 def initialize_from_env() -> bool:
@@ -171,8 +157,11 @@ def count_pcap_distributed(
     global_l = -(-global_l // 128) * 128
 
     # Pad this host's rows to exactly `share` and width to global_l; padding
-    # rows are length-0 (masked by the scan).
-    payloads = batch.payloads
+    # rows are length-0 (masked by the scan).  Case-insensitive matchers
+    # fold bytes BEFORE staging (idempotent) — the automata/kernels bake
+    # folded patterns, so unfolded payloads would silently undercount
+    # (every other parallel path folds here too).
+    payloads = matcher._maybe_fold(batch.payloads)
     lengths = batch.lengths
     if payloads.shape[1] < global_l:
         payloads = np.pad(payloads, ((0, 0), (0, global_l - payloads.shape[1])))

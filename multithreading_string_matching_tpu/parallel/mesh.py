@@ -49,6 +49,26 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = PACKET
     return Mesh(devs, (axis,))
 
 
+def pallas_for_mesh(matcher, mesh: Mesh):
+    """A Pallas matcher whose interpret flag matches where the MESH lives:
+    ``matcher.pallas`` keys interpret off ``jax.default_backend()``, but a
+    CPU test mesh can coexist with a TPU default backend (and vice versa —
+    the sitecustomize platform race, see __graft_entry__).  Reuses the
+    cached matcher when the flag already agrees; otherwise caches ONE
+    alternate-interpret sibling on it (a fresh instance per call would
+    start with empty jit/kernel caches and re-trace — on TPU re-compile —
+    the sharded program every invocation)."""
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    pm = matcher.pallas
+    if pm.interpret == interpret:
+        return pm
+    alt = getattr(pm, "_alt_interpret", None)
+    if alt is None or alt.interpret != interpret:
+        alt = type(pm)(matcher.window, interpret=interpret, assume_zero_padded=True)
+        pm._alt_interpret = alt
+    return alt
+
+
 def shard_batch(
     payloads: np.ndarray, lengths: np.ndarray, mesh: Mesh
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -313,7 +333,7 @@ def count_rows_summary(
     len_d = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
     if engine == "pallas":
         tot, hits = _sharded_rows_summary_pallas(
-            matcher.pallas, pay_d, len_d, mesh, axis
+            pallas_for_mesh(matcher, mesh), pay_d, len_d, mesh, axis
         )
     else:
         w = matcher.window
@@ -346,7 +366,9 @@ def count_rows_sharded(
     pay_d = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
     len_d = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
     if engine == "pallas":
-        out = _sharded_rows_pallas(matcher.pallas, pay_d, len_d, mesh, axis)
+        out = _sharded_rows_pallas(
+            pallas_for_mesh(matcher, mesh), pay_d, len_d, mesh, axis
+        )
     else:
         w = matcher.window
         out = _sharded_rows_window(

@@ -243,6 +243,7 @@ class PackedTileCounter:
                 _sharded_count_pallas,
                 _sharded_count_window,
                 make_mesh,
+                pallas_for_mesh,
             )
 
             mesh = mesh or make_mesh()
@@ -263,7 +264,8 @@ class PackedTileCounter:
                 len_d = jax.device_put(jnp.asarray(fill, jnp.int32), sharding)
                 if self._use_pallas:
                     return _sharded_count_pallas(
-                        matcher.pallas, pay_d, len_d, mesh=mesh, axis=axis
+                        pallas_for_mesh(matcher, mesh), pay_d, len_d,
+                        mesh=mesh, axis=axis,
                     )
                 if engine == "window":
                     return _sharded_count_window(

@@ -103,6 +103,11 @@ class StreamMatcher:
                 pack_width=pack_width, sharded=sharded, mesh=mesh,
             )
         self._counts: Optional[jax.Array] = None
+        # Host int64 base: restored checkpoints land here (jnp.asarray would
+        # silently downcast int64 counts to int32 — wraparound on resume),
+        # and the device int32 accumulator drains here before IT can wrap.
+        self._host_counts: Optional[np.ndarray] = None
+        self._pos_since_drain = 0
         self._chunk_states: Optional[jax.Array] = None
         # Packed-mode dump attribution is batched the same way counting is:
         # pend slices until ~dump_scan_rows rows, then ONE per-row scan
@@ -131,6 +136,27 @@ class StreamMatcher:
             self._old_handler = None
 
     # -- whole-packet batches (the reference's streaming shape) -------------
+
+    def _drain_counts(self):
+        """Drain the device int32 accumulator to the host int64 base (same
+        rule as PackedTileCounter: one fetch per ~2^30 scanned positions, so
+        the int32 can never wrap between drains)."""
+        if self._counts is not None:
+            t = np.asarray(self._counts).astype(np.int64)
+            self._host_counts = (
+                t if self._host_counts is None else self._host_counts + t
+            )
+            self._counts = None
+        self._pos_since_drain = 0
+
+    def _note_positions(self, pos: int):
+        from multithreading_string_matching_tpu.parallel.pipeline import (
+            DRAIN_POSITIONS,
+        )
+
+        self._pos_since_drain += pos
+        if self._pos_since_drain >= DRAIN_POSITIONS:
+            self._drain_counts()
 
     def feed_batch(self, payloads: np.ndarray, lengths: np.ndarray):
         """Accumulate counts for one batch of whole packets (async dispatch)."""
@@ -174,6 +200,7 @@ class StreamMatcher:
                 self.matcher.window, payloads, lengths
             )
         self._counts = counts if self._counts is None else self._counts + counts
+        self._note_positions(payloads.shape[0] * payloads.shape[1])
 
     def _feed_long(self, payloads: np.ndarray, lengths: np.ndarray):
         """Chunk the byte axis with carried state (straddle-correct): a byte
@@ -199,6 +226,7 @@ class StreamMatcher:
                 self._counts = (
                     counts if self._counts is None else self._counts + counts
                 )
+                self._note_positions(n * self.fixed_len)
             return
         from multithreading_string_matching_tpu.ops.window import window_stream_chunk
 
@@ -212,6 +240,7 @@ class StreamMatcher:
                 self.matcher.window, chunk, rel, halo
             )
             self._counts = counts if self._counts is None else self._counts + counts
+            self._note_positions(n * self.fixed_len)
 
     def feed_pcap_slice(
         self, pcap: PcapFile, mode: str = "udp", *, bpf_filter: bool = False
@@ -229,8 +258,12 @@ class StreamMatcher:
         reference's BPF-filtered live program can differ from its own
         serial program on quirky captures."""
         batch = extract_payloads(pcap, mode, keep_invalid=True)
-        payloads, lengths = batch.payloads, batch.lengths
         src_idx = np.arange(pcap.num_packets, dtype=np.int64)
+        # extract_payloads pads to >=1 row even for an EMPTY slice; rows
+        # beyond num_packets are padding — they must not enter packets_seen
+        # and the bpf mask (exactly num_packets entries) must not index them.
+        payloads = batch.payloads[: src_idx.size]
+        lengths = batch.lengths[: src_idx.size]
         if bpf_filter:
             from multithreading_string_matching_tpu.io.decode import (
                 bpf_protocol_mask,
@@ -286,9 +319,12 @@ class StreamMatcher:
         pats = [p.encode("latin-1") for p in data["patterns"].tolist()]
         if pats != self.matcher.patterns:
             raise ValueError("checkpoint pattern list does not match matcher")
-        import jax.numpy as jnp
-
-        self._counts = jnp.asarray(data["counts"])
+        # Restore into the HOST int64 base: jnp.asarray would silently
+        # downcast int64 checkpoint counts to int32 (wraparound on resume),
+        # defeating the exact-int64 guarantee counts() provides.
+        self._counts = None
+        self._pos_since_drain = 0
+        self._host_counts = np.asarray(data["counts"]).astype(np.int64)
         self.packets_seen = int(data["packets_seen"])
 
     # -- results -----------------------------------------------------------
@@ -330,6 +366,8 @@ class StreamMatcher:
         exact int64 past int32)."""
         self._flush_dump()
         total = np.zeros(len(self.matcher.patterns), dtype=np.int64)
+        if self._host_counts is not None:
+            total = total + self._host_counts
         if self._counts is not None:
             total = total + np.asarray(self._counts).astype(np.int64)
         if self._tiles is not None:

@@ -115,6 +115,38 @@ def test_match_offsets_consistent_with_counts(reference_dir, capsys):
         assert batch.payloads[n, i : i + len(pat)].tobytes() == pat
 
 
+def test_match_sharded_offsets_equal_unsharded(reference_dir, capsys):
+    """One-shot --sharded --offsets rides the sharded per-row summary and
+    re-scans only the HIT rows for positions — results must equal the
+    unsharded scan exactly (counts, offsets as a set, dump selection)."""
+    import json
+
+    args = (
+        "match", "--pcap", str(reference_dir / "udp_1000.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--offsets", "--json",
+    )
+    code, out, _ = _run(capsys, *args)
+    assert code == 0
+    want = json.loads(out)
+    code, out, _ = _run(capsys, *args, "--sharded")
+    assert code == 0
+    got = json.loads(out)
+    assert got["counts"] == want["counts"]
+    assert sorted(map(tuple, got["offsets"])) == sorted(
+        map(tuple, want["offsets"])
+    )
+
+
+def test_exact_counts_keeps_int64_past_int32():
+    from multithreading_string_matching_tpu.cli import _exact_counts
+
+    small = _exact_counts(np.array([1, 2], dtype=np.int64))
+    assert small.dtype == np.int32
+    big = _exact_counts(np.array([2**31 + 5, 1], dtype=np.int64))
+    assert big.dtype == np.int64 and big[0] == 2**31 + 5
+
+
 @pytest.mark.parametrize("cmd", ["serial", "data", "task", "mesh", "live"])
 @pytest.mark.parametrize("fixture,mode,total", [
     ("udp.pcap", "udp", 39),

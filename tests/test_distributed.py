@@ -284,6 +284,33 @@ def test_distributed_rejects_unknown_engine(tmp_path, reference_dir):
         )
 
 
+@pytest.mark.parametrize("engine", ["window", "ac", "pallas"])
+def test_distributed_folds_case_insensitive(tmp_path, engine):
+    """Case-insensitive matchers must fold payload bytes before staging on
+    the distributed path too (the automata/kernels bake folded patterns;
+    unfolded payloads silently undercount)."""
+    import jax
+
+    from multithreading_string_matching_tpu import Matcher
+    from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
+    from multithreading_string_matching_tpu.parallel.distributed import (
+        count_pcap_distributed,
+    )
+    from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path / "case.pcap"
+    synth_udp_pcap(
+        p, 32, payload_len=64, patterns=[b"HTTP", b"Linux"],
+        plant_rate=0.5, seed=3,
+    )
+    m = Matcher([b"http", b"lInUx"], case_insensitive=True)
+    mesh = make_mesh(jax.devices("cpu")[:4])
+    res = count_pcap_distributed(m, p, "udp", engine=engine, mesh=mesh)
+    want = m.count_pcap(p, "udp")
+    assert res.counts.tolist() == list(np.asarray(want))
+    assert int(res.counts.sum()) > 0  # the planted uppercase DID match
+
+
 @pytest.mark.parametrize("table", [None, "1"])
 def test_distributed_pallas_single_process(reference_dir, monkeypatch, table):
     """The flagship kernel on the distributed entry (single-process

@@ -202,6 +202,68 @@ def test_count_rows_summary_rejects_wrappable_feed(matcher):
         count_rows_summary(matcher, p, l, mesh)
 
 
+def test_pallas_for_mesh_remaps_interpret_flag(matcher, udp1000):
+    """A non-interpret Pallas matcher handed a CPU mesh must be remapped to
+    an interpret sibling by the SHARED helpers (count_rows_summary here) —
+    the interpret-vs-mesh-platform race previously only handled on the
+    distributed entry."""
+    from multithreading_string_matching_tpu.ops.pallas_window import (
+        PallasWindowMatcher,
+    )
+    from multithreading_string_matching_tpu.parallel.mesh import (
+        count_rows_summary,
+        pallas_for_mesh,
+    )
+
+    batch, _ = udp1000
+    m2 = Matcher(matcher.patterns)
+    # Simulate the TPU-default-backend case: the cached kernel compiles
+    # Mosaic (interpret=False), but the mesh lives on CPU devices.
+    m2._pallas = PallasWindowMatcher(
+        m2.window, interpret=False, assume_zero_padded=True
+    )
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    pm = pallas_for_mesh(m2, mesh)
+    assert pm.interpret and pm is not m2._pallas
+    assert pallas_for_mesh(m2, mesh) is pm  # cached sibling, not a rebuild
+    tot, hits = count_rows_summary(
+        m2, batch.payloads, batch.lengths, mesh, engine="pallas"
+    )
+    want = np.asarray(matcher.count(batch.payloads, batch.lengths))
+    assert (tot[m2.window.dup_map] == want.astype(np.int64)).all()
+
+
+def test_stream_checkpoint_restores_int64_exact(matcher, tmp_path):
+    """Resuming from a checkpoint whose counts exceed int32 must not wrap:
+    load() lands in the host int64 base, not a device int32 array."""
+    big = np.zeros(len(matcher.patterns), dtype=np.int64)
+    big[0] = np.int64(2**31) + 123
+    s = StreamMatcher(matcher, packed=False)
+    s._host_counts = big.copy()
+    s.packets_seen = 7
+    path = s.save(tmp_path / "ckpt")
+    s2 = StreamMatcher(matcher, packed=False)
+    s2.load(path)
+    got = s2.counts()
+    assert got.dtype == np.int64 and got[0] == big[0]
+    assert s2.packets_seen == 7
+
+
+def test_feed_pcap_slice_empty_with_bpf(matcher, reference_dir):
+    """An empty pcap slice through the kernel-filter path is a no-op (the
+    padded placeholder row must neither crash the mask nor count as a
+    sniffed packet)."""
+    from multithreading_string_matching_tpu.io.pcap import read_pcap, slice_pcap
+
+    pcap = read_pcap(reference_dir / "udp.pcap")
+    empty = slice_pcap(pcap, 0, 0)
+    for bpf in (False, True):
+        s = StreamMatcher(matcher)
+        s.feed_pcap_slice(empty, "udp", bpf_filter=bpf)
+        assert s.packets_seen == 0
+        assert int(np.asarray(s.counts()).sum()) == 0
+
+
 def test_shard_batch_pads_to_divisible():
     mesh = make_mesh(jax.devices("cpu")[:8])
     p = np.ones((13, 16), np.uint8)
