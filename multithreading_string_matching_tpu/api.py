@@ -198,7 +198,9 @@ class Matcher:
                 PallasTableMatcher,
             )
 
-            total_words = int((self.window.pat_masks != 0).sum())
+            # The ONE word-count computation (equal by construction to the
+            # WindowProgram's nonzero mask words — _pattern_stats docstring).
+            total_words = self._pattern_stats()[2]
             cls = (
                 PallasTableMatcher
                 if self._pallas_table_selected(total_words)
@@ -293,11 +295,17 @@ class Matcher:
         bucketed = self.bucketed if bucketed is None else bucketed
         if staging not in ("auto", "packed", "bucketed"):
             raise ValueError(f"unknown staging {staging!r}")
+        if per_packet and staging == "packed":
+            # Same contract as count_prepared: packing destroys row<->packet
+            # identity, so an EXPLICIT packed request cannot be satisfied
+            # (staging='auto' quietly routes to bucketed instead).
+            raise ValueError("per-packet counts are unavailable for packed batches")
         if np.shape(payloads)[0] == 0:
             shape = (0, len(self.patterns)) if per_packet else (len(self.patterns),)
             return np.zeros(shape, dtype=np.int32)
-        payloads = self._maybe_fold(payloads)
         engine = self._resolve_engine(engine)
+        # The pallas branch delegates to prepare(), which folds — folding
+        # here too would pay a second full-corpus table-gather pass.
         if engine == "pallas":
             if per_packet:
                 # Per-packet attribution needs row<->packet identity, so no
@@ -313,6 +321,7 @@ class Matcher:
                 n_tile=n_tile, l_quant=l_quant,
             )
             return self.count_prepared(prep, engine="pallas")
+        payloads = self._maybe_fold(payloads)
         fn = self._engine_fn(engine)
         if bucketed:
             return np.asarray(
@@ -328,6 +337,13 @@ class Matcher:
         the XLA window matcher on CPU hosts (interpret-mode Pallas is for
         tests only; MSM_PALLAS_INTERPRET=1 forces it)."""
         engine = engine or self.engine
+        if engine not in ("auto", "pallas", "window", "ac", "kmp"):
+            # A typo'd per-call override must not silently fall through to
+            # the window engine (the constructor already validates eagerly).
+            raise ValueError(
+                f"unknown engine {engine!r}: expected "
+                "auto/pallas/window/ac/kmp"
+            )
         if engine == "auto":
             # Window/pallas cost per byte is O(U·K) VPU compares; the AC
             # scan's per-byte gather is ~370x one compare at the measured
@@ -343,7 +359,9 @@ class Matcher:
         if (
             engine == "pallas"
             and jax.default_backend() == "cpu"
-            and not os.environ.get("MSM_PALLAS_INTERPRET")
+            # "0" and "" mean NOT forced — same parsing as MSM_PALLAS_TABLE
+            # (raw truthiness would read an explicit =0 as "force interpret").
+            and os.environ.get("MSM_PALLAS_INTERPRET", "") in ("0", "")
         ):
             return "window"
         return engine

@@ -563,7 +563,16 @@ def _iter_pcapng_stream(
         pos += blen
         file_off += blen
         saw_packets = saw_packets or bool(offsets)
-        if len(offsets) >= batch_packets:
+        # Hold the batch until the section's linktype is KNOWN (its first
+        # IDB) — flushing earlier would label pre-IDB packet blocks (the
+        # nonstandard late-IDB leniency case) with the Ethernet fallback
+        # while read_pcap labels the whole file with the late IDB's
+        # linktype.  Standard captures (IDB first) flush on schedule; a
+        # nonstandard section buffers its pre-IDB packets in memory, which
+        # is exactly read_pcap's residency for the same file.
+        if len(offsets) >= batch_packets and (
+            interfaces or first_meta is not None
+        ):
             yield flush()
     if offsets:
         yield flush()

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multithreading_string_matching_tpu.ops.window import WindowProgram
 from multithreading_string_matching_tpu.ops.pallas_window import (
+    TileCountSurface,
     window_views as _window_views,
 )
 
@@ -161,10 +162,10 @@ class _PatternClass:
         self.lens = np.pad(lens, (0, pad)).reshape(-1, 1).astype(np.int32)
 
 
-class PallasTableMatcher:
+class PallasTableMatcher(TileCountSurface):
     """Drop-in alternative to PallasWindowMatcher for large pattern sets:
-    same count/repeat/per-row surface, pattern tables in SMEM instead of the
-    instruction stream."""
+    same count/repeat/per-row surface (TileCountSurface), pattern tables in
+    SMEM instead of the instruction stream."""
 
     def __init__(
         self,
@@ -224,23 +225,7 @@ class PallasTableMatcher:
         }
         self._maxK = max(c.K for c in self.classes)
 
-        def run_tiles(tiles):
-            outs = [self._one_tile(p, l) for p, l in tiles]
-            return jnp.take(functools.reduce(jnp.add, outs), self._inv)
-
-        self._jit_tiles = jax.jit(run_tiles)
-
-        def run_repeated(tiles, r):
-            outs = [self._one_tile(p, l, reps=r) for p, l in tiles]
-            return jnp.take(functools.reduce(jnp.add, outs), self._inv)
-
-        self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
-
-        def run_summary(payloads, lengths):
-            rows = self._one_tile_rows(payloads, lengths)[: payloads.shape[0]]
-            return rows.sum(axis=0), rows.sum(axis=1) > 0
-
-        self._jit_summary = jax.jit(run_summary)
+        self._build_tile_jits()
 
     def _pad_tile(self, payloads, lengths):
         # Budget swept on v5e: 2.75M (the unrolled kernel's) spills registers
@@ -302,6 +287,9 @@ class PallasTableMatcher:
         with build-order data (same contract as PallasWindowMatcher)."""
         return jnp.take(self._one_tile(payloads, lengths), self._inv)
 
+    def _tile_repeated_unique(self, payloads, lengths, reps: int):
+        return jnp.take(self._one_tile(payloads, lengths, reps=reps), self._inv)
+
     def _one_tile_rows(self, payloads, lengths):
         payloads, lengths, tn = self._pad_tile(payloads, lengths)
         n, L = payloads.shape
@@ -327,50 +315,5 @@ class PallasTableMatcher:
             outs.append(out[: c.num])
         return jnp.take(jnp.concatenate(outs), self._inv, axis=0).T  # [n, U]
 
-    # -- public surface (mirrors PallasWindowMatcher) ----------------------
-
-    def count_tiles(self, tiles, *, expand_duplicates: bool = True):
-        if not tiles:
-            n = len(self.wp.dup_map) if expand_duplicates else self.num_unique
-            return jnp.zeros((n,), jnp.int32)
-        tiles = tuple(
-            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32))
-            for p, l in tiles
-        )
-        out = self._jit_tiles(tiles)
-        if expand_duplicates:
-            out = jnp.take(out, jnp.asarray(self.wp.dup_map), axis=-1)
-        return out
-
-    def count_tiles_repeated(self, tiles, repeats: int):
-        """repeats x counts over unique patterns inside ONE executable (the
-        repeat axis is a grid dimension per pattern block — same measurement
-        honesty rule, and the same repeats x count < 2^31 int32 bound, as
-        the unrolled kernel)."""
-        if not tiles:
-            return jnp.zeros((self.num_unique,), jnp.int32)
-        tiles = tuple(
-            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32))
-            for p, l in tiles
-        )
-        return self._jit_repeated(tiles, r=repeats)
-
-    def count_tile_summary(self, payloads, lengths):
-        """(build-order totals int32[U], row_hits bool[n]) reduced on device
-        — same contract and int32 bound as PallasWindowMatcher's (the
-        ``_one_tile_rows`` output is already inverse-permuted to build
-        order, so the summary needs no extra bookkeeping)."""
-        return self._jit_summary(
-            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32)
-        )
-
-    def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
-        outs = []
-        for p, l in tiles:
-            out = self._one_tile_rows(
-                jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)
-            )
-            if expand_duplicates:
-                out = jnp.take(out, jnp.asarray(self.wp.dup_map), axis=-1)
-            outs.append(out)
-        return outs
+    # count_tiles / count_tiles_repeated / count_tiles_per_row /
+    # count_tile_summary: inherited from TileCountSurface.

@@ -129,7 +129,9 @@ def pad_tile(payloads, lengths, *, row_tile: int, K: int, vmem_budget: int):
     temporaries.  A ZERO-row tile pads to one full row tile of empty lanes
     (callers get zero counts instead of a degenerate grid)."""
     n, L = payloads.shape
-    if L % 128:
+    if L % 128 or L == 0:
+        # Zero-WIDTH tiles pad to one full lane quantum too (zero bytes,
+        # lengths 0 -> zero counts) instead of dividing the VMEM budget by 0.
         payloads = jnp.pad(payloads, ((0, 0), (0, 128 - L % 128)))
         L = payloads.shape[1]
     vmem_cap = max(8, (vmem_budget // ((K + 8) * L)) // 8 * 8)
@@ -141,7 +143,106 @@ def pad_tile(payloads, lengths, *, row_tile: int, K: int, vmem_budget: int):
     return payloads, lengths.reshape(-1, 1).astype(jnp.int32), tn
 
 
-class PallasWindowMatcher:
+class TileCountSurface:
+    """The public tile-count surface shared by BOTH Pallas kernel classes
+    (the unrolled-immediates kernel here and the SMEM table kernel in
+    ops/pallas_table) — one implementation, so the build-order and int32-
+    bound contracts cannot drift between them.
+
+    Subclass contract:
+
+    - ``count_tile_unique(payloads, lengths)`` — int32[U] counts in BUILD
+      (unique-pattern) order for one tile, safe under jit/shard_map;
+    - ``_tile_repeated_unique(payloads, lengths, r)`` — build-order counts
+      with ``r`` repeats chained inside ONE kernel (repeat axis on the
+      grid, so repeats cannot be elided or deduplicated);
+    - ``_one_tile_rows(payloads, lengths)`` — int32[n_padded, U] build-order
+      per-row counts;
+    - attributes ``wp`` (the WindowProgram) and ``num_unique``;
+    - ``_build_tile_jits()`` called at the end of ``__init__``.
+    """
+
+    def _build_tile_jits(self):
+        def run_tiles(tiles):
+            outs = [self.count_tile_unique(p, l) for p, l in tiles]
+            return functools.reduce(jnp.add, outs)
+
+        self._jit_tiles = jax.jit(run_tiles)
+
+        def run_repeated(tiles, r):
+            outs = [self._tile_repeated_unique(p, l, r) for p, l in tiles]
+            return functools.reduce(jnp.add, outs)
+
+        self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
+
+        def run_summary(payloads, lengths):
+            rows = self._one_tile_rows(payloads, lengths)[: payloads.shape[0]]
+            return rows.sum(axis=0), rows.sum(axis=1) > 0
+
+        self._jit_summary = jax.jit(run_summary)
+
+    def _dup_take(self, out):
+        return jnp.take(out, jnp.asarray(self.wp.dup_map), axis=-1)
+
+    def count_tiles(self, tiles, *, expand_duplicates: bool = True):
+        """Counts over device-resident (payloads, lengths) tiles, one dispatch."""
+        if not tiles:
+            n = len(self.wp.dup_map) if expand_duplicates else self.num_unique
+            return jnp.zeros((n,), jnp.int32)
+        tiles = tuple(
+            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
+        )
+        out = self._jit_tiles(tiles)
+        if expand_duplicates:
+            out = self._dup_take(out)
+        return out
+
+    def count_tiles_repeated(self, tiles, repeats: int):
+        """Run the full tile count ``repeats`` times inside one executable
+        (one kernel launch per tile, repeats as a grid axis), one fetch —
+        the honest way to measure steady-state scan rate on devices whose
+        per-dispatch round-trip dwarfs the kernel: grid steps always
+        execute, so repeats cannot be elided or deduplicated (returns
+        repeats x counts, over unique patterns).  The int32 accumulator
+        bounds honest use: repeats x per-pattern corpus count must stay
+        below 2^31 (bench.py's rep == count * REPS assertion catches a
+        wrap)."""
+        if not tiles:
+            return jnp.zeros((self.num_unique,), jnp.int32)
+        tiles = tuple(
+            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
+        )
+        return self._jit_repeated(tiles, r=repeats)
+
+    def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
+        """Per-packet counts, one int32[rows_i, U or P] array per tile (rows
+        are the tile's padded row count; padding rows count zero).  The
+        per-packet analogue of count_tiles — attribution at kernel rate
+        instead of degrading to the XLA window engine."""
+        outs = []
+        for p, l in tiles:
+            out = self._one_tile_rows(
+                jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)
+            )
+            if expand_duplicates:
+                out = self._dup_take(out)
+            outs.append(out)
+        return outs
+
+    def count_tile_summary(self, payloads, lengths):
+        """One tile's attribution SUMMARY, reduced on device:
+        ``(totals int32[U] in build order, row_hits bool[n])`` — the only two
+        things the streamed attribution path needs per chunk, fetched as
+        ``U*4 + n`` bytes instead of the ``n*U*4`` per-row matrix (~300x less
+        d2h at the serving chunk shape).  int32-exact while the tile scans
+        fewer than 2^31 positions (``n*L``): a position starts at most one
+        match per pattern (callers slice bigger feeds)."""
+        return self._jit_summary(
+            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32)
+        )
+
+
+class PallasWindowMatcher(TileCountSurface):
     """Holds the pattern-specialized kernel + a jitted multi-tile dispatcher."""
 
     def __init__(
@@ -169,25 +270,7 @@ class PallasWindowMatcher:
         self._kernel_rows = _make_kernel(
             wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, per_row=True
         )
-        self._dup = jnp.asarray(wp.dup_map)
-
-        def run_tiles(tiles):
-            outs = [self._one_tile(p, l) for p, l in tiles]
-            return functools.reduce(jnp.add, outs)
-
-        self._jit_tiles = jax.jit(run_tiles)
-
-        def run_repeated(tiles, r):
-            outs = [self._one_tile_repeated(p, l, r) for p, l in tiles]
-            return functools.reduce(jnp.add, outs)
-
-        self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
-
-        def run_summary(payloads, lengths):
-            rows = self._one_tile_rows(payloads, lengths)[: payloads.shape[0]]
-            return rows.sum(axis=0), rows.sum(axis=1) > 0
-
-        self._jit_summary = jax.jit(run_summary)
+        self._build_tile_jits()
 
     def _pad_tile(self, payloads, lengths):
         # VMEM budget: the live set is ~(K + 8) uint32 [tn, L] temporaries
@@ -244,6 +327,9 @@ class PallasWindowMatcher:
         runs can never see a kernel-internal permutation."""
         return self._one_tile(payloads, lengths)
 
+    def _tile_repeated_unique(self, payloads, lengths, reps: int):
+        return self._one_tile_repeated(payloads, lengths, reps)
+
     def _one_tile_rows(self, payloads, lengths):
         """Per-row counts int32[n_padded, U]; each grid step writes its own
         row block (no cross-step state, no zeroing pass)."""
@@ -261,59 +347,5 @@ class PallasWindowMatcher:
             interpret=self.interpret,
         )(payloads, lengths)
 
-    def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
-        """Per-packet counts, one int32[rows_i, U or P] array per tile (rows
-        are the tile's padded row count; padding rows count zero).  The
-        per-packet analogue of count_tiles — attribution at kernel rate
-        instead of degrading to the XLA window engine."""
-        outs = []
-        for p, l in tiles:
-            out = self._one_tile_rows(
-                jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)
-            )
-            if expand_duplicates:
-                out = jnp.take(out, self._dup, axis=-1)
-            outs.append(out)
-        return outs
-
-    def count_tile_summary(self, payloads, lengths):
-        """One tile's attribution SUMMARY, reduced on device:
-        ``(totals int32[U] in build order, row_hits bool[n])`` — the only two
-        things the streamed attribution path needs per chunk, fetched as
-        ``U*4 + n`` bytes instead of the ``n*U*4`` per-row matrix (~300x less
-        d2h at the serving chunk shape).  int32-exact while the tile scans
-        fewer than 2^31 positions (``n*L``): a position starts at most one
-        match per pattern (callers slice bigger feeds)."""
-        return self._jit_summary(
-            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32)
-        )
-
-    def count_tiles(self, tiles, *, expand_duplicates: bool = True):
-        """Counts over device-resident (payloads, lengths) tiles, one dispatch."""
-        if not tiles:
-            n = len(self.wp.dup_map) if expand_duplicates else self.num_unique
-            return jnp.zeros((n,), jnp.int32)
-        tiles = tuple(
-            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
-        )
-        out = self._jit_tiles(tiles)
-        if expand_duplicates:
-            out = jnp.take(out, self._dup, axis=-1)
-        return out
-
-    def count_tiles_repeated(self, tiles, repeats: int):
-        """Run the full tile count ``repeats`` times inside one executable
-        (one kernel launch per tile, repeats as a grid axis), one fetch —
-        the honest way to measure steady-state scan rate on devices whose
-        per-dispatch round-trip dwarfs the kernel: grid steps always
-        execute, so repeats cannot be elided or deduplicated (returns
-        repeats x counts, over unique patterns).  The int32 accumulator
-        bounds honest use: repeats x per-pattern corpus count must stay
-        below 2^31 (bench.py's rep == count * REPS assertion catches a
-        wrap)."""
-        if not tiles:
-            return jnp.zeros((self.num_unique,), jnp.int32)
-        tiles = tuple(
-            (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
-        )
-        return self._jit_repeated(tiles, r=repeats)
+    # count_tiles / count_tiles_repeated / count_tiles_per_row /
+    # count_tile_summary: inherited from TileCountSurface.

@@ -107,6 +107,86 @@ def test_zero_caplen_capture_decodes_as_invalid(tmp_path):
             assert int(batch.valid.sum()) == 0
 
 
+def test_unknown_engine_raises(reference_dir):
+    """A typo'd per-call engine override raises instead of silently running
+    the window engine (the constructor already validated eagerly)."""
+    from multithreading_string_matching_tpu import Matcher
+
+    m = Matcher([b"http"])
+    p = np.zeros((2, 16), np.uint8)
+    l = np.full(2, 16, np.int32)
+    with pytest.raises(ValueError, match="unknown engine"):
+        m.count(p, l, engine="acc")  # typo of 'ac'
+
+
+def test_pallas_interpret_env_zero_means_off(monkeypatch):
+    """MSM_PALLAS_INTERPRET=0 must NOT force interpret mode (raw truthiness
+    would); parsing matches MSM_PALLAS_TABLE."""
+    from multithreading_string_matching_tpu import Matcher
+
+    m = Matcher([b"http"])
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "0")
+    assert m._resolve_engine("pallas") == "window"  # CPU host degrades
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    assert m._resolve_engine("pallas") == "pallas"
+
+
+def test_count_folds_once_on_pallas_path(reference_dir, monkeypatch):
+    """count() delegates folding to prepare() on the pallas path — a second
+    full-corpus fold pass on the hot path was measured and removed."""
+    from multithreading_string_matching_tpu import Matcher
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    m = Matcher([b"http"], case_insensitive=True)
+    calls = []
+    orig = Matcher._maybe_fold
+
+    def spy(self, payloads):
+        calls.append(1)
+        return orig(self, payloads)
+
+    monkeypatch.setattr(Matcher, "_maybe_fold", spy)
+    p = np.zeros((4, 128), np.uint8)
+    p[0, :4] = np.frombuffer(b"HTTP", np.uint8)
+    l = np.full(4, 128, np.int32)
+    counts = m.count(p, l, engine="pallas")
+    assert int(np.asarray(counts).sum()) == 1  # folded: HTTP matches http
+    assert sum(calls) == 1, f"{sum(calls)} fold passes on one count()"
+
+
+def test_count_per_packet_explicit_packed_raises(reference_dir):
+    """per_packet=True with an EXPLICIT staging='packed' raises (identity
+    is destroyed by packing) — same contract as count_prepared; 'auto'
+    quietly routes to bucketed."""
+    from multithreading_string_matching_tpu import Matcher
+
+    m = Matcher([b"http"])
+    p = np.zeros((2, 16), np.uint8)
+    l = np.full(2, 16, np.int32)
+    with pytest.raises(ValueError, match="per-packet"):
+        m.count(p, l, per_packet=True, staging="packed")
+    out = m.count(p, l, per_packet=True, staging="auto")
+    assert out.shape == (2, 1)
+
+
+def test_pallas_zero_width_tile_counts_zero(reference_dir, monkeypatch):
+    """A zero-WIDTH payload tensor through the Pallas tile surface returns
+    zero counts instead of dividing the VMEM budget by zero."""
+    from multithreading_string_matching_tpu import Matcher
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    for table in ("0", "1"):
+        monkeypatch.setenv("MSM_PALLAS_TABLE", table)
+        m = Matcher([b"http", b"xml"])
+        p = np.zeros((4, 0), np.uint8)
+        l = np.zeros(4, np.int32)
+        out = np.asarray(m.pallas.count_tiles([(p, l)]))
+        assert out.shape == (2,) and out.sum() == 0
+        tot, hits = m.pallas.count_tile_summary(p, l)
+        assert int(np.asarray(tot).sum()) == 0
+        assert not np.asarray(hits)[:4].any()
+
+
 def test_zero_row_batches_count_to_zeros(reference_dir):
     m = Matcher(load_patterns(reference_dir / "strings.txt"), engine="window")
     empty_p = np.zeros((0, 16), np.uint8)

@@ -216,6 +216,35 @@ def test_stream_pcapng_idb_after_epb_matches_one_shot(tmp_path):
     _assert_stream_equals_full(p, full, 4)
 
 
+def test_stream_pcapng_late_idb_linktype_matches_one_shot(tmp_path):
+    """Batches flushed from a section whose IDB arrives LATE must carry the
+    IDB's linktype, not the Ethernet fallback: the stream holds pre-IDB
+    packet blocks until the section's linktype is known, so streamed and
+    one-shot decode identically (SLL 113 here would shift every header
+    offset under the fallback)."""
+    out = bytearray()
+
+    def block(btype, body):
+        blen = 12 + len(body) + ((-len(body)) % 4)
+        out.extend(struct.pack("<II", btype, blen))
+        out.extend(body + b"\x00" * ((-len(body)) % 4))
+        out.extend(struct.pack("<I", blen))
+
+    block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    data1 = b"\xab" * 60
+    data2 = b"\xcd" * 48
+    block(0x00000006, struct.pack("<IIIII", 0, 0, 0, len(data1), len(data1)) + data1)
+    block(0x00000006, struct.pack("<IIIII", 0, 0, 0, len(data2), len(data2)) + data2)
+    block(0x00000001, struct.pack("<HHI", 113, 0, 65535))  # SLL, late
+    p = tmp_path / "late_idb_sll.pcapng"
+    p.write_bytes(bytes(out))
+    full = read_pcap(p)
+    assert full.linktype == 113
+    batches = list(iter_pcap(p, batch_packets=1))
+    assert sum(b.num_packets for b in batches) == full.num_packets
+    assert all(b.linktype == 113 for b in batches)
+
+
 def test_stream_pcapng_tiny_tail_ignored_like_one_shot(tmp_path, reference_dir):
     classic = read_pcap(reference_dir / "udp.pcap")
     blob = _pcapng_from(classic) + b"\x01\x02\x03"  # < 12 bytes of tail
