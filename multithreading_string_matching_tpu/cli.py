@@ -256,7 +256,13 @@ def cmd_live(argv: List[str]) -> int:
         ),
         tile_rows=env_cfg.stream_tile_rows,
     )
-    stream.install_sigint()
+    # The handler must ALSO stop the source: on a quiet interface the recv
+    # loop never yields a batch, so the between-batches stopped check below
+    # would never run and Ctrl-C would hang the process (losing the report
+    # the reference's signalHandler drain exists to save).
+    stream.install_sigint(
+        on_stop=source.stop if hasattr(source, "stop") else None
+    )
     print("Starting the sniffing process...")
     try:
         for batch in source:
@@ -347,9 +353,6 @@ def cmd_match(argv: List[str]) -> int:
     p.add_argument("--config", metavar="FILE", help="load a MatchConfig JSON (flags override)")
     a = p.parse_args(argv)
 
-    from multithreading_string_matching_tpu.io.pcap import read_pcap
-    from multithreading_string_matching_tpu.io.decode import extract_payloads
-    from multithreading_string_matching_tpu.utils.timing import PhaseTimer
     from multithreading_string_matching_tpu.utils.config import MatchConfig
 
     cfg = MatchConfig.load(a.config) if a.config else MatchConfig()
@@ -561,10 +564,11 @@ def _run_match(a, cfg, pcap_paths) -> int:
         if a.sharded:
             pass  # counts/offsets/hit_rows computed above — the unsharded
             # chain below must not clobber them
-        elif a.dump_matches and a.offsets and not cfg.per_packet:
-            # One find_matches scan yields all three outputs: the occurrence
+        elif a.offsets and not cfg.per_packet:
+            # One find_matches scan yields ALL the outputs: the occurrence
             # rows ARE the counts (bincount over unique patterns, dup_map
-            # expanded) and the dump selection (rows with any hit).
+            # expanded), the offsets, and the dump selection (rows with any
+            # hit) — a separate count_batch pass would scan the corpus twice.
             rows = np.asarray(
                 matcher.find_matches(batch.payloads, batch.lengths)
             )

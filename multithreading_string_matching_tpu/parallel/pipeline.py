@@ -295,6 +295,19 @@ class PackedTileCounter:
         self._over_total = None     # host-side counts for oversized payloads
         self.tiles_dispatched = 0   # observability: dispatches, not feeds
 
+    def reset(self):
+        """Discard ALL accumulated state (counts, partial tile, oversized-
+        row totals, dispatch count) — checkpoint restore replaces state, so
+        the restoring caller must be able to zero this counter."""
+        self._buf = np.zeros((self.tile_rows, self.pack_width), dtype=np.uint8)
+        self._fill = np.zeros(self.tile_rows, dtype=np.int32)
+        self._r = 0
+        self._total = None
+        self._host_total = None
+        self._tiles_since_drain = 0
+        self._over_total = None
+        self.tiles_dispatched = 0
+
     def _drain(self):
         if self._total is None:
             return

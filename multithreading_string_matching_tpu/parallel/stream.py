@@ -122,11 +122,18 @@ class StreamMatcher:
 
     # -- lifecycle ---------------------------------------------------------
 
-    def install_sigint(self):
-        """SIGINT sets a drain flag (live_openmp_task.c:156-158,262-264)."""
+    def install_sigint(self, on_stop=None):
+        """SIGINT sets a drain flag (live_openmp_task.c:156-158,262-264).
+
+        ``on_stop`` (e.g. ``LiveSource.stop``) also fires from the handler:
+        a blocking capture loop on a QUIET interface never yields a batch,
+        so a flag checked only between batches would never be seen — the
+        source itself must stop iterating for the drain to happen."""
 
         def handler(signum, frame):
             self.stopped = True
+            if on_stop is not None:
+                on_stop()
 
         self._old_handler = signal.signal(signal.SIGINT, handler)
 
@@ -168,8 +175,15 @@ class StreamMatcher:
             self.packets_seen += payloads.shape[0]
             self._tiles.add(payloads, np.asarray(lengths))
             return
-        payloads = self.matcher._maybe_fold(np.asarray(payloads, dtype=np.uint8))
-        lengths = np.asarray(lengths, dtype=np.int32)
+        # COPY the feed: the dispatch below is asynchronous and jnp.asarray
+        # may alias a numpy buffer (zero-copy on CPU backends) — when fold
+        # and the pad branches all no-op, the caller's buffer would be read
+        # by an in-flight count after this method returns (the same fresh-
+        # buffer rule PackedTileCounter._dispatch documents).
+        payloads = self.matcher._maybe_fold(
+            np.array(payloads, dtype=np.uint8, copy=True)
+        )
+        lengths = np.array(lengths, dtype=np.int32, copy=True)
         self.packets_seen += payloads.shape[0]
         if payloads.shape[1] < self.fixed_len:
             payloads = np.pad(
@@ -321,9 +335,18 @@ class StreamMatcher:
             raise ValueError("checkpoint pattern list does not match matcher")
         # Restore into the HOST int64 base: jnp.asarray would silently
         # downcast int64 checkpoint counts to int32 (wraparound on resume),
-        # defeating the exact-int64 guarantee counts() provides.
+        # defeating the exact-int64 guarantee counts() provides.  load()
+        # REPLACES stream state (checkpoint counts already include every
+        # accumulator at save() time), so ALL of them reset — leaving the
+        # tile totals or pending dump slices would double-count a rollback
+        # onto a used instance.
         self._counts = None
         self._pos_since_drain = 0
+        self._chunk_states = None
+        self._dump_pending = []
+        self._dump_pending_rows = 0
+        if self._tiles is not None:
+            self._tiles.reset()
         self._host_counts = np.asarray(data["counts"]).astype(np.int64)
         self.packets_seen = int(data["packets_seen"])
 

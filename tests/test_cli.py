@@ -138,6 +138,28 @@ def test_match_sharded_offsets_equal_unsharded(reference_dir, capsys):
     )
 
 
+def test_match_offsets_single_scan(reference_dir, capsys, monkeypatch):
+    """--offsets derives counts from the SAME find_matches pass (bincount of
+    occurrence rows); a second count_batch pass would scan the corpus
+    twice."""
+    import json
+
+    from multithreading_string_matching_tpu.api import Matcher
+
+    def boom(self, *a, **k):
+        raise AssertionError("count_batch must not run for --offsets")
+
+    monkeypatch.setattr(Matcher, "count_batch", boom)
+    code, out, _ = _run(
+        capsys, "match", "--pcap", str(reference_dir / "udp.pcap"),
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--offsets", "--json",
+    )
+    assert code == 0
+    d = json.loads(out)
+    assert sum(d["counts"]) == 39 and len(d["offsets"]) == 39
+
+
 def test_exact_counts_keeps_int64_past_int32():
     from multithreading_string_matching_tpu.cli import _exact_counts
 

@@ -249,6 +249,48 @@ def test_stream_checkpoint_restores_int64_exact(matcher, tmp_path):
     assert s2.packets_seen == 7
 
 
+def test_sigint_stops_a_quiet_source(matcher):
+    """The SIGINT handler must stop the SOURCE too: a blocking capture loop
+    on a quiet interface never yields a batch, so the between-batches
+    stopped check alone would hang the process on Ctrl-C."""
+    import os
+    import signal
+
+    class FakeSource:
+        stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    src = FakeSource()
+    s = StreamMatcher(matcher)
+    s.install_sigint(on_stop=src.stop)
+    try:
+        os.kill(os.getpid(), signal.SIGINT)
+        # Delivered synchronously to this (main) thread at the next check.
+        assert s.stopped and src.stopped
+    finally:
+        s.uninstall_sigint()
+
+
+def test_stream_load_replaces_all_accumulators(matcher, reference_dir, tmp_path):
+    """load() is a ROLLBACK: restoring a checkpoint onto a used packed
+    StreamMatcher must not add the tile accumulators (already included in
+    the checkpoint) on top of the restored counts."""
+    from multithreading_string_matching_tpu.io.pcap import read_pcap, slice_pcap
+
+    pcap = read_pcap(reference_dir / "udp.pcap")
+    s = StreamMatcher(matcher)  # packed='auto' -> tiles on this pattern set
+    s.feed_pcap_slice(pcap, "udp")
+    at_save = s.counts().copy()
+    path = s.save(tmp_path / "roll")
+    s.feed_pcap_slice(pcap, "udp")  # post-save work to roll back
+    assert int(np.asarray(s.counts()).sum()) == 2 * at_save.sum()
+    s.load(path)
+    assert (np.asarray(s.counts()) == at_save).all()
+    assert s.packets_seen == pcap.num_packets
+
+
 def test_feed_pcap_slice_empty_with_bpf(matcher, reference_dir):
     """An empty pcap slice through the kernel-filter path is a no-op (the
     padded placeholder row must neither crash the mask nor count as a
