@@ -44,10 +44,17 @@ def cpu_serial_baseline(payload_list, patterns):
     src = REPO / "multithreading_string_matching_tpu" / "native" / "serial_baseline.c"
     exe = pathlib.Path("/tmp/msm_serial_baseline")
     if not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime:
+        # Build to a pid-suffixed temp + atomic rename: a concurrent bench
+        # run must never exec a half-written binary (io/native.py pattern).
+        tmp_exe = exe.with_name(f"{exe.name}.{os.getpid()}")
         subprocess.run(
-            ["gcc", "-O2", "-o", str(exe), str(src)], check=True, capture_output=True
+            ["gcc", "-O2", "-o", str(tmp_exe), str(src)],
+            check=True, capture_output=True,
         )
-    dump = pathlib.Path("/tmp/msm_bench_payloads.bin")
+        os.replace(tmp_exe, exe)
+    # Pid-suffixed dump: two overlapping runs (the documented background-
+    # bench workflow) must not interleave writes into one file.
+    dump = pathlib.Path(f"/tmp/msm_bench_payloads.{os.getpid()}.bin")
     blob = b"".join(payload_list)
     with open(dump, "wb") as f:
         f.write(struct.pack("<qqq", len(payload_list), len(blob), len(patterns)))
@@ -55,9 +62,12 @@ def cpu_serial_baseline(payload_list, patterns):
         f.write(blob)
         f.write(np.array([len(p) for p in patterns], dtype="<i4").tobytes())
         f.write(b"".join(patterns))
-    out = subprocess.run(
-        [str(exe), str(dump)], check=True, capture_output=True, text=True
-    ).stdout.split()
+    try:
+        out = subprocess.run(
+            [str(exe), str(dump)], check=True, capture_output=True, text=True
+        ).stdout.split()
+    finally:
+        dump.unlink(missing_ok=True)
     elapsed, total_matches, nbytes = float(out[0]), int(out[1]), int(out[2])
     return nbytes / elapsed, total_matches
 
@@ -105,6 +115,10 @@ def main():
     # per-tile fetch adds one ~28 ms round-trip per tile on this tunnel —
     # an overestimate bounded by tiles x RTT, stated rather than hidden.
     for tp, tl in prep.tiles:
+        # Fetch a slice of BOTH buffers: the payload tensor is the dominant
+        # transfer, and the backend need not serialize per-buffer h2d — a
+        # lengths-only fetch could complete before the payload lands.
+        np.asarray(tp[:1, :1])
         np.asarray(tl[:1])
     h2d_s = time.perf_counter() - t0
 
@@ -166,7 +180,10 @@ def main():
         tag = hashlib.sha256(b"\x00".join(patterns)).hexdigest()[:12]
         mega = pathlib.Path(f"/tmp/msm_mega_{tag}.pcap")
         if not mega.exists():
-            tmp = mega.with_suffix(".tmp")
+            # Pid-suffixed temp: two concurrent runs each write their own
+            # temp and the LAST atomic rename wins with a complete file —
+            # a shared temp name would interleave writes into one inode.
+            tmp = mega.with_suffix(f".{os.getpid()}.tmp")
             synth_udp_pcap(
                 tmp, 100_000, payload_len=1024, payload_len_jitter=256,
                 patterns=patterns, plant_rate=0.05, seed=1,

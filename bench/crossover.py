@@ -58,8 +58,14 @@ def main():
 
     corpus = pathlib.Path("/tmp/msm_crossover.pcap")
     if not corpus.exists():
-        synth_udp_pcap(corpus, 10_000, payload_len=1024, payload_len_jitter=256,
+        # Temp + atomic rename (bench.py's pattern): an interrupted synth
+        # must not leave a truncated file that every later run trusts.
+        import os
+
+        tmp = corpus.with_suffix(f".{os.getpid()}.tmp")
+        synth_udp_pcap(tmp, 10_000, payload_len=1024, payload_len_jitter=256,
                        patterns=[b"pt000000"], plant_rate=0.02, seed=3)
+        os.replace(tmp, corpus)
     batch = extract_payloads(read_pcap(corpus), "udp")
     nbytes = batch.total_payload_bytes
 

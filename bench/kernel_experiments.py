@@ -32,13 +32,18 @@ from multithreading_string_matching_tpu.io.patterns import load_patterns
 from multithreading_string_matching_tpu.models.aho_corasick import AhoCorasick
 
 
-def timeit(fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, cols, lengths, reps=10):
+    # FETCH every rep and make each rep's arguments DATA-DEPEND on the
+    # previous result: on the remote tunnel block_until_ready returns early
+    # and identical-argument dispatches can be deduplicated (CLAUDE.md), so
+    # an un-fetched same-args loop can measure nothing.  The per-rep fetch
+    # adds one ~28 ms round-trip uniformly to every variant; the official
+    # bench (bench.py) instead chains repeats inside one executable.
+    prev = np.asarray(fn(cols, lengths))  # warm/compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        dep = jnp.int32(min(int(prev.reshape(-1)[0]), 0) * 0)  # 0, data-dep
+        prev = np.asarray(fn(cols, lengths + dep))
     return (time.perf_counter() - t0) / reps
 
 

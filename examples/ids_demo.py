@@ -39,21 +39,31 @@ def scan_file(path, patterns_path, mode):
     batch = extract_payloads(
         pcap, mode, pad_n_to=128, pad_len_to=8, vlan=True, ipv6=True
     )
-    counts = matcher.count_batch(batch)
-    rows = matcher.find_matches(batch.payloads, batch.lengths)
+    # ONE find_matches pass yields the alerts, the totals (bincount of the
+    # occurrence rows), and the dump selection — the CLI's single-scan
+    # shape; a separate count_batch pass would scan the corpus twice.
+    rows = np.asarray(matcher.find_matches(batch.payloads, batch.lengths))
     uniq = matcher.window.unique_patterns
-    for pkt, start, u in np.asarray(rows):
+    valid_idx = np.flatnonzero(batch.valid)
+    for pkt, start, u in rows:
         sig = uniq[u].decode("latin-1")
-        print(f"ALERT packet={pkt} offset={start} signature={sig!r}")
-    total = int(np.asarray(counts).sum())
+        # Report ORIGINAL capture packet numbers (find_matches rows index
+        # the valid payload rows) — what the user sees in wireshark, and
+        # consistent with the MSM_DUMP selection below.
+        print(
+            f"ALERT packet={valid_idx[pkt]} offset={start} signature={sig!r}"
+        )
+    uniq_counts = np.bincount(
+        rows[:, 2] if rows.size else np.zeros(0, np.int64), minlength=len(uniq)
+    )
+    total = int(uniq_counts[matcher.window.dup_map].sum())  # dup-expanded
     print(f"# {total} matches in {batch.num_packets} packets "
           f"({batch.total_payload_bytes} payload bytes)")
     if os.environ.get("MSM_DUMP"):
         # Retain the offending packets for forensics (original records).
         from multithreading_string_matching_tpu import write_pcap
 
-        valid_idx = np.flatnonzero(batch.valid)
-        hit_rows = np.unique(np.asarray(rows)[:, 0]) if len(rows) else []
+        hit_rows = np.unique(rows[:, 0]) if len(rows) else []
         wrote = write_pcap(os.environ["MSM_DUMP"], pcap, valid_idx[hit_rows])
         print(f"# wrote {wrote} matching packets to {os.environ['MSM_DUMP']}")
     return 0

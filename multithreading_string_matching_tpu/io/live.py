@@ -39,6 +39,21 @@ PACKET_ADD_MEMBERSHIP = 1
 PACKET_DROP_MEMBERSHIP = 2
 PACKET_MR_PROMISC = 1
 
+LINKTYPE_ETHERNET = 1
+LINKTYPE_RAW = 101
+# ARPHRD (if_arp.h) hardware type -> pcap linktype, libpcap's pcap-linux
+# mapping for the decoder's supported linktypes: Ethernet-framed interfaces
+# keep EN10MB (Linux lo included); header-less IP interfaces (ipip/sit
+# tunnels, tun, wireguard's ARPHRD_NONE) are raw IP.
+_LINKTYPE_BY_HATYPE = {
+    1: LINKTYPE_ETHERNET,      # ARPHRD_ETHER
+    772: LINKTYPE_ETHERNET,    # ARPHRD_LOOPBACK
+    768: LINKTYPE_RAW,         # ARPHRD_TUNNEL (ipip)
+    776: LINKTYPE_RAW,         # ARPHRD_SIT
+    778: LINKTYPE_RAW,         # ARPHRD_IPGRE
+    65534: LINKTYPE_RAW,       # ARPHRD_NONE (tun, wireguard)
+}
+
 _PROTO_NUM = {"udp": 17, "tcp": 6}
 
 
@@ -199,6 +214,7 @@ class LiveSource:
         self.filter_mode = filter_mode
         self.promiscuous = promiscuous
         self.stopped = False
+        self.linktype = LINKTYPE_ETHERNET  # resolved from ARPHRD at open()
         self._sock: Optional[socket.socket] = None
         self._promisc_on = False
 
@@ -210,18 +226,31 @@ class LiveSource:
             # Order matters (libpcap's): BIND first — an unbound ETH_P_ALL
             # socket receives from EVERY interface, so anything queued
             # pre-bind could be mistaken for this interface's traffic.
-            # Then filter, then drain the frames that raced in unfiltered
-            # (post-bind, so they are at least from the right interface),
-            # then promisc.
+            # Then filter, then drain (pre-bind strays from other
+            # interfaces AND, when a filter was attached, frames that
+            # raced in unfiltered post-bind), then promisc.
             self._sock.bind((self.interface, 0))
+            # Map the interface's ARPHRD hardware type to the pcap linktype
+            # (libpcap's pcap-linux mapping for the types we decode):
+            # raw-IP interfaces (tun/wireguard/ipip/sit) carry no Ethernet
+            # header — decoding them as Ethernet silently mismatches every
+            # packet.  Unknown types keep the Ethernet fallback (= the
+            # decoder's documented reference behavior).
+            hatype = self._sock.getsockname()[3]
+            self.linktype = _LINKTYPE_BY_HATYPE.get(hatype, LINKTYPE_ETHERNET)
             if self.filter_mode is not None:
-                _attach_kernel_filter(self._sock, self.filter_mode)
-                self._sock.setblocking(False)
-                try:
-                    while True:
-                        self._sock.recv(self.snaplen)
-                except (BlockingIOError, InterruptedError):
-                    pass
+                if self.linktype == LINKTYPE_ETHERNET:
+                    _attach_kernel_filter(self._sock, self.filter_mode)
+                # Non-Ethernet linktypes: the cBPF program's byte offsets
+                # are EN10MB-specific, so the kernel filter is skipped and
+                # filtering happens post-capture (bpf_protocol_mask is
+                # linktype-aware; counts and 'sniffed' stay equivalent).
+            self._sock.setblocking(False)
+            try:
+                while True:
+                    self._sock.recv(self.snaplen)
+            except (BlockingIOError, InterruptedError):
+                pass
             if self.promiscuous:
                 mreq = struct.pack(
                     "IHH8s", socket.if_nametoindex(self.interface),
@@ -274,9 +303,9 @@ class LiveSource:
                     continue
                 pending.append(pkt)
                 if len(pending) >= self.batch_size:
-                    yield _batch_from_packets(pending)
+                    yield _batch_from_packets(pending, linktype=self.linktype)
                     pending = []
             if pending:  # leftover partial batch on graceful stop
-                yield _batch_from_packets(pending)
+                yield _batch_from_packets(pending, linktype=self.linktype)
         finally:
             self.close()

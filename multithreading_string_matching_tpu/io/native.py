@@ -152,6 +152,12 @@ def _pack_plan(lengths: np.ndarray, width: int):
     when there is nothing to pack."""
     lib = get_lib()
     assert lib is not None
+    lmax = int(lengths.max()) if lengths.size else 0
+    if lmax > width:
+        # Mirror the Python spec (ops/bucketing.pack_plan): an oversized
+        # segment must raise, not yield a fill > width whose msm_pack_fill
+        # memcpy would run past the row.
+        raise ValueError(f"payload of {lmax} bytes exceeds pack width {width}")
     order = np.argsort(lengths, kind="stable")
     order = np.ascontiguousarray(order[lengths[order] > 0], dtype=np.int64)
     n_ord = order.size

@@ -96,6 +96,18 @@ def test_native_pack_rejects_oversize():
         pack_rows(np.zeros((1, 4096), np.uint8), np.array([3000]), 2048)
 
 
+def test_native_plan_rows_rejects_oversize():
+    """plan_rows mirrors the Python spec's oversized-segment ValueError — a
+    plan with fill > width would send msm_pack_fill's memcpy past the row."""
+    from multithreading_string_matching_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError, match="exceeds pack width"):
+        native.plan_rows(np.array([5000], dtype=np.int64), 2048)
+    assert native.plan_rows(np.array([100, 200], dtype=np.int64), 2048) == 1
+
+
 def test_pack_rejects_length_beyond_payload_width():
     """Regression: the native memcpy would read heap bytes past the payload
     row where the Python path raised; both must raise the same ValueError."""
