@@ -240,9 +240,11 @@ def main():
         rng = np.random.default_rng(7)
         bufs = [
             rng.integers(0, 255, size=(4096, 2048), dtype=np.uint8)
-            for _ in range(4)
+            for _ in range(5)
         ]
-        np.asarray(jnp.asarray(bufs[0])[:1, :1])  # warm the transfer path
+        # Warm with a buffer NOT in the timed set (re-transferring the
+        # warm-up buffer could be deduplicated out of the timed window).
+        np.asarray(jnp.asarray(bufs.pop())[:1, :1])
         t0 = time.perf_counter()
         # PIPELINED, like the streamed path uses the link: enqueue every
         # transfer asynchronously, then sync — a per-transfer sync would
@@ -263,7 +265,11 @@ def main():
         for chunk in iter_pcap(e2e_src, batch_packets=8192):
             b = _extract(chunk, "udp")
             host_bytes += b.total_payload_bytes
-            pack_rows(b.payloads, b.lengths.astype(np.int64), width=2048)
+            # Oversized rows can't pack (PackedTileCounter detours them);
+            # zero their lengths so a jumbo-frame corpus probes instead of
+            # crashing after the e2e measurement already ran.
+            lens = b.lengths.astype(np.int64)
+            pack_rows(b.payloads, np.where(lens > 2048, 0, lens), width=2048)
         host_bps = host_bytes / (time.perf_counter() - t0)
 
     payload_list = [

@@ -39,11 +39,15 @@ def timeit(fn, cols, lengths, reps=10):
     # an un-fetched same-args loop can measure nothing.  The per-rep fetch
     # adds one ~28 ms round-trip uniformly to every variant; the official
     # bench (bench.py) instead chains repeats inside one executable.
-    prev = np.asarray(fn(cols, lengths))  # warm/compile
+    np.asarray(fn(cols, lengths))  # warm/compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        dep = jnp.int32(min(int(prev.reshape(-1)[0]), 0) * 0)  # 0, data-dep
-        prev = np.asarray(fn(cols, lengths + dep))
+    for i in range(reps):
+        # VALUE-distinct arguments per rep (one payload byte varies):
+        # value-identical dispatches can be served from cache through the
+        # tunnel.  The one-byte difference perturbs counts, not cost —
+        # these are timing experiments, not correctness checks.
+        c = cols.at[0, 0].set(jnp.uint8(i % 251))
+        np.asarray(fn(c, lengths))
     return (time.perf_counter() - t0) / reps
 
 

@@ -300,10 +300,12 @@ class Matcher:
             # identity, so an EXPLICIT packed request cannot be satisfied
             # (staging='auto' quietly routes to bucketed instead).
             raise ValueError("per-packet counts are unavailable for packed batches")
+        # Resolve (and VALIDATE) the engine before the empty-batch return —
+        # a typo'd engine= must raise even when the first batch is empty.
+        engine = self._resolve_engine(engine)
         if np.shape(payloads)[0] == 0:
             shape = (0, len(self.patterns)) if per_packet else (len(self.patterns),)
             return np.zeros(shape, dtype=np.int32)
-        engine = self._resolve_engine(engine)
         # The pallas branch delegates to prepare(), which folds — folding
         # here too would pay a second full-corpus table-gather pass.
         if engine == "pallas":

@@ -180,9 +180,12 @@ class TileCountSurface:
             return rows.sum(axis=0), rows.sum(axis=1) > 0
 
         self._jit_summary = jax.jit(run_summary)
+        # Stage dup_map ONCE — _dup_take runs per tile on the serving hot
+        # path; re-materializing it would re-upload per dispatch.
+        self._dup = jnp.asarray(self.wp.dup_map)
 
     def _dup_take(self, out):
-        return jnp.take(out, jnp.asarray(self.wp.dup_map), axis=-1)
+        return jnp.take(out, self._dup, axis=-1)
 
     def count_tiles(self, tiles, *, expand_duplicates: bool = True):
         """Counts over device-resident (payloads, lengths) tiles, one dispatch."""

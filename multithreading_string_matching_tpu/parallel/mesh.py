@@ -305,6 +305,12 @@ def _sharded_rows_summary_pallas(
     return fn(payloads, lengths)
 
 
+# One dispatch of the attribution summary must scan fewer positions than
+# this, or its device int32 totals could wrap (a position starts at most
+# one match per pattern).  Module-level so tests can lower it.
+SUMMARY_MAX_POSITIONS = 2**31
+
+
 def count_rows_summary(
     matcher,
     payloads,
@@ -316,32 +322,45 @@ def count_rows_summary(
     """``(unique totals int64[U] in build order, row_hits bool[N])`` with the
     per-row scan sharded over the mesh and the reduction DONE ON DEVICE —
     the transfer-diet flavor of :func:`count_rows_sharded` for consumers
-    (streamed attribution) that only need totals + which-rows-hit.  Rejects
-    calls whose scanned-position count could wrap the device int32
-    accumulator; callers slice their feed (pipeline does)."""
-    axis = mesh.axis_names[0]
-    n = int(np.shape(payloads)[0])
-    if int(np.shape(payloads)[0]) * int(np.shape(payloads)[1]) >= 2**31:
-        raise ValueError(
-            "feed scans >= 2^31 positions; slice it to keep the device "
-            "int32 totals exact"
-        )
-    payloads = matcher._maybe_fold(np.asarray(payloads))
-    payloads, lengths = shard_batch(payloads, np.asarray(lengths), mesh)
-    sharding = NamedSharding(mesh, P(axis))
-    pay_d = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
-    len_d = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
-    if engine == "pallas":
-        tot, hits = _sharded_rows_summary_pallas(
-            pallas_for_mesh(matcher, mesh), pay_d, len_d, mesh, axis
-        )
-    else:
-        w = matcher.window
-        tot, hits = _sharded_rows_summary_window(
-            jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
-            jnp.asarray(w.pat_lens), pay_d, len_d, mesh=mesh, axis=axis,
-        )
-    return np.asarray(tot).astype(np.int64), np.asarray(hits)[:n]
+    (streamed attribution) that only need totals + which-rows-hit.  Feeds
+    that would scan >= SUMMARY_MAX_POSITIONS in one dispatch are sliced
+    internally (int64 host accumulation across slices), so any feed size is
+    exact."""
+
+    def once(payloads, lengths):
+        axis = mesh.axis_names[0]
+        n = int(np.shape(payloads)[0])
+        payloads = matcher._maybe_fold(np.asarray(payloads))
+        payloads, lengths = shard_batch(payloads, np.asarray(lengths), mesh)
+        sharding = NamedSharding(mesh, P(axis))
+        pay_d = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
+        len_d = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+        if engine == "pallas":
+            tot, hits = _sharded_rows_summary_pallas(
+                pallas_for_mesh(matcher, mesh), pay_d, len_d, mesh, axis
+            )
+        else:
+            w = matcher.window
+            tot, hits = _sharded_rows_summary_window(
+                jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
+                jnp.asarray(w.pat_lens), pay_d, len_d, mesh=mesh, axis=axis,
+            )
+        return np.asarray(tot).astype(np.int64), np.asarray(hits)[:n]
+
+    n, L = int(np.shape(payloads)[0]), int(np.shape(payloads)[1])
+    if n * max(L, 1) < SUMMARY_MAX_POSITIONS:
+        return once(payloads, lengths)
+    n_dev = mesh.devices.size
+    step = max(SUMMARY_MAX_POSITIONS // max(L, 1), 1)
+    step = max(step // n_dev, 1) * n_dev  # keep slices mesh-divisible
+    tot = np.zeros(len(matcher.window.unique_patterns), dtype=np.int64)
+    hit_parts = []
+    lengths = np.asarray(lengths)
+    for s in range(0, n, step):
+        t, h = once(payloads[s : s + step], lengths[s : s + step])
+        tot += t
+        hit_parts.append(h)
+    return tot, np.concatenate(hit_parts)
 
 
 def count_rows_sharded(

@@ -491,31 +491,37 @@ def scan_pcap_streamed(
             # matrix — ~300x less d2h at the default chunk shape, and the
             # hit rows are re-scanned host-side only when positions are
             # requested.
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                SUMMARY_MAX_POSITIONS,
+            )
+
             n, L = payloads.shape
             lq = max(128, _next_pow2(L))
             nq = -(-max(n_dev, _next_pow2(n)) // n_dev) * n_dev
             payloads = np.pad(payloads, ((0, nq - n), (0, lq - L)))
             lengths = np.pad(lengths, (0, nq - n))
-            # Device totals are int32: slice the feed so one dispatch never
-            # scans >= 2^31 positions (a position starts at most one match
-            # per pattern).  At default shapes step == nq (no split).
+            if sharded:
+                # count_rows_summary slices internally for the device
+                # int32 bound.
+                tot, hits = count_rows_summary(
+                    matcher, payloads, lengths, mesh, engine=row_engine
+                )
+                return tot, np.asarray(hits)[:n]
+            # Local tile summary: slice the feed so one dispatch never
+            # scans enough positions to wrap the device int32 totals.
+            # At default shapes step == nq (no split).
             step = nq
-            while step > n_dev and step * lq >= 2**31:
+            while step > 1 and step * lq >= SUMMARY_MAX_POSITIONS:
                 step //= 2
             tot = np.zeros(
                 len(matcher.window.unique_patterns), dtype=np.int64
             )
             hit_parts = []
             for s in range(0, nq, step):
-                pp, ll = payloads[s : s + step], lengths[s : s + step]
-                if sharded:
-                    t, h = count_rows_summary(
-                        matcher, pp, ll, mesh, engine=row_engine
-                    )
-                else:
-                    t, h = matcher.pallas.count_tile_summary(
-                        matcher._maybe_fold(pp), ll
-                    )
+                t, h = matcher.pallas.count_tile_summary(
+                    matcher._maybe_fold(payloads[s : s + step]),
+                    lengths[s : s + step],
+                )
                 tot += np.asarray(t).astype(np.int64)
                 hit_parts.append(np.asarray(h))
             return tot, np.concatenate(hit_parts)[:n]

@@ -175,15 +175,20 @@ class StreamMatcher:
             self.packets_seen += payloads.shape[0]
             self._tiles.add(payloads, np.asarray(lengths))
             return
-        # COPY the feed: the dispatch below is asynchronous and jnp.asarray
-        # may alias a numpy buffer (zero-copy on CPU backends) — when fold
-        # and the pad branches all no-op, the caller's buffer would be read
-        # by an in-flight count after this method returns (the same fresh-
-        # buffer rule PackedTileCounter._dispatch documents).
-        payloads = self.matcher._maybe_fold(
-            np.array(payloads, dtype=np.uint8, copy=True)
-        )
-        lengths = np.array(lengths, dtype=np.int32, copy=True)
+        # The dispatch below is asynchronous and jnp.asarray may alias a
+        # numpy buffer (zero-copy on CPU backends) — when asarray, fold and
+        # the pad branches all no-op, the caller's buffer would be read by
+        # an in-flight count after this method returns (the fresh-buffer
+        # rule PackedTileCounter._dispatch documents).  Copy ONLY when the
+        # working array still shares the caller's memory; the pad branches
+        # below allocate fresh buffers anyway in the common case.
+        feed_p, feed_l = payloads, lengths
+        payloads = self.matcher._maybe_fold(np.asarray(payloads, dtype=np.uint8))
+        if isinstance(feed_p, np.ndarray) and np.shares_memory(payloads, feed_p):
+            payloads = payloads.copy()
+        lengths = np.asarray(lengths, dtype=np.int32)
+        if isinstance(feed_l, np.ndarray) and np.shares_memory(lengths, feed_l):
+            lengths = lengths.copy()
         self.packets_seen += payloads.shape[0]
         if payloads.shape[1] < self.fixed_len:
             payloads = np.pad(

@@ -186,20 +186,27 @@ def test_count_rows_summary_matches_matrix(matcher, udp1000, monkeypatch):
         ).all(), f"local table={table}"
 
 
-def test_count_rows_summary_rejects_wrappable_feed(matcher):
-    """Feeds that could wrap the device int32 totals are rejected, not
-    silently wrapped (callers slice; pipeline.row_fn does)."""
-    from multithreading_string_matching_tpu.parallel.mesh import (
-        count_rows_summary,
-    )
+def test_count_rows_summary_slices_big_feeds(matcher, udp1000, monkeypatch):
+    """Feeds that could wrap the device int32 totals are sliced internally
+    (int64 host accumulation across slices) — results identical to the
+    one-dispatch path."""
+    from multithreading_string_matching_tpu.parallel import mesh as mesh_mod
 
+    batch, _ = udp1000
     mesh = make_mesh(jax.devices("cpu")[:2])
-    # Shape-only guard: build a view-backed fake via np.broadcast_to so the
-    # 2^31-position feed costs no memory.
-    p = np.broadcast_to(np.zeros((1, 2**20), np.uint8), (2**11, 2**20))
-    l = np.zeros(2**11, np.int32)
-    with pytest.raises(ValueError, match="2\\^31 positions"):
-        count_rows_summary(matcher, p, l, mesh)
+    want_tot, want_hits = mesh_mod.count_rows_summary(
+        matcher, batch.payloads, batch.lengths, mesh
+    )
+    # Force ~4 slices: bound just above 2 mesh-divisible rows' positions.
+    monkeypatch.setattr(
+        mesh_mod, "SUMMARY_MAX_POSITIONS",
+        batch.payloads.shape[1] * 100,
+    )
+    tot, hits = mesh_mod.count_rows_summary(
+        matcher, batch.payloads, batch.lengths, mesh
+    )
+    assert (tot == want_tot).all()
+    assert (hits == want_hits).all()
 
 
 def test_pallas_for_mesh_remaps_interpret_flag(matcher, udp1000):
