@@ -245,6 +245,81 @@ def test_stream_pcapng_late_idb_linktype_matches_one_shot(tmp_path):
     assert all(b.linktype == 113 for b in batches)
 
 
+def test_stream_pcapng_random_layouts_match_one_shot(tmp_path):
+    """Generative differential: random pcapng section/IDB/EPB/SPB layouts
+    (multiple sections, late IDBs, extra interfaces, junk blocks, both
+    endiannesses) must parse IDENTICALLY through read_pcap and iter_pcap at
+    random batch sizes — packets, bytes, timestamps, and linktype labels."""
+    from multithreading_string_matching_tpu.io.pcap import iter_pcap, read_pcap
+
+    rng = np.random.default_rng(11)
+
+    def block(end, btype, body):
+        pad = (-len(body)) % 4
+        blen = 12 + len(body) + pad
+        return (struct.pack(end + "II", btype, blen) + body
+                + b"\x00" * pad + struct.pack(end + "I", blen))
+
+    for trial in range(30):
+        end = "<" if rng.integers(2) else ">"
+        out = bytearray()
+        n_sections = int(rng.integers(1, 3))
+        for _ in range(n_sections):
+            out += block(end, 0x0A0D0D0A,
+                         struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+            n_idbs = int(rng.integers(0, 3))
+            idb_written = 0
+            wrote_pkt = False
+            n_blocks = int(rng.integers(0, 6))
+            for _ in range(n_blocks):
+                kind = rng.integers(0, 4)
+                if kind == 0 and idb_written < n_idbs:
+                    lt = int(rng.choice([1, 101, 113]))
+                    out += block(end, 0x00000001,
+                                 struct.pack(end + "HHI", lt, 0, 65535))
+                    idb_written += 1
+                elif kind == 1:
+                    data = rng.integers(0, 256, int(rng.integers(1, 80))
+                                        ).astype(np.uint8).tobytes()
+                    out += block(end, 0x00000006, struct.pack(
+                        end + "IIIII", 0, int(rng.integers(0, 100)),
+                        int(rng.integers(0, 10**6)), len(data), len(data),
+                    ) + data)
+                    wrote_pkt = True
+                elif kind == 2:
+                    data = rng.integers(0, 256, int(rng.integers(1, 40))
+                                        ).astype(np.uint8).tobytes()
+                    out += block(end, 0x00000003,
+                                 struct.pack(end + "I", len(data)) + data)
+                    wrote_pkt = True
+                else:  # unknown block type: both readers must skip it
+                    out += block(end, 0x0BADBEEF, b"\x07" * 8)
+            if wrote_pkt and not idb_written:
+                # strict read_pcap requires an interface block somewhere;
+                # appending it LATE exercises the leniency path both
+                # readers must label identically.
+                out += block(end, 0x00000001,
+                             struct.pack(end + "HHI", 113, 0, 65535))
+        p = tmp_path / f"fuzz_{trial}.pcapng"
+        p.write_bytes(bytes(out))
+        full = read_pcap(p)
+        for bp in (1, 3, 1000):
+            batches = list(iter_pcap(p, batch_packets=bp))
+            n = sum(b.num_packets for b in batches)
+            assert n == full.num_packets, f"trial {trial} bp={bp}"
+            assert all(b.linktype == full.linktype for b in batches), (
+                f"trial {trial} bp={bp}: linktype labels diverge"
+            )
+            i = 0
+            for b in batches:
+                for k in range(b.num_packets):
+                    assert (
+                        b.packet(k).tobytes() == full.packet(i).tobytes()
+                    ), f"trial {trial} packet {i}"
+                    assert b.ts_sec[k] == full.ts_sec[i]
+                    i += 1
+
+
 def test_stream_pcapng_tiny_tail_ignored_like_one_shot(tmp_path, reference_dir):
     classic = read_pcap(reference_dir / "udp.pcap")
     blob = _pcapng_from(classic) + b"\x01\x02\x03"  # < 12 bytes of tail
