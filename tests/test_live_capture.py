@@ -129,6 +129,74 @@ def test_live_loopback_counts():
 
 
 @pytest.mark.skipif(not _can_raw_socket(), reason="AF_PACKET raw sockets unavailable")
+def test_live_capture_raw_ip_tun_linktype():
+    """Raw-IP interfaces (ARPHRD_NONE, e.g. tun/wireguard) carry no
+    Ethernet header: LiveSource must label their batches LINKTYPE_RAW so
+    the decoder parses IP at offset 0 — decoding them as Ethernet (the
+    old hardcoded linktype=1) mismatched every packet.  Uses a real tun
+    device; packets written to the tun fd appear as inbound traffic."""
+    import fcntl
+    import os
+    import struct as st
+
+    if not os.path.exists("/dev/net/tun"):
+        pytest.skip("no /dev/net/tun")
+    TUNSETIFF, IFF_TUN, IFF_NO_PI = 0x400454CA, 0x0001, 0x1000
+    name = b"msmtun0"
+    try:
+        fd = os.open("/dev/net/tun", os.O_RDWR)
+        fcntl.ioctl(fd, TUNSETIFF, st.pack("16sH", name, IFF_TUN | IFF_NO_PI))
+    except OSError as e:
+        pytest.skip(f"cannot create tun device: {e}")
+    try:
+        # Bring the interface up (SIOCGIFFLAGS/SIOCSIFFLAGS).
+        SIOCGIFFLAGS, SIOCSIFFLAGS, IFF_UP = 0x8913, 0x8914, 1
+        ctl = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        flags = st.unpack(
+            "16sH", fcntl.ioctl(ctl, SIOCGIFFLAGS, st.pack("16sH", name, 0))[:18]
+        )[1]
+        fcntl.ioctl(ctl, SIOCSIFFLAGS, st.pack("16sH", name, flags | IFF_UP))
+        ctl.close()
+
+        matcher = Matcher([b"http"])
+        stream = StreamMatcher(matcher, batch_size=1)
+        # promiscuous=False: membership ioctls are Ethernet-centric; the
+        # kernel cBPF filter is skipped automatically on raw-IP linktypes.
+        source = LiveSource(
+            "msmtun0", batch_size=1, timeout_s=0.2,
+            promiscuous=False, filter_mode="udp",
+        )
+        source.open()
+        assert source.linktype == 101, source.linktype
+
+        payload = b"xx http yy"
+        udp = st.pack(">HHHH", 1111, 2222, 8 + len(payload), 0) + payload
+        ip = st.pack(
+            ">BBHHHBBH4s4s", 0x45, 0, 20 + len(udp), 0, 0, 64, 17, 0,
+            b"\x0a\x00\x00\x01", b"\x0a\x00\x00\x02",
+        )
+        NSEND = 6
+
+        def sender():
+            time.sleep(0.3)
+            for _ in range(NSEND):
+                os.write(fd, ip + udp)
+                time.sleep(0.02)
+
+        t = threading.Thread(target=sender, daemon=True)
+        t.start()
+        deadline = time.time() + 15
+        for batch in source:
+            assert batch.linktype == 101
+            stream.feed_pcap_slice(batch, "udp", bpf_filter=True)
+            if stream.counts()[0] >= NSEND or time.time() > deadline:
+                source.stop()
+        assert stream.counts()[0] >= NSEND, stream.counts()
+    finally:
+        os.close(fd)  # tears the interface down with the fd
+
+
+@pytest.mark.skipif(not _can_raw_socket(), reason="AF_PACKET raw sockets unavailable")
 def test_kernel_bpf_filter_drops_before_userspace():
     """filter_mode='udp' installs the cBPF program in the kernel: TCP
     traffic generated alongside the UDP sends must never reach the recv
