@@ -49,6 +49,25 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = PACKET
     return Mesh(devs, (axis,))
 
 
+def _staged_window(matcher):
+    """The matcher's WindowProgram pattern tables as device arrays, staged
+    ONCE and cached on the matcher (WindowProgram is a NamedTuple — no
+    attribute slots) — the sharded entry points run per chunk of a stream,
+    and re-running jnp.asarray on the numpy tables would re-upload them
+    every chunk (CLAUDE.md: stage tensors once)."""
+    w = matcher.window
+    staged = getattr(matcher, "_staged_window_tables", None)
+    if staged is None or staged[0] is not w:
+        staged = (
+            w,
+            jnp.asarray(w.pat_words),
+            jnp.asarray(w.pat_masks),
+            jnp.asarray(w.pat_lens),
+        )
+        matcher._staged_window_tables = staged
+    return staged[1], staged[2], staged[3]
+
+
 def pallas_for_mesh(matcher, mesh: Mesh):
     """A Pallas matcher whose interpret flag matches where the MESH lives:
     ``matcher.pallas`` keys interpret off ``jax.default_backend()``, but a
@@ -325,7 +344,12 @@ def count_rows_summary(
     (streamed attribution) that only need totals + which-rows-hit.  Feeds
     that would scan >= SUMMARY_MAX_POSITIONS in one dispatch are sliced
     internally (int64 host accumulation across slices), so any feed size is
-    exact."""
+    exact.
+
+    PRECONDITION for ``engine='pallas'``: payload bytes at positions >=
+    lengths[i] must be ZERO (extract_payloads and Matcher.prepare both
+    guarantee it; the kernel's no-fit fast path relies on it — arbitrary
+    caller buffers must be sanitized first, or use engine='window')."""
 
     def once(payloads, lengths):
         axis = mesh.axis_names[0]
@@ -340,10 +364,9 @@ def count_rows_summary(
                 pallas_for_mesh(matcher, mesh), pay_d, len_d, mesh, axis
             )
         else:
-            w = matcher.window
+            pw, pm, pl = _staged_window(matcher)
             tot, hits = _sharded_rows_summary_window(
-                jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
-                jnp.asarray(w.pat_lens), pay_d, len_d, mesh=mesh, axis=axis,
+                pw, pm, pl, pay_d, len_d, mesh=mesh, axis=axis,
             )
         return np.asarray(tot).astype(np.int64), np.asarray(hits)[:n]
 
@@ -351,8 +374,16 @@ def count_rows_summary(
     if n * max(L, 1) < SUMMARY_MAX_POSITIONS:
         return once(payloads, lengths)
     n_dev = mesh.devices.size
-    step = max(SUMMARY_MAX_POSITIONS // max(L, 1), 1)
+    # STRICTLY below the bound (step*L == 2^31 exactly would still wrap a
+    # saturating pattern); flooring to a mesh-divisible count only shrinks
+    # it, except the one-row-per-device floor, which is guarded.
+    step = max((SUMMARY_MAX_POSITIONS - 1) // max(L, 1), 1)
     step = max(step // n_dev, 1) * n_dev  # keep slices mesh-divisible
+    if step * L >= SUMMARY_MAX_POSITIONS:
+        raise ValueError(
+            f"rows of {L} bytes cannot be sliced below the device int32 "
+            f"bound on a {n_dev}-device mesh"
+        )
     tot = np.zeros(len(matcher.window.unique_patterns), dtype=np.int64)
     hit_parts = []
     lengths = np.asarray(lengths)
@@ -376,7 +407,8 @@ def count_rows_sharded(
     mesh (rows stay with their shard; no collective).  Pads the packet axis
     to the mesh and slices the padding back off, so the caller sees exactly
     its N rows.  engine='pallas' uses the VMEM per-row kernel, everything
-    else the XLA window matcher (identical counts)."""
+    else the XLA window matcher (identical counts).  The pallas flavor has
+    the same zero-padded-rows PRECONDITION as :func:`count_rows_summary`."""
     axis = mesh.axis_names[0]
     n = int(np.shape(payloads)[0])
     payloads = matcher._maybe_fold(np.asarray(payloads))
@@ -389,10 +421,9 @@ def count_rows_sharded(
             pallas_for_mesh(matcher, mesh), pay_d, len_d, mesh, axis
         )
     else:
-        w = matcher.window
+        pw, pm, pl = _staged_window(matcher)
         out = _sharded_rows_window(
-            jnp.asarray(w.pat_words), jnp.asarray(w.pat_masks),
-            jnp.asarray(w.pat_lens), pay_d, len_d, mesh=mesh, axis=axis,
+            pw, pm, pl, pay_d, len_d, mesh=mesh, axis=axis,
         )
     out = np.asarray(out)[:n]
     if expand_duplicates:
@@ -416,7 +447,9 @@ def count_matches_sharded(
     ``engine='window'`` (pass the ``WindowProgram`` as ``window``) uses the
     fast shifted-window matcher per shard instead of the AC DFA scan;
     ``engine='pallas'`` (pass a ``PallasWindowMatcher``) runs the VMEM kernel
-    per shard — the multi-chip roofline configuration.
+    per shard — the multi-chip roofline configuration; if it was built with
+    ``assume_zero_padded=True``, bytes past each row's length must be zero
+    (extract_payloads/prepare guarantee it; sanitize arbitrary buffers).
     """
     axis = mesh.axis_names[0]
     payloads, lengths = shard_batch(np.asarray(payloads), np.asarray(lengths), mesh)

@@ -360,9 +360,11 @@ class PackedTileCounter:
         lens = np.asarray(lengths).astype(np.int64)
         big = lens > self.pack_width
         if big.any():
-            over = self.matcher.count(
+            # Host int64 from the first add: int32 accumulation across many
+            # oversized feeds could wrap long before totals() casts.
+            over = np.asarray(self.matcher.count(
                 payloads_m[big], lens[big], engine=self.engine
-            )
+            )).astype(np.int64)
             self._over_total = (
                 over if self._over_total is None else self._over_total + over
             )
@@ -527,7 +529,12 @@ def scan_pcap_streamed(
             return tot, np.concatenate(hit_parts)[:n]
 
     if stats is not None and row_fn is None:
-        stats["engine_resolved"] = "window"  # find_matches is window-native
+        # Only the offsets branch is window-native (find_matches); the
+        # dump/plain per-row branch runs count_batch with the matcher's
+        # resolved engine — report what will ACTUALLY execute.
+        stats["engine_resolved"] = (
+            "window" if offsets else matcher._resolve_engine(None)
+        )
     total = None
     n_packets = n_valid = n_bytes = 0
     found = [] if offsets else None

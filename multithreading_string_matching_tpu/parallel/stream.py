@@ -9,9 +9,10 @@ TPU-native shape: a :class:`StreamMatcher` accumulates counts device-side
 over an unbounded sequence of packet batches (whole packets per batch, as in
 the reference — KMP state never needs to carry across batches because batch
 boundaries are packet boundaries, live_openmp_task.c per-call kmp_matcher).
-For the true long-context case — a single payload stream larger than one
-scan — :meth:`feed_chunk` carries per-lane DFA state across chunk boundaries
-so straddling matches count exactly once (SURVEY §5).
+For the true long-context case — a payload longer than one scan window —
+:meth:`feed_batch` chunks the byte axis internally with carried state (a
+byte halo for the window engine, DFA states for AC) so straddling matches
+count exactly once (SURVEY §5).
 
 Graceful shutdown: :meth:`install_sigint` sets a flag exactly like the
 reference's signalHandler (live_openmp_task.c:262-264); the driving loop
@@ -67,6 +68,13 @@ class StreamMatcher:
         self.matcher = matcher
         self.batch_size = batch_size
         self.fixed_len = fixed_len
+        if engine not in ("window", "ac"):
+            # A typo must not silently run the window path (same rule as
+            # Matcher._resolve_engine); only these two have carried-state
+            # long-payload flavors.
+            raise ValueError(
+                f"unknown stream engine {engine!r}: expected window or ac"
+            )
         self.engine = engine
         # Optional io.pcap.PcapWriter: batches fed through feed_pcap_slice
         # also append their MATCHING packets (original records) to it — the
@@ -108,7 +116,6 @@ class StreamMatcher:
         # and the device int32 accumulator drains here before IT can wrap.
         self._host_counts: Optional[np.ndarray] = None
         self._pos_since_drain = 0
-        self._chunk_states: Optional[jax.Array] = None
         # Packed-mode dump attribution is batched the same way counting is:
         # pend slices until ~dump_scan_rows rows, then ONE per-row scan
         # serves them all (a per-slice scan would reinstate the per-batch
@@ -347,7 +354,6 @@ class StreamMatcher:
         # onto a used instance.
         self._counts = None
         self._pos_since_drain = 0
-        self._chunk_states = None
         self._dump_pending = []
         self._dump_pending_rows = 0
         if self._tiles is not None:

@@ -256,6 +256,28 @@ def test_stream_checkpoint_restores_int64_exact(matcher, tmp_path):
     assert s2.packets_seen == 7
 
 
+def test_stream_engine_typo_raises(matcher):
+    """StreamMatcher validates its engine like Matcher._resolve_engine — a
+    typo must not silently run the window path."""
+    with pytest.raises(ValueError, match="unknown stream engine"):
+        StreamMatcher(matcher, engine="AC")
+
+
+def test_packed_counter_oversized_totals_are_int64(matcher):
+    """Oversized-row (can't-pack) counts accumulate host-side in int64 from
+    the first feed — int32 across many feeds could wrap silently."""
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        PackedTileCounter,
+    )
+
+    c = PackedTileCounter(matcher, pack_width=128)
+    big = np.zeros((1, 256), np.uint8)
+    big[0, :4] = np.frombuffer(b"http", np.uint8)
+    c.add(big, np.array([256]))
+    assert c._over_total.dtype == np.int64
+    assert c.totals()[list(matcher.patterns).index(b"http")] == 1
+
+
 def test_sigint_stops_a_quiet_source(matcher):
     """The SIGINT handler must stop the SOURCE too: a blocking capture loop
     on a quiet interface never yields a batch, so the between-batches
