@@ -45,9 +45,12 @@ def timeit(fn, cols, lengths, reps=10):
         # VALUE-distinct arguments per rep (one payload byte varies):
         # value-identical dispatches can be served from cache through the
         # tunnel.  The one-byte difference perturbs counts, not cost —
-        # these are timing experiments, not correctness checks.
+        # these are timing experiments, not correctness checks.  Fetch ONE
+        # element, not the whole output: variants return wildly different
+        # shapes (traj's [L, n] is ~21 MB vs full's [E]) and a full fetch
+        # would add non-uniform d2h transfer to the comparison.
         c = cols.at[0, 0].set(jnp.uint8(i % 251))
-        np.asarray(fn(c, lengths))
+        np.asarray(fn(c, lengths).ravel()[:1])
     return (time.perf_counter() - t0) / reps
 
 

@@ -53,10 +53,7 @@ def scan_file(path, patterns_path, mode):
         print(
             f"ALERT packet={valid_idx[pkt]} offset={start} signature={sig!r}"
         )
-    uniq_counts = np.bincount(
-        rows[:, 2] if rows.size else np.zeros(0, np.int64), minlength=len(uniq)
-    )
-    total = int(uniq_counts[matcher.window.dup_map].sum())  # dup-expanded
+    total = int(matcher.counts_from_match_rows(rows).sum())  # dup-expanded
     print(f"# {total} matches in {batch.num_packets} packets "
           f"({batch.total_payload_bytes} payload bytes)")
     if os.environ.get("MSM_DUMP"):

@@ -589,6 +589,19 @@ class Matcher:
 
         return find_matches(self.window, self._maybe_fold(payloads), lengths)
 
+    def counts_from_match_rows(self, rows) -> np.ndarray:
+        """Expanded int64[P] counts from :meth:`find_matches` occurrence
+        rows — the occurrence rows ARE the counts (bincount over unique
+        patterns, dup_map expansion), a tested invariant.  The ONE
+        reduction behind the CLI's, the streamed scanner's, and the demo's
+        one-scan-serves-all shapes."""
+        rows = np.asarray(rows)
+        uniq = np.bincount(
+            rows[:, 2] if rows.size else np.zeros(0, np.int64),
+            minlength=len(self.window.unique_patterns),
+        )
+        return uniq[self.window.dup_map].astype(np.int64)
+
     # -- streaming (carried DFA state across chunks) ----------------------
 
     def streaming_state(self, num_lanes: int) -> jax.Array:

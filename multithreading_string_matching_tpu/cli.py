@@ -572,11 +572,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             rows = np.asarray(
                 matcher.find_matches(batch.payloads, batch.lengths)
             )
-            uniq_counts = np.bincount(
-                rows[:, 2] if rows.size else np.zeros(0, np.int64),
-                minlength=len(matcher.window.unique_patterns),
-            )
-            counts = _exact_counts(uniq_counts[matcher.window.dup_map])
+            counts = _exact_counts(matcher.counts_from_match_rows(rows))
             hit_rows = (
                 np.unique(rows[:, 0]) if rows.size else np.zeros(0, np.int64)
             )

@@ -53,6 +53,9 @@ _LINKTYPE_BY_HATYPE = {
     778: LINKTYPE_RAW,         # ARPHRD_IPGRE
     65534: LINKTYPE_RAW,       # ARPHRD_NONE (tun, wireguard)
 }
+# Hardware types whose frames are really Ethernet-laid-out — the only ones
+# where the EN10MB cBPF filter offsets are valid.
+_ETHER_HATYPES = (1, 772)
 
 _PROTO_NUM = {"udp": 17, "tcp": 6}
 
@@ -239,12 +242,15 @@ class LiveSource:
             hatype = self._sock.getsockname()[3]
             self.linktype = _LINKTYPE_BY_HATYPE.get(hatype, LINKTYPE_ETHERNET)
             if self.filter_mode is not None:
-                if self.linktype == LINKTYPE_ETHERNET:
-                    _attach_kernel_filter(self._sock, self.filter_mode)
-                # Non-Ethernet linktypes: the cBPF program's byte offsets
-                # are EN10MB-specific, so the kernel filter is skipped and
-                # filtering happens post-capture (bpf_protocol_mask is
+                # Attach the EN10MB cBPF program only when the hardware
+                # type is KNOWN Ethernet-framed: on an unknown type the
+                # linktype falls back to Ethernet for DECODE (reference
+                # behavior), but installing Ethernet-offset filter loads
+                # there would silently drop nearly all traffic.  Skipped
+                # filters run post-capture instead (bpf_protocol_mask is
                 # linktype-aware; counts and 'sniffed' stay equivalent).
+                if hatype in _ETHER_HATYPES:
+                    _attach_kernel_filter(self._sock, self.filter_mode)
             self._sock.setblocking(False)
             try:
                 while True:

@@ -586,13 +586,7 @@ def scan_pcap_streamed(
                 rows = np.asarray(
                     matcher.find_matches(batch.payloads, batch.lengths)
                 )
-                uniq_counts = np.bincount(
-                    rows[:, 2] if rows.size else np.zeros(0, np.int64),
-                    minlength=len(matcher.window.unique_patterns),
-                )
-                chunk_counts = uniq_counts[matcher.window.dup_map].astype(
-                    np.int64
-                )
+                chunk_counts = matcher.counts_from_match_rows(rows)
                 total = chunk_counts + (0 if total is None else total)
                 if w is not None:
                     hit_rows = (

@@ -186,15 +186,16 @@ class StreamMatcher:
         # numpy buffer (zero-copy on CPU backends) — when asarray, fold and
         # the pad branches all no-op, the caller's buffer would be read by
         # an in-flight count after this method returns (the fresh-buffer
-        # rule PackedTileCounter._dispatch documents).  Copy ONLY when the
-        # working array still shares the caller's memory; the pad branches
-        # below allocate fresh buffers anyway in the common case.
-        feed_p, feed_l = payloads, lengths
+        # rule PackedTileCounter._dispatch documents).  Copy unless the
+        # working array OWNS fresh memory: `is src` catches asarray's
+        # ndarray pass-through, `base is not None` catches views over any
+        # buffer-protocol input (memoryview/bytearray included).
+        src_p, src_l = payloads, lengths
         payloads = self.matcher._maybe_fold(np.asarray(payloads, dtype=np.uint8))
-        if isinstance(feed_p, np.ndarray) and np.shares_memory(payloads, feed_p):
+        if payloads is src_p or payloads.base is not None:
             payloads = payloads.copy()
         lengths = np.asarray(lengths, dtype=np.int32)
-        if isinstance(feed_l, np.ndarray) and np.shares_memory(lengths, feed_l):
+        if lengths is src_l or lengths.base is not None:
             lengths = lengths.copy()
         self.packets_seen += payloads.shape[0]
         if payloads.shape[1] < self.fixed_len:

@@ -185,12 +185,19 @@ def test_live_capture_raw_ip_tun_linktype():
 
         t = threading.Thread(target=sender, daemon=True)
         t.start()
-        deadline = time.time() + 15
-        for batch in source:
-            assert batch.linktype == 101
-            stream.feed_pcap_slice(batch, "udp", bpf_filter=True)
-            if stream.counts()[0] >= NSEND or time.time() > deadline:
-                source.stop()
+        # Deadline fires SOURCE-side: on a quiet tun a missed packet means
+        # no further batches, so an in-loop deadline check would never run
+        # and the recv loop would block forever.
+        killer = threading.Timer(15.0, source.stop)
+        killer.start()
+        try:
+            for batch in source:
+                assert batch.linktype == 101
+                stream.feed_pcap_slice(batch, "udp", bpf_filter=True)
+                if stream.counts()[0] >= NSEND:
+                    source.stop()
+        finally:
+            killer.cancel()
         assert stream.counts()[0] >= NSEND, stream.counts()
     finally:
         os.close(fd)  # tears the interface down with the fd
