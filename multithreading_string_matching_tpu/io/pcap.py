@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
-from typing import Iterator, Union
+from typing import BinaryIO, Iterator, Union
 import os
 
 import numpy as np
@@ -51,6 +51,34 @@ _MAX_STREAM_RECORD = 1 << 28
 
 _GLOBAL_HDR = struct.Struct("<IHHiIII")
 _GLOBAL_HDR_BE = struct.Struct(">IHHiIII")
+
+
+def open_capture(path: Union[str, os.PathLike]) -> BinaryIO:
+    """Open a capture file for reading, transparently decompressing.
+
+    Capture archives are routinely stored gzip/bzip2/xz-compressed (tcpdump
+    rotation hooks, wireshark exports); libpcap itself reads ``.pcap.gz``
+    when built against zlib.  Detection is by content magic, never file
+    extension, so renamed files work.  All three codecs stream — used from
+    :func:`iter_pcap` the decompressed bytes are never fully resident.  No
+    pcap variant can collide with these magics (classic pcap starts
+    0xa1b2/0x4d3c/0xd4c3, pcapng starts 0x0a0d0d0a).
+    """
+    with open(path, "rb") as f:
+        head = f.read(6)
+    if head[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(path, "rb")
+    if head[:3] == b"BZh":
+        import bz2
+
+        return bz2.open(path, "rb")
+    if head[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.open(path, "rb")
+    return open(path, "rb")
 
 
 @dataclass(frozen=True)
@@ -107,9 +135,10 @@ def read_pcap(
     ``strict=False`` tolerates a truncated final record (keeps the complete
     prefix), mirroring libpcap's behavior of returning what it can read.
     ``use_native`` takes the C++ record walk when available (bit-identical;
-    see io/native.py).
+    see io/native.py).  Compressed captures (gzip/bzip2/xz, detected by
+    content magic) decompress transparently — see :func:`open_capture`.
     """
-    with open(path, "rb") as f:
+    with open_capture(path) as f:
         raw = f.read()
     parsed = _parse_global_header(raw[:24])
     if parsed == "pcapng":
@@ -358,11 +387,13 @@ def iter_pcap(
     batch concatenation is byte-identical to the one-shot read (tested).
 
     ``strict=False`` tolerates a truncated final record/block (yields the
-    complete prefix), mirroring libpcap.
+    complete prefix), mirroring libpcap.  Compressed captures (gzip/bzip2/
+    xz) stream through the decompressor without ever materializing the
+    decompressed file — see :func:`open_capture`.
     """
     if batch_packets < 1:
         raise ValueError("batch_packets must be >= 1")
-    with open(path, "rb") as f:
+    with open_capture(path) as f:
         head = f.read(4)
         if head == b"\x0a\x0d\x0d\x0a":
             yield from _iter_pcapng_stream(f, head, batch_packets, strict, read_size)
