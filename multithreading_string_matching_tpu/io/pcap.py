@@ -53,32 +53,107 @@ _GLOBAL_HDR = struct.Struct("<IHHiIII")
 _GLOBAL_HDR_BE = struct.Struct(">IHHiIII")
 
 
-def open_capture(path: Union[str, os.PathLike]) -> BinaryIO:
-    """Open a capture file for reading, transparently decompressing.
+class _PrefixReader:
+    """A binary reader that replays sniffed head bytes before the stream.
 
-    Capture archives are routinely stored gzip/bzip2/xz-compressed (tcpdump
-    rotation hooks, wireshark exports); libpcap itself reads ``.pcap.gz``
-    when built against zlib.  Detection is by content magic, never file
-    extension, so renamed files work.  All three codecs stream — used from
-    :func:`iter_pcap` the decompressed bytes are never fully resident.  No
-    pcap variant can collide with these magics (classic pcap starts
-    0xa1b2/0x4d3c/0xd4c3, pcapng starts 0x0a0d0d0a).
+    Lets :func:`open_capture` detect compression magic on non-seekable
+    inputs (pipes, stdin) — the 6 sniffed bytes are re-served first, then
+    reads pass through.  Implements just the read/close surface the codec
+    wrappers and the pcap parsers use.
     """
-    with open(path, "rb") as f:
-        head = f.read(6)
+
+    def __init__(self, head: bytes, f, owns: bool):
+        self._head = head
+        self._f = f
+        self._owns = owns  # close-through only for files WE opened
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out = self._head + self._f.read()
+                self._head = b""
+                return out
+            out, self._head = self._head[:n], self._head[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+    def readable(self) -> bool:  # io protocol, used by BZ2File/LZMAFile
+        return True
+
+    def close(self) -> None:
+        if self._owns:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _CodecClose:
+    """Close a codec wrapper AND its underlying reader together.
+
+    gzip/bz2/lzma file objects never close a ``fileobj`` they were handed;
+    this keeps ``with open_capture(path) as f`` leak-free for compressed
+    paths while still honoring the reader's own ownership flag.
+    """
+
+    def __init__(self, codec, under: "_PrefixReader"):
+        self._codec = codec
+        self._under = under
+
+    def read(self, n: int = -1) -> bytes:
+        return self._codec.read(n)
+
+    def close(self) -> None:
+        self._codec.close()
+        self._under.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def open_capture(source) -> BinaryIO:
+    """Open a capture for reading, transparently decompressing.
+
+    ``source`` is a path, ``"-"`` (stdin), or an already-open binary file
+    object (e.g. the stdout pipe of ``tcpdump -w -`` — live capture without
+    raw-socket privileges in this process).  Capture archives are routinely
+    stored gzip/bzip2/xz-compressed (tcpdump rotation hooks, wireshark
+    exports); libpcap itself reads ``.pcap.gz`` when built against zlib.
+    Detection is by content magic, never file extension, so renamed files
+    and pipes work.  All three codecs stream — used from :func:`iter_pcap`
+    the decompressed bytes are never fully resident.  No pcap variant can
+    collide with these magics (classic pcap starts 0xa1b2/0x4d3c/0xd4c3,
+    pcapng starts 0x0a0d0d0a).
+    """
+    if isinstance(source, (str, os.PathLike)) and str(source) == "-":
+        import sys
+
+        source = sys.stdin.buffer
+    owns = not hasattr(source, "read")
+    f = open(source, "rb") if owns else source
+    head = f.read(6)
+    pr = _PrefixReader(head, f, owns)
     if head[:2] == b"\x1f\x8b":
         import gzip
 
-        return gzip.open(path, "rb")
+        return _CodecClose(gzip.GzipFile(fileobj=pr, mode="rb"), pr)
     if head[:3] == b"BZh":
         import bz2
 
-        return bz2.open(path, "rb")
+        return _CodecClose(bz2.BZ2File(pr, "rb"), pr)
     if head[:6] == b"\xfd7zXZ\x00":
         import lzma
 
-        return lzma.open(path, "rb")
-    return open(path, "rb")
+        return _CodecClose(lzma.LZMAFile(pr, "rb"), pr)
+    return pr
 
 
 @dataclass(frozen=True)
@@ -128,10 +203,12 @@ def _parse_global_header(head: bytes):
 
 
 def read_pcap(
-    path: Union[str, os.PathLike], *, strict: bool = True, use_native: bool = True
+    path, *, strict: bool = True, use_native: bool = True
 ) -> PcapFile:
     """Parse a classic pcap file into a :class:`PcapFile`.
 
+    ``path`` is a filesystem path, ``"-"`` (stdin), or an open binary file
+    object (a pipe works — ``tcpdump -w -`` feeds this directly).
     ``strict=False`` tolerates a truncated final record (keeps the complete
     prefix), mirroring libpcap's behavior of returning what it can read.
     ``use_native`` takes the C++ record walk when available (bit-identical;
@@ -369,7 +446,7 @@ def _parse_pcapng_block(
 
 
 def iter_pcap(
-    path: Union[str, os.PathLike],
+    path,
     batch_packets: int = 1024,
     *,
     strict: bool = True,
@@ -386,10 +463,14 @@ def iter_pcap(
     buffer.  Handles classic pcap and pcapng, same as :func:`read_pcap`;
     batch concatenation is byte-identical to the one-shot read (tested).
 
-    ``strict=False`` tolerates a truncated final record/block (yields the
-    complete prefix), mirroring libpcap.  Compressed captures (gzip/bzip2/
-    xz) stream through the decompressor without ever materializing the
-    decompressed file — see :func:`open_capture`.
+    ``path`` is a filesystem path, ``"-"`` (stdin), or an open binary file
+    object — ``tcpdump -i eth0 -w - | ... match --pcap - --stream`` is the
+    privilege-separated live-capture shape (the capturing process holds the
+    raw socket, this one only reads a pipe).  ``strict=False`` tolerates a
+    truncated final record/block (yields the complete prefix), mirroring
+    libpcap.  Compressed captures (gzip/bzip2/xz) stream through the
+    decompressor without ever materializing the decompressed file — see
+    :func:`open_capture`.
     """
     if batch_packets < 1:
         raise ValueError("batch_packets must be >= 1")

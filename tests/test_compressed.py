@@ -79,6 +79,67 @@ def test_pcapng_gzip(tmp_path, reference_dir):
     _same_capture(concat_pcaps(batches), read_pcap(plain))
 
 
+def test_iter_pcap_from_pipe(reference_dir):
+    # The privilege-separated live shape: tcpdump -w - | match --pcap -.
+    # A real OS pipe (non-seekable) standing in for the capture process.
+    import subprocess
+
+    proc = subprocess.Popen(
+        ["cat", str(reference_dir / "udp_1000.pcap")], stdout=subprocess.PIPE
+    )
+    try:
+        batches = list(iter_pcap(proc.stdout, batch_packets=100))
+    finally:
+        proc.wait(timeout=30)
+    _same_capture(concat_pcaps(batches), read_pcap(reference_dir / "udp_1000.pcap"))
+
+
+def test_read_pcap_from_gzip_pipe(reference_dir, tmp_path):
+    # Compression magic sniffed on a non-seekable stream.
+    import subprocess
+
+    gz = tmp_path / "c.gz"
+    gz.write_bytes(gzip.compress((reference_dir / "udp.pcap").read_bytes()))
+    proc = subprocess.Popen(["cat", str(gz)], stdout=subprocess.PIPE)
+    try:
+        got = read_pcap(proc.stdout)
+    finally:
+        proc.wait(timeout=30)
+    _same_capture(got, read_pcap(reference_dir / "udp.pcap"))
+
+
+def test_cli_match_stdin(reference_dir, tmp_path, monkeypatch, capsys):
+    # match --pcap - reads the capture from stdin.
+    import io as _io
+
+    from multithreading_string_matching_tpu.cli import main
+
+    raw = (reference_dir / "udp.pcap").read_bytes()
+    monkeypatch.setattr(
+        "sys.stdin", type("S", (), {"buffer": _io.BytesIO(raw)})()
+    )
+    code = main([
+        "match", "--pcap", "-",
+        "--patterns", str(reference_dir / "strings.txt"),
+        "--stream", "--engine", "window",
+    ])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "rpc: 7 times!" in out
+
+
+def test_open_capture_does_not_close_caller_stream(reference_dir):
+    import io as _io
+
+    stream = _io.BytesIO((reference_dir / "udp.pcap").read_bytes())
+    with open_capture(stream) as f:
+        f.read(24)
+    assert not stream.closed  # caller owns it
+    # ... but paths we opened ourselves are closed by the context manager.
+    with open_capture(reference_dir / "udp.pcap") as f:
+        f.read(24)
+
+
 def test_streamed_counts_on_gzip(reference_dir, tmp_path):
     patterns = load_patterns(reference_dir / "strings.txt")
     gz = tmp_path / "udp_1000.pcap.gz"
