@@ -108,6 +108,9 @@ class _CodecClose:
     def read(self, n: int = -1) -> bytes:
         return self._codec.read(n)
 
+    def read1(self, n: int = -1) -> bytes:
+        return self._codec.read1(n)
+
     def close(self) -> None:
         self._codec.close()
         self._under.close()
@@ -117,6 +120,59 @@ class _CodecClose:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def _stream_read(f, n: int, strict: bool) -> bytes:
+    """One read from a (possibly decompressing) capture stream.
+
+    A truncated or corrupt compressed file surfaces as EOFError/OSError/
+    zlib.error/LZMAError from the codec mid-read.  Map that onto the same
+    contract the parsers give truncated plain files: ``strict=True`` raises
+    ValueError, ``strict=False`` ends the stream at the last good byte
+    (libpcap-with-zlib likewise returns what it decompressed).
+    """
+    import lzma
+    import zlib
+
+    errors = (EOFError, OSError, zlib.error, lzma.LZMAError)
+    if strict:
+        try:
+            return f.read(n)
+        except errors as e:
+            raise ValueError(
+                f"truncated or corrupt compressed capture: {e}"
+            ) from e
+    # Tolerant: accumulate via read1 (one underlying read per call) — a big
+    # buffered read() would discard everything it decoded when the codec
+    # raises mid-loop, losing the recoverable prefix.
+    read1 = getattr(f, "read1", None)
+    parts = []
+    got = 0
+    while got < n:
+        try:
+            b = read1(n - got) if read1 is not None else f.read(n - got)
+        except errors:
+            break
+        if not b:
+            break
+        parts.append(b)
+        got += len(b)
+    return b"".join(parts)
+
+
+def _read_all(f, strict: bool, chunk: int = 4 << 20) -> bytes:
+    """Read a whole capture stream, honoring _stream_read's strictness.
+
+    Chunked so that ``strict=False`` keeps the prefix a decompressor
+    produced before dying (a single ``f.read()`` would discard it with the
+    exception).
+    """
+    parts = []
+    while True:
+        b = _stream_read(f, chunk, strict)
+        if not b:
+            return b"".join(parts)
+        parts.append(b)
 
 
 def open_capture(source) -> BinaryIO:
@@ -216,7 +272,7 @@ def read_pcap(
     content magic) decompress transparently — see :func:`open_capture`.
     """
     with open_capture(path) as f:
-        raw = f.read()
+        raw = _read_all(f, strict)
     parsed = _parse_global_header(raw[:24])
     if parsed == "pcapng":
         # libpcap's pcap_open_offline reads pcapng transparently; so do we.
@@ -475,11 +531,13 @@ def iter_pcap(
     if batch_packets < 1:
         raise ValueError("batch_packets must be >= 1")
     with open_capture(path) as f:
-        head = f.read(4)
+        # Header reads are always strict: a capture whose global header is
+        # unreadable has no complete prefix to tolerate.
+        head = _stream_read(f, 4, True)
         if head == b"\x0a\x0d\x0d\x0a":
             yield from _iter_pcapng_stream(f, head, batch_packets, strict, read_size)
             return
-        head += f.read(20)
+        head += _stream_read(f, 20, True)
         parsed = _parse_global_header(head)
         # parsed == "pcapng" is impossible: the SHB magic returned above.
         swapped, nanos, snaplen, linktype = parsed
@@ -517,7 +575,7 @@ def iter_pcap(
                 if pos:
                     del pend[:pos]
                     pos = 0
-                b = f.read(max(read_size, need))
+                b = _stream_read(f, max(read_size, need), strict)
                 if not b:
                     eof = True
                 else:
@@ -590,7 +648,7 @@ def _iter_pcapng_stream(
             if pos:
                 del pend[:pos]
                 pos = 0
-            b = f.read(max(read_size, need))
+            b = _stream_read(f, max(read_size, need), strict)
             if not b:
                 eof = True
             else:

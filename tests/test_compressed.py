@@ -140,6 +140,35 @@ def test_open_capture_does_not_close_caller_stream(reference_dir):
         f.read(24)
 
 
+@pytest.mark.parametrize("codec", sorted(CODECS))
+def test_truncated_compressed_strict_raises(codec, reference_dir, tmp_path):
+    blob = CODECS[codec]((reference_dir / "udp_1000.pcap").read_bytes())
+    path = tmp_path / "t.bin"
+    path.write_bytes(blob[: len(blob) - 17])
+    with pytest.raises(ValueError, match="compressed"):
+        read_pcap(path)  # strict default
+    with pytest.raises(ValueError, match="compressed"):
+        list(iter_pcap(path, batch_packets=64))
+
+
+# bz2 is absent: it decodes in ~900 KB blocks, so a truncated single-block
+# archive has NO recoverable prefix (codec-inherent) — tolerant mode then
+# sees an empty stream and raises the missing-global-header ValueError.
+@pytest.mark.parametrize("codec", ["gzip", "xz"])
+def test_truncated_compressed_tolerant_keeps_prefix(codec, reference_dir, tmp_path):
+    raw = (reference_dir / "udp_1000.pcap").read_bytes()
+    blob = CODECS[codec](raw)
+    path = tmp_path / "t.bin"
+    path.write_bytes(blob[: len(blob) - 17])
+    full = read_pcap(reference_dir / "udp_1000.pcap")
+    part = read_pcap(path, strict=False)
+    assert 0 < part.num_packets <= full.num_packets
+    np.testing.assert_array_equal(part.caplens, full.caplens[: part.num_packets])
+    streamed = list(iter_pcap(path, batch_packets=64, strict=False, read_size=4096))
+    got = concat_pcaps(streamed)
+    assert got.num_packets == part.num_packets
+
+
 def test_streamed_counts_on_gzip(reference_dir, tmp_path):
     patterns = load_patterns(reference_dir / "strings.txt")
     gz = tmp_path / "udp_1000.pcap.gz"
