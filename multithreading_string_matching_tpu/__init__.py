@@ -26,7 +26,7 @@ bytes of each valid payload.
 __version__ = "0.1.0"
 
 from multithreading_string_matching_tpu.io.patterns import load_patterns
-from multithreading_string_matching_tpu.io.pcap import read_pcap, iter_pcap, write_pcap, concat_pcaps
+from multithreading_string_matching_tpu.io.pcap import read_pcap, iter_pcap, write_pcap, concat_pcaps, open_capture
 from multithreading_string_matching_tpu.io.decode import extract_payloads, PayloadBatch
 from multithreading_string_matching_tpu.models.kmp import lps_table, kmp_dfa, stack_kmp_dfas
 from multithreading_string_matching_tpu.models.aho_corasick import AhoCorasick
@@ -37,6 +37,7 @@ __all__ = [
     "load_patterns",
     "read_pcap",
     "iter_pcap",
+    "open_capture",
     "write_pcap",
     "concat_pcaps",
     "extract_payloads",

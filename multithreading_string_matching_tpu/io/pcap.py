@@ -79,6 +79,22 @@ class _PrefixReader:
             return out
         return self._f.read(n)
 
+    def read1(self, n: int = -1) -> bytes:
+        """At most one underlying read — never blocks for a full buffer."""
+        if self._head:
+            out, self._head = (self._head, b"") if n is None or n < 0 else (
+                self._head[:n], self._head[n:]
+            )
+            return out
+        r1 = getattr(self._f, "read1", None)
+        return r1(n) if r1 is not None else self._f.read(n)
+
+    def seekable(self) -> bool:
+        # Drives the parsers' refill mode: big blocking reads for files,
+        # whatever-arrived reads for pipes/sockets.
+        probe = getattr(self._f, "seekable", None)
+        return bool(probe and probe())
+
     def readable(self) -> bool:  # io protocol, used by BZ2File/LZMAFile
         return True
 
@@ -111,6 +127,11 @@ class _CodecClose:
     def read1(self, n: int = -1) -> bytes:
         return self._codec.read1(n)
 
+    def seekable(self) -> bool:
+        # The UNDERLYING source's seekability is the refill-mode signal
+        # (decompressed-stream seekability is irrelevant here).
+        return self._under.seekable()
+
     def close(self) -> None:
         self._codec.close()
         self._under.close()
@@ -122,54 +143,108 @@ class _CodecClose:
         self.close()
 
 
-def _stream_read(f, n: int, strict: bool) -> bytes:
-    """One read from a (possibly decompressing) capture stream.
-
-    A truncated or corrupt compressed file surfaces as EOFError/OSError/
-    zlib.error/LZMAError from the codec mid-read.  Map that onto the same
-    contract the parsers give truncated plain files: ``strict=True`` raises
-    ValueError, ``strict=False`` ends the stream at the last good byte
-    (libpcap-with-zlib likewise returns what it decompressed).
+def _codec_errors(f) -> tuple:
+    """Exception types that mean "corrupt/truncated compressed data" — ONLY
+    when a codec wrapper is actually in the stack.  For plain files the
+    tuple is empty, so a genuine I/O error (disk/NFS EIO) propagates as the
+    OSError it always was instead of being swallowed or mislabeled.  Codec
+    modules import lazily here so plain-pcap reading works on Python builds
+    without the optional _lzma/_bz2 modules.
     """
-    import lzma
-    import zlib
+    if not isinstance(f, _CodecClose):
+        return ()
+    errs = [EOFError, OSError]
+    try:
+        import zlib
 
-    errors = (EOFError, OSError, zlib.error, lzma.LZMAError)
-    if strict:
-        try:
-            return f.read(n)
-        except errors as e:
-            raise ValueError(
-                f"truncated or corrupt compressed capture: {e}"
-            ) from e
-    # Tolerant: accumulate via read1 (one underlying read per call) — a big
-    # buffered read() would discard everything it decoded when the codec
-    # raises mid-loop, losing the recoverable prefix.
-    read1 = getattr(f, "read1", None)
+        errs.append(zlib.error)
+    except ImportError:
+        pass
+    try:
+        import lzma
+
+        errs.append(lzma.LZMAError)
+    except ImportError:
+        pass
+    return tuple(errs)
+
+
+def _stream_read(f, n: int, strict: bool) -> bytes:
+    """Read exactly ``n`` bytes (short only at end-of-stream).
+
+    Loops over short reads — raw/unbuffered pipe sources legally return
+    partial data.  A truncated or corrupt compressed file surfaces as a
+    codec exception mid-read; map that onto the same contract the parsers
+    give truncated plain files: ``strict=True`` raises ValueError,
+    ``strict=False`` ends the stream at the last good byte (libpcap-with-
+    zlib likewise returns what it decompressed).  Tolerant codec reads step
+    via read1 (one underlying read per call) — a big buffered read() would
+    discard everything it decoded when the codec raises mid-loop, losing
+    the recoverable prefix.
+    """
+    errors = _codec_errors(f)
+    r1 = getattr(f, "read1", None) if (errors and not strict) else None
     parts = []
     got = 0
     while got < n:
         try:
-            b = read1(n - got) if read1 is not None else f.read(n - got)
-        except errors:
+            b = r1(n - got) if r1 is not None else f.read(n - got)
+        except errors as e:
+            if strict:
+                raise ValueError(
+                    f"truncated or corrupt compressed capture: {e}"
+                ) from e
             break
         if not b:
             break
         parts.append(b)
         got += len(b)
-    return b"".join(parts)
+    return parts[0] if len(parts) == 1 else b"".join(parts)
+
+
+def _stream_read1(f, n: int, strict: bool) -> bytes:
+    """At most one underlying read: whatever has arrived, up to ``n``.
+
+    The refill mode for non-seekable sources (pipes, stdin): a live
+    ``tcpdump -w - |`` feed must flow packets through as they arrive — an
+    exact 4 MB fill would stall the matcher until 4 MB of traffic
+    accumulated.  Returns b"" only at end-of-stream (or, tolerantly, at a
+    codec error).
+    """
+    errors = _codec_errors(f)
+    r1 = getattr(f, "read1", None)
+    try:
+        return r1(n) if r1 is not None else f.read(n)
+    except errors as e:
+        if strict:
+            raise ValueError(
+                f"truncated or corrupt compressed capture: {e}"
+            ) from e
+        return b""
+
+
+def _source_seekable(f) -> bool:
+    probe = getattr(f, "seekable", None)
+    return bool(probe and probe())
 
 
 def _read_all(f, strict: bool, chunk: int = 4 << 20) -> bytes:
-    """Read a whole capture stream, honoring _stream_read's strictness.
+    """Read a whole capture stream, honoring the truncation contract.
 
-    Chunked so that ``strict=False`` keeps the prefix a decompressor
-    produced before dying (a single ``f.read()`` would discard it with the
-    exception).
+    Strict mode is one plain ``read()`` — no extra copies on the 1 GB-class
+    one-shot path.  Tolerant mode chunks so the prefix a decompressor
+    produced before dying survives the exception.
     """
+    if strict:
+        try:
+            return f.read()
+        except _codec_errors(f) as e:
+            raise ValueError(
+                f"truncated or corrupt compressed capture: {e}"
+            ) from e
     parts = []
     while True:
-        b = _stream_read(f, chunk, strict)
+        b = _stream_read(f, chunk, False)
         if not b:
             return b"".join(parts)
         parts.append(b)
@@ -195,7 +270,14 @@ def open_capture(source) -> BinaryIO:
         source = sys.stdin.buffer
     owns = not hasattr(source, "read")
     f = open(source, "rb") if owns else source
-    head = f.read(6)
+    # Loop the sniff: a raw/unbuffered pipe legally returns short reads,
+    # and 4 of 6 xz magic bytes must not demote the file to "plain pcap".
+    head = b""
+    while len(head) < 6:
+        b = f.read(6 - len(head))
+        if not b:
+            break
+        head += b
     pr = _PrefixReader(head, f, owns)
     if head[:2] == b"\x1f\x8b":
         import gzip
@@ -568,14 +650,24 @@ def iter_pcap(
             buf_pos = 0
             return out
 
+        seekable = _source_seekable(f)
+
         def refill(need: int) -> bool:
-            """Grow ``pend`` until ``need`` bytes are available past ``pos``."""
+            """Grow ``pend`` until ``need`` bytes are available past ``pos``.
+
+            Files take exact read_size fills; pipes take whatever has
+            arrived (read1) so a live feed flows through per arrival."""
             nonlocal pos, eof
             while len(pend) - pos < need and not eof:
                 if pos:
                     del pend[:pos]
                     pos = 0
-                b = _stream_read(f, max(read_size, need), strict)
+                want = max(read_size, need)
+                b = (
+                    _stream_read(f, want, strict)
+                    if seekable
+                    else _stream_read1(f, want, strict)
+                )
                 if not b:
                     eof = True
                 else:
@@ -642,13 +734,20 @@ def _iter_pcapng_stream(
     saw_interface = False
     offsets, caplens, origlens, tss, tsf, chunks = [], [], [], [], [], []
 
+    seekable = _source_seekable(f)
+
     def refill(need: int) -> bool:
         nonlocal pos, eof
         while len(pend) - pos < need and not eof:
             if pos:
                 del pend[:pos]
                 pos = 0
-            b = _stream_read(f, max(read_size, need), strict)
+            want = max(read_size, need)
+            b = (
+                _stream_read(f, want, strict)
+                if seekable
+                else _stream_read1(f, want, strict)
+            )
             if not b:
                 eof = True
             else:

@@ -39,10 +39,15 @@ DRAIN_POSITIONS = 2**30
 
 
 def _iter_pcap_paths(pcap_path, batch_packets):
-    """Stream chunks from one path or a sequence of paths (rotated captures)."""
+    """Stream chunks from one source or a sequence of them (rotated captures).
+
+    A source is a path, ``"-"``, or an open binary file object (the
+    ``tcpdump -w - |`` pipe shape) — anything with ``read`` is ONE source,
+    not a sequence (iterating a file object would read it as lines)."""
     paths = (
         [pcap_path]
         if isinstance(pcap_path, (str, bytes, os.PathLike))
+        or hasattr(pcap_path, "read")
         else list(pcap_path)
     )
     for p in paths:

@@ -128,6 +128,99 @@ def test_cli_match_stdin(reference_dir, tmp_path, monkeypatch, capsys):
     assert "rpc: 7 times!" in out
 
 
+def test_iter_pcap_unbuffered_pipe_short_reads(reference_dir):
+    # Raw (buffering=0) pipe ends deliver short reads; the sniff/header/refill
+    # loops must fill rather than treat a short read as EOF.
+    import os
+    import threading
+
+    raw = (reference_dir / "udp_1000.pcap").read_bytes()
+    r, w = os.pipe()
+
+    def writer():
+        # Drip in awkward sizes (3 bytes splits every magic/header boundary).
+        for i in range(0, len(raw), 3):
+            os.write(w, raw[i : i + 3])
+        os.close(w)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        got = concat_pcaps(list(iter_pcap(os.fdopen(r, "rb", buffering=0), batch_packets=100)))
+    finally:
+        t.join(timeout=30)
+    _same_capture(got, read_pcap(reference_dir / "udp_1000.pcap"))
+
+
+def test_iter_pcap_pipe_yields_before_eof(reference_dir):
+    # Live-pipe liveness: a batch must come out while the writer is still
+    # open (a blocking 4 MB fill would stall until EOF).
+    import os
+    import struct as _struct
+    import threading
+
+    full = read_pcap(reference_dir / "udp_1000.pcap")
+    raw = (reference_dir / "udp_1000.pcap").read_bytes()
+    # Bytes of the global header + first 3 records.
+    upto = int(full.offsets[3])  # offset of record 3's data; its header is 16 back
+    head = raw[: upto - 16]
+    r, w = os.pipe()
+    os.write(w, head)
+
+    batches = iter_pcap(os.fdopen(r, "rb", buffering=0), batch_packets=2)
+    first = next(batches)  # must arrive with the pipe still open
+    assert first.num_packets == 2
+    np.testing.assert_array_equal(first.caplens, full.caplens[:2])
+
+    def finish():
+        os.write(w, raw[upto - 16 :])
+        os.close(w)
+
+    t = threading.Thread(target=finish)
+    t.start()
+    rest = list(batches)
+    t.join(timeout=30)
+    got = concat_pcaps([first] + rest)
+    assert got.num_packets == full.num_packets
+
+
+def test_streamed_pipeline_accepts_file_object(reference_dir):
+    # count_pcap_streamed must treat a file object as ONE source, not
+    # iterate it as a sequence of paths.
+    patterns = load_patterns(reference_dir / "strings.txt")
+    m = Matcher(patterns, engine="window")
+    with open(reference_dir / "udp_1000.pcap", "rb") as f:
+        got = count_pcap_streamed(m, f, batch_packets=128)
+    want = m.count_pcap(reference_dir / "udp_1000.pcap")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_plain_file_oserror_propagates(reference_dir):
+    # A genuine I/O error on an UNCOMPRESSED source must surface as the
+    # OSError it is — not swallowed (tolerant) or relabeled (strict).
+    raw = (reference_dir / "udp.pcap").read_bytes()
+
+    class Flaky:
+        def __init__(self):
+            self.served = 0
+
+        def read(self, n=-1):
+            if n is None or n < 0 or self.served >= 100:
+                # A read-all (or any read past byte 100) dies mid-flight,
+                # as a BufferedReader.read() does on a real EIO.
+                raise OSError(5, "Input/output error")
+            out = raw[self.served : self.served + min(n, 64)]
+            self.served += len(out)
+            return out
+
+    with pytest.raises(OSError):
+        read_pcap(Flaky())
+    with pytest.raises(OSError):
+        read_pcap(Flaky(), strict=False)
+    with pytest.raises(OSError):
+        list(iter_pcap(Flaky(), strict=False))
+
+
 def test_open_capture_does_not_close_caller_stream(reference_dir):
     import io as _io
 
