@@ -908,6 +908,11 @@ class PcapWriter:
     exactly one of each).  The constructor's ``linktype``/``snaplen``/
     ``nanos`` are the fallback used only if the stream ends before any
     chunk arrives.  Usable as a context manager.
+
+    A ``.gz``/``.bz2``/``.xz`` path suffix compresses the output stream
+    (extension-based — output has no magic to sniff); appends stay
+    incremental inside one compressed member, and the read side accepts
+    the result transparently.
     """
 
     def __init__(
@@ -915,7 +920,21 @@ class PcapWriter:
         linktype: int = LINKTYPE_ETHERNET, snaplen: int = 65535,
         nanos: bool = False,
     ):
-        self._f = open(path, "wb")
+        suffix = str(path).lower()
+        if suffix.endswith(".gz"):
+            import gzip
+
+            self._f = gzip.open(path, "wb")
+        elif suffix.endswith(".bz2"):
+            import bz2
+
+            self._f = bz2.open(path, "wb")
+        elif suffix.endswith(".xz"):
+            import lzma
+
+            self._f = lzma.open(path, "wb")
+        else:
+            self._f = open(path, "wb")
         self._meta = None  # (linktype, nanos)
         self._fallback = (linktype, snaplen, nanos)
         self.packets_written = 0

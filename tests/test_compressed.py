@@ -262,6 +262,24 @@ def test_truncated_compressed_tolerant_keeps_prefix(codec, reference_dir, tmp_pa
     assert got.num_packets == part.num_packets
 
 
+@pytest.mark.parametrize("suffix", ["gz", "bz2", "xz"])
+def test_write_pcap_compressed_roundtrip(suffix, reference_dir, tmp_path):
+    from multithreading_string_matching_tpu.io.pcap import write_pcap, PcapWriter
+
+    full = read_pcap(reference_dir / "udp.pcap")
+    out = tmp_path / f"out.pcap.{suffix}"
+    n = write_pcap(out, full)
+    assert n == full.num_packets
+    _same_capture(read_pcap(out), full)
+
+    # Incremental writer: two chunks inside one compressed member.
+    out2 = tmp_path / f"inc.pcap.{suffix}"
+    with PcapWriter(out2) as w:
+        w.write(full, np.arange(0, 10))
+        w.write(full, np.arange(10, full.num_packets))
+    _same_capture(read_pcap(out2), full)
+
+
 def test_streamed_counts_on_gzip(reference_dir, tmp_path):
     patterns = load_patterns(reference_dir / "strings.txt")
     gz = tmp_path / "udp_1000.pcap.gz"
