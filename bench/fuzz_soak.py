@@ -1,0 +1,138 @@
+"""Randomized differential soak: engines vs the oracle, unbounded case space.
+
+tests/test_fuzz_engines.py pins six adversarial corners; this keeps rolling
+fresh random cases (patterns with NULs/duplicates/extremes, binary payloads,
+case folding, per-packet attribution) for a wall-clock budget and diffs
+every engine against tests/oracle.py.  Run it when touching engine or
+staging code:
+
+    MSM_PLATFORM=cpu python bench/fuzz_soak.py --minutes 10 [--seed 0]
+
+Exits nonzero on the first divergence, printing a reproducer tuple.
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+# Soak on the host CPU: the remote-tunneled device would cap throughput at
+# ~28 ms/dispatch, and correctness is platform-independent.  (The env var
+# alone is ignored on this machine — see CLAUDE.md.)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / "tests" / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import oracle  # noqa: E402
+from multithreading_string_matching_tpu import Matcher  # noqa: E402
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def random_case(rng: np.random.Generator):
+    num_pats = int(rng.integers(1, 24))
+    pats = []
+    for _ in range(num_pats):
+        m = int(rng.integers(1, 33)) if rng.random() < 0.9 else int(rng.integers(33, 97))
+        alpha = rng.choice([2, 3, 5, 256])
+        p = rng.integers(0, alpha, size=m).astype(np.uint8)
+        if rng.random() < 0.1:
+            p[rng.integers(0, m)] = 0  # embedded NUL forces the exact-fit path
+        pats.append(p.tobytes())
+    if len(pats) > 1 and rng.random() < 0.3:
+        pats.append(pats[int(rng.integers(0, len(pats)))])  # duplicate
+    # Bucket the padded shape to powers of two so compiled executables get
+    # reused across cases (lengths stay fully random — shape, not content,
+    # is what the compiler sees).
+    n = _pow2(int(rng.integers(1, 65)))
+    lmax = _pow2(int(rng.integers(1, 301)))
+    alpha = int(rng.choice([2, 3, 5, 17, 256]))
+    payloads = rng.integers(0, alpha, size=(n, lmax)).astype(np.uint8)
+    lengths = rng.integers(0, lmax + 1, size=n).astype(np.int32)
+    # Plant some guaranteed hits so the all-zero case is rare.
+    for _ in range(min(4, n)):
+        i = int(rng.integers(0, n))
+        p = pats[int(rng.integers(0, len(pats)))]
+        if len(p) <= lengths[i]:
+            off = int(rng.integers(0, lengths[i] - len(p) + 1))
+            payloads[i, off : off + len(p)] = np.frombuffer(p, np.uint8)
+    return pats, payloads, lengths
+
+
+def run(minutes: float, seed: int) -> int:
+    rng = np.random.default_rng(seed)
+    deadline = time.monotonic() + minutes * 60
+    cases = 0
+    while time.monotonic() < deadline:
+        case_seed = int(rng.integers(0, 2**63))
+        crng = np.random.default_rng(case_seed)
+        pats, payloads, lengths = random_case(crng)
+        nocase = bool(crng.random() < 0.2)
+        texts = [payloads[i, : lengths[i]].tobytes() for i in range(len(lengths))]
+        if nocase:
+            fold = bytes(range(65)) + bytes(range(97, 123)) + bytes(range(91, 256))
+            want = np.array(
+                oracle.oracle_counts(
+                    [t.translate(fold) for t in texts],
+                    [p.translate(fold) for p in pats],
+                )
+            )
+        else:
+            want = np.array(oracle.oracle_counts(texts, pats))
+        m = Matcher(pats, case_insensitive=nocase)
+        engines = ["window", "ac", "kmp"]
+        if crng.random() < 0.15:
+            engines.append("pallas")  # interpret mode: slow, sampled
+        for engine in engines:
+            env = {}
+            if engine == "pallas":
+                env["MSM_PALLAS_INTERPRET"] = os.environ.get(
+                    "MSM_PALLAS_INTERPRET", "1"
+                )
+            old = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                got = np.asarray(m.count(payloads, lengths, engine=engine))
+                if crng.random() < 0.3 and engine != "pallas":
+                    pp = np.asarray(
+                        m.count(payloads, lengths, engine=engine, per_packet=True)
+                    )
+                    assert (pp.sum(axis=0) == got).all(), "per-packet sum mismatch"
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            if not (got == want).all():
+                print(
+                    f"DIVERGENCE engine={engine} nocase={nocase} "
+                    f"case_seed={case_seed}\n pats={pats}\n got={got}\n want={want}"
+                )
+                return 1
+        cases += 1
+        if cases % 50 == 0:
+            print(f"{cases} cases clean, {deadline - time.monotonic():.0f}s left", flush=True)
+    print(f"soak clean: {cases} cases, seed={seed}")
+    return 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=10.0)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    raise SystemExit(run(a.minutes, a.seed))
