@@ -126,6 +126,12 @@ def run(minutes: float, seed: int) -> int:
         cases += 1
         if cases % 50 == 0:
             print(f"{cases} cases clean, {deadline - time.monotonic():.0f}s left", flush=True)
+        if cases % 200 == 0:
+            # Every case compiles fresh executables (pattern tables are
+            # baked into the jit); without this the accumulated JIT code
+            # sections exhaust process memory around ~1k cases
+            # ("LLVM ERROR: Unable to allocate section memory").
+            jax.clear_caches()
     print(f"soak clean: {cases} cases, seed={seed}")
     return 0
 

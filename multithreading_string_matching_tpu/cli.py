@@ -263,9 +263,40 @@ def cmd_live(argv: List[str]) -> int:
     stream.install_sigint(
         on_stop=source.stop if hasattr(source, "stop") else None
     )
+    # SIGHUP = reload the rules file without dropping the tap (the daemon
+    # idiom; the reference must be killed and restarted to change rules).
+    # The handler only sets a flag — the swap happens between batches, and
+    # a bad rules file is reported and IGNORED (a monitor must not die on a
+    # bad rule push).
+    import signal as _signal
+
+    reload_flag = {"hup": False}
+    old_hup = None
+    if hasattr(_signal, "SIGHUP"):
+        old_hup = _signal.signal(
+            _signal.SIGHUP, lambda s, f: reload_flag.__setitem__("hup", True)
+        )
     print("Starting the sniffing process...")
     try:
         for batch in source:
+            if reload_flag["hup"]:
+                reload_flag["hup"] = False
+                try:
+                    new_matcher = _build(argv[1])
+                    prev = stream.reload(new_matcher)
+                except Exception as e:  # keep sniffing under the old rules
+                    print(f"# rules reload failed, keeping old set: {e}",
+                          file=sys.stderr)
+                else:
+                    from multithreading_string_matching_tpu.utils.report import (
+                        format_report,
+                    )
+
+                    print("# rules reloaded; counts under the previous set:",
+                          file=sys.stderr)
+                    print(format_report(matcher.patterns, prev, None),
+                          file=sys.stderr)
+                    matcher = new_matcher
             # bpf_filter: only protocol-matching packets count as sniffed,
             # like the reference's pcap_setfilter("udp"/"tcp") capture path.
             stream.feed_pcap_slice(batch, mode, bpf_filter=True)
@@ -277,6 +308,8 @@ def cmd_live(argv: List[str]) -> int:
         pass
     finally:
         stream.uninstall_sigint()
+        if old_hup is not None:
+            _signal.signal(_signal.SIGHUP, old_hup)
         stream.flush()  # pending dump scan + partial tile, BEFORE close
         if writer is not None:
             writer.close()

@@ -80,36 +80,17 @@ class StreamMatcher:
         # also append their MATCHING packets (original records) to it — the
         # live-capture analogue of `match --dump-matches`.
         self.dump_writer = dump_writer
-        self._tiles = None
-        nul_free = not any(0 in p for p in matcher.window.unique_patterns)
-        if packed is True and not nul_free:
-            raise ValueError(
-                "packed tiles require NUL-free patterns (sequence packing "
-                "is inexact otherwise); use packed='auto' or False"
-            )
         if mesh is not None and not sharded:
             # Same guard as count_pcap_streamed: a dropped mesh= would
             # silently run every tile on one device.
             raise ValueError("mesh= is only meaningful with sharded=True")
-        if sharded and not (packed is True or (packed == "auto" and nul_free)):
-            raise ValueError(
-                "sharded live streaming rides the packed tiles; it needs "
-                "packed=True/'auto' and a NUL-free pattern set"
-            )
-        if packed is True or (packed == "auto" and nul_free):
-            from multithreading_string_matching_tpu.parallel.pipeline import (
-                PackedTileCounter,
-            )
-
-            # engine=None: the tile path exists to run the matcher's FAST
-            # engine (Pallas on TPU) — the ctor `engine` arg only steers the
-            # carried-state long-payload fallback, which stays exact.
-            # sharded=True scans each full tile across the mesh (a live
-            # monitor on a multi-chip host keeps every chip busy).
-            self._tiles = PackedTileCounter(
-                matcher, engine=None, tile_rows=tile_rows,
-                pack_width=pack_width, sharded=sharded, mesh=mesh,
-            )
+        # Tile config persists so reload() re-arms identically for a new set.
+        self._packed = packed
+        self._tile_rows = tile_rows
+        self._pack_width = pack_width
+        self._sharded = sharded
+        self._mesh = mesh
+        self._tiles = self._build_tiles(matcher)
         self._counts: Optional[jax.Array] = None
         # Host int64 base: restored checkpoints land here (jnp.asarray would
         # silently downcast int64 counts to int32 — wraparound on resume),
@@ -126,6 +107,67 @@ class StreamMatcher:
         self.packets_seen = 0
         self.stopped = False
         self._old_handler = None
+
+    def _build_tiles(self, matcher):
+        """Validate the packed/sharded rules for ``matcher`` and build its
+        tile counter (or None for the unpacked path).  Shared by __init__
+        and :meth:`reload` so the two cannot diverge on the rules."""
+        nul_free = not any(0 in p for p in matcher.window.unique_patterns)
+        if self._packed is True and not nul_free:
+            raise ValueError(
+                "packed tiles require NUL-free patterns (sequence packing "
+                "is inexact otherwise); use packed='auto' or False"
+            )
+        if self._sharded and not (
+            self._packed is True or (self._packed == "auto" and nul_free)
+        ):
+            raise ValueError(
+                "sharded live streaming rides the packed tiles; it needs "
+                "packed=True/'auto' and a NUL-free pattern set"
+            )
+        if self._packed is True or (self._packed == "auto" and nul_free):
+            from multithreading_string_matching_tpu.parallel.pipeline import (
+                PackedTileCounter,
+            )
+
+            # engine=None: the tile path exists to run the matcher's FAST
+            # engine (Pallas on TPU) — the ctor `engine` arg only steers the
+            # carried-state long-payload fallback, which stays exact.
+            # sharded=True scans each full tile across the mesh (a live
+            # monitor on a multi-chip host keeps every chip busy).
+            return PackedTileCounter(
+                matcher, engine=None, tile_rows=self._tile_rows,
+                pack_width=self._pack_width, sharded=self._sharded,
+                mesh=self._mesh,
+            )
+        return None
+
+    def reload(self, matcher) -> np.ndarray:
+        """Swap the pattern set mid-stream — the IDS rule-update shape.
+
+        Drains everything pending under the CURRENT set (partial packed
+        tile, batched dump scans, device accumulator) and returns its final
+        counts, then re-arms every accumulator for ``matcher``.  The
+        source, ``packets_seen``, the SIGINT handler, and the dump writer
+        all persist — the tap stays open across a rule update, and the
+        dump file keeps appending under the new rules.  Batch boundaries
+        are packet boundaries (no matcher state is carried between
+        batches — SURVEY §5), so the swap is exact.
+
+        Validation runs BEFORE any mutation: a reload that violates the
+        packed/sharded rules (e.g. NUL patterns under packed=True) raises
+        and leaves the stream untouched and usable.
+        """
+        tiles = self._build_tiles(matcher)
+        final = self.counts()  # flushes dump scans + the partial tile
+        self.matcher = matcher
+        self._tiles = tiles
+        self._counts = None
+        self._host_counts = None
+        self._pos_since_drain = 0
+        self._dump_pending = []
+        self._dump_pending_rows = 0
+        return final
 
     # -- lifecycle ---------------------------------------------------------
 

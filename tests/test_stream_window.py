@@ -231,3 +231,79 @@ def test_streaming_property_fuzz(seed):
             for i in range(n)
         )
         assert oracle_n == int(want[j]), (j, p)
+
+
+# -- pattern hot-reload (the IDS rule-update shape) --------------------------
+
+
+def _oracle_counts(payloads, lengths, pats):
+    return np.array([
+        sum(
+            count_overlapping(payloads[i, : lengths[i]].tobytes(), p)
+            for i in range(len(lengths))
+        )
+        for p in pats
+    ])
+
+
+@pytest.mark.parametrize("packed", [False, "auto"])
+def test_stream_reload_swaps_pattern_sets(packed):
+    from multithreading_string_matching_tpu import Matcher
+
+    pats_a = [b"ab", b"ba", b"ab"]          # duplicate kept, reported twice
+    pats_b = [b"cd", b"abab"]
+    rng = np.random.default_rng(5)
+    feed1 = rng.integers(0, 4, size=(23, 80)).astype(np.uint8) + ord("a")
+    len1 = rng.integers(0, 81, size=23).astype(np.int32)
+    feed2 = rng.integers(0, 4, size=(17, 80)).astype(np.uint8) + ord("a")
+    len2 = rng.integers(0, 81, size=17).astype(np.int32)
+
+    s = StreamMatcher(Matcher(pats_a), packed=packed)
+    s.feed_batch(feed1, len1)
+    final_a = s.reload(Matcher(pats_b))
+    np.testing.assert_array_equal(final_a, _oracle_counts(feed1, len1, pats_a))
+
+    s.feed_batch(feed2, len2)
+    np.testing.assert_array_equal(
+        s.counts(), _oracle_counts(feed2, len2, pats_b)
+    )
+    assert s.packets_seen == 40  # stream identity persists across the swap
+
+
+def test_stream_reload_validates_before_mutating():
+    from multithreading_string_matching_tpu import Matcher
+
+    s = StreamMatcher(Matcher([b"ab"]), packed=True)
+    feed = np.full((4, 16), ord("a"), dtype=np.uint8)
+    feed[:, 1::2] = ord("b")
+    lengths = np.full(4, 16, np.int32)
+    s.feed_batch(feed, lengths)
+    with pytest.raises(ValueError, match="NUL-free"):
+        s.reload(Matcher([b"a\x00b"]))  # packed=True forbids NUL patterns
+    # Failed reload left the stream untouched and usable.
+    np.testing.assert_array_equal(s.counts(), _oracle_counts(feed, lengths, [b"ab"]))
+    s.feed_batch(feed, lengths)
+    assert int(s.counts()[0]) == 2 * int(_oracle_counts(feed, lengths, [b"ab"])[0])
+
+
+def test_stream_reload_dump_writer_spans_sets(tmp_path, reference_dir):
+    from multithreading_string_matching_tpu import Matcher, read_pcap
+    from multithreading_string_matching_tpu.io.pcap import PcapWriter
+
+    pcap = read_pcap(reference_dir / "udp.pcap")
+    out = tmp_path / "hits.pcap"
+    with PcapWriter(out) as w:
+        s = StreamMatcher(Matcher([b"NOTIFY"]), dump_writer=w)
+        s.feed_pcap_slice(pcap, "udp")
+        s.reload(Matcher([b"rpc"]))
+        s.feed_pcap_slice(pcap, "udp")
+        s.flush()
+    dumped = read_pcap(out)
+    # First pass dumps NOTIFY packets, second pass rpc packets — in feed order.
+    m_a, m_b = Matcher([b"NOTIFY"]), Matcher([b"rpc"])
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+
+    batch = extract_payloads(pcap, "udp")
+    hits_a = np.asarray(m_a.count(batch.payloads, batch.lengths, per_packet=True)).sum(axis=1) > 0
+    hits_b = np.asarray(m_b.count(batch.payloads, batch.lengths, per_packet=True)).sum(axis=1) > 0
+    assert dumped.num_packets == int(hits_a.sum()) + int(hits_b.sum())
