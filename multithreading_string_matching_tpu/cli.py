@@ -237,6 +237,10 @@ def cmd_live(argv: List[str]) -> int:
         else LiveSource(
             argv[0], filter_mode=mode,
             promiscuous=os.environ.get("MSM_LIVE_PROMISC", "1") != "0",
+            # MSM_LIVE_RING=1 swaps the recv loop for the TPACKET_V3 mmap
+            # ring (libpcap's own fast path): one poll per block instead
+            # of one syscall per packet, kernel timestamps on every frame.
+            ring=os.environ.get("MSM_LIVE_RING", "0") == "1",
         )
     )
     writer = PcapWriter(dump_path) if dump_path else None

@@ -283,3 +283,101 @@ def test_promiscuous_open_and_capture():
     watchdog.cancel()
     assert got >= 4
     assert source._sock is None and not source._promisc_on  # closed clean
+
+
+@pytest.mark.skipif(not _can_raw_socket(), reason="AF_PACKET raw sockets unavailable")
+def test_ring_loopback_counts():
+    """TPACKET_V3 mmap ring end-to-end: the ring loop (ring=True) must feed
+    the same pipeline as the recv loop AND carry metadata recv cannot —
+    kernel nanosecond timestamps (nanos=True, real ts_sec) and true wire
+    lengths.  Short timeout keeps the block-retire timer (and therefore the
+    stop flag) responsive."""
+    pats = [b"needle", b"hay"]
+    matcher = Matcher(pats)
+    stream = StreamMatcher(matcher, batch_size=4)
+    source = LiveSource("lo", timeout_s=0.2, ring=True)
+
+    NSEND = 12
+    sent = threading.Event()
+
+    def sender():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        time.sleep(0.3)  # let the ring install first
+        for _ in range(NSEND):
+            tx.sendto(b"xx needle yy hay needle zz", ("127.0.0.1", 19999))
+            time.sleep(0.01)
+        tx.close()
+        sent.set()
+
+    threading.Thread(target=sender, daemon=True).start()
+    deadline = time.time() + 15
+    batches = []
+    for batch in source:
+        batches.append(batch)
+        stream.feed_pcap_slice(batch, "udp")
+        counts = stream.counts()
+        if sent.is_set() and counts[0] >= 2 * NSEND:
+            source.stop()
+        if time.time() > deadline:
+            source.stop()
+
+    counts = stream.counts()
+    assert counts[0] >= 2 * NSEND, counts  # "needle" 2x per datagram
+    assert counts[1] >= NSEND, counts      # "hay"
+    assert source._ring_map is None and source._sock is None  # closed clean
+    now = int(time.time())
+    for b in batches:
+        assert b.nanos  # ring timestamps are tpacket3 nanoseconds
+        # Kernel-stamped capture times, not host batch-assembly times.
+        assert np.all(b.ts_sec > now - 3600) and np.all(b.ts_sec <= now + 60)
+        assert np.all(b.ts_frac < 1_000_000_000)
+        assert np.all(b.origlens >= b.caplens)  # true wire lengths
+
+
+@pytest.mark.skipif(not _can_raw_socket(), reason="AF_PACKET raw sockets unavailable")
+def test_ring_kernel_filter_drops_before_userspace():
+    """ring=True composes with filter_mode: the cBPF program filters frames
+    BEFORE they enter the shared-memory ring, so TCP noise never shows up
+    in any block while marked UDP does."""
+    source = LiveSource("lo", timeout_s=0.2, filter_mode="udp", ring=True)
+    sent = threading.Event()
+
+    def sender():
+        time.sleep(0.3)
+        # TCP noise: full handshake + data + teardown on loopback.
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        cli = socket.socket()
+        cli.connect(srv.getsockname())
+        conn, _ = srv.accept()
+        cli.sendall(b"tcp noise payload")
+        conn.recv(64)
+        cli.close(); conn.close(); srv.close()
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for _ in range(6):
+            tx.sendto(b"udp marker frame", ("127.0.0.1", 19998))
+            time.sleep(0.01)
+        tx.close()
+        sent.set()
+
+    threading.Thread(target=sender, daemon=True).start()
+    deadline = time.time() + 15
+    udp_frames = 0
+    tcp_frames = 0
+    for batch in source:
+        for i in range(batch.num_packets):
+            off = int(batch.offsets[i])
+            frame = bytes(batch.buf[off : off + int(batch.caplens[i])])
+            if len(frame) > 23 and frame[12:14] == b"\x08\x00":
+                if frame[23] == 17:
+                    udp_frames += 1
+                elif frame[23] == 6:
+                    tcp_frames += 1
+        if sent.is_set() and udp_frames >= 6:
+            source.stop()
+        if time.time() > deadline:
+            source.stop()
+
+    assert udp_frames >= 6, udp_frames   # marked datagrams arrived
+    assert tcp_frames == 0, tcp_frames   # kernel filter kept TCP out of the ring
