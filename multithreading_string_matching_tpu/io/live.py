@@ -418,10 +418,17 @@ class LiveSource:
                 frame = (frame[:12] + struct.pack(">HH", tpid, tci & 0xFFFF)
                          + frame[12:])
                 length += 4
+            # TPACKET_V3 delivers full frames regardless of snaplen;
+            # truncate the copy so caplens never exceed the PcapFile's
+            # declared snaplen (matching recv mode's recv(snaplen) and the
+            # headers write_pcap emits).  tp_len stays the wire length.
+            wire_len = max(length, len(frame))
+            if len(frame) > self.snaplen:
+                frame = frame[: self.snaplen]
             pkts.append(frame)
             secs.append(sec)
             nsecs.append(nsec)
-            origs.append(max(length, len(frame)))
+            origs.append(wire_len)
             off += nxt
         struct.pack_into("<I", mm, blk + _BD_STATUS, TP_STATUS_KERNEL)
         if not pkts:
@@ -460,8 +467,11 @@ class LiveSource:
             # Graceful-stop drain: blocks the kernel already retired are
             # ours to keep (the reference's leftover-batch drain).  The
             # still-open block stays with the kernel — same loss semantics
-            # as libpcap's pcap_close mid-block.
-            while True:
+            # as libpcap's pcap_close mid-block.  Bounded to ONE ring pass:
+            # _read_block hands each block back to the kernel, which under
+            # sustained traffic refills and retires it again — an unbounded
+            # drain would chase the producer forever and stop() would hang.
+            for _ in range(_RING_BLOCK_NR):
                 blk = idx * _RING_BLOCK_SIZE
                 status = struct.unpack_from("<I", mm, blk + _BD_STATUS)[0]
                 if not (status & TP_STATUS_USER):

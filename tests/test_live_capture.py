@@ -334,6 +334,101 @@ def test_ring_loopback_counts():
         assert np.all(b.origlens >= b.caplens)  # true wire lengths
 
 
+class _FakeRing(bytearray):
+    """A writable buffer standing in for the mmap'd ring (close() no-op)."""
+
+    def close(self):
+        pass
+
+
+def _fake_ring_source(snaplen=65535):
+    """A LiveSource wired to an in-memory fake ring: no kernel needed to
+    unit-test the block walk / drain logic."""
+    from multithreading_string_matching_tpu.io import live
+
+    source = LiveSource("lo", snaplen=snaplen, timeout_s=0.05, ring=True)
+    source._ring_map = _FakeRing(live._RING_BLOCK_SIZE * live._RING_BLOCK_NR)
+    a, b = socket.socketpair()
+    source._sock = a
+    return source, b
+
+
+def _write_fake_block(mm, blk, frames):
+    """Lay out a USER-owned tpacket3 block holding the given frames, each a
+    (frame_bytes, tp_len) pair."""
+    import struct as st
+    from multithreading_string_matching_tpu.io import live
+
+    st.pack_into("<I", mm, blk + live._BD_STATUS, live.TP_STATUS_USER)
+    first_off = 48
+    st.pack_into("<II", mm, blk + live._BD_NUM_PKTS, len(frames), first_off)
+    off = blk + first_off
+    mac = 64  # frame data starts 64 bytes into each packet slot
+    for frame, tp_len in frames:
+        nxt = mac + len(frame) + (-(mac + len(frame)) % 16)
+        st.pack_into(
+            live._T3_FIXED, mm, off, nxt, 1_700_000_000, 42, len(frame),
+            tp_len, 0, mac, mac + 14,
+        )
+        mm[off + mac : off + mac + len(frame)] = frame
+        off += nxt
+
+
+def test_ring_snaplen_truncates_copy():
+    """Ring mode must honor snaplen: TPACKET_V3 delivers full frames, so the
+    copy is truncated to the declared snaplen (caplen <= snaplen, matching
+    recv mode and dumped pcap headers) while origlen keeps the wire length
+    (ADVICE r2 low)."""
+    source, peer = _fake_ring_source(snaplen=64)
+    try:
+        frame = bytes(range(256)) * 4  # 1024B frame on the wire
+        _write_fake_block(source._ring_map, 0, [(frame, 1024), (b"tiny", 4)])
+        batch = source._read_block(0)
+    finally:
+        source._sock.close()
+        peer.close()
+    assert batch.snaplen == 64
+    assert int(batch.caplens[0]) == 64          # copy truncated at snaplen
+    assert int(batch.origlens[0]) == 1024       # wire length preserved
+    assert bytes(batch.buf[:64]) == frame[:64]  # prefix, not garbage
+    assert int(batch.caplens[1]) == 4           # short frames untouched
+    assert int(batch.origlens[1]) == 4
+
+
+def test_ring_stop_drain_is_bounded_under_sustained_traffic():
+    """The graceful-stop drain must terminate even when the kernel refills
+    every block it gets back (sustained traffic): it takes at most one ring
+    pass, then leaves the rest to the kernel (ADVICE r2 medium).  Simulated
+    by re-marking each block USER immediately after _read_block returns it."""
+    from multithreading_string_matching_tpu.io import live
+
+    source, peer = _fake_ring_source()
+    mm = source._ring_map
+    for i in range(live._RING_BLOCK_NR):
+        _write_fake_block(mm, i * live._RING_BLOCK_SIZE, [(b"x" * 60, 60)])
+
+    reads = []
+    real_read_block = LiveSource._read_block
+
+    def refilling_read_block(self, blk):
+        if len(reads) > 4 * live._RING_BLOCK_NR:  # fail, don't hang
+            raise AssertionError("drain did not terminate after one ring pass")
+        reads.append(blk)
+        batch = real_read_block(self, blk)
+        _write_fake_block(mm, blk, [(b"x" * 60, 60)])  # kernel "refills"
+        return batch
+
+    source._read_block = refilling_read_block.__get__(source)
+    source.stopped = True  # skip the live loop; go straight to the drain
+    try:
+        batches = list(source._iter_ring())
+    finally:
+        peer.close()
+    assert len(reads) == live._RING_BLOCK_NR  # exactly one ring pass
+    assert len(batches) == live._RING_BLOCK_NR
+    assert source._ring_map is None and source._sock is None  # closed clean
+
+
 @pytest.mark.skipif(not _can_raw_socket(), reason="AF_PACKET raw sockets unavailable")
 def test_ring_kernel_filter_drops_before_userspace():
     """ring=True composes with filter_mode: the cBPF program filters frames
