@@ -76,6 +76,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             i64p, i64p, i64p, i64p, i64p,
         ]
+        lib.msm_parse_stream.restype = ctypes.c_int64
+        lib.msm_parse_stream.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p,
+        ]
         lib.msm_decode.restype = None
         lib.msm_decode.argtypes = [
             u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
@@ -126,6 +131,34 @@ def parse_records(buf: np.ndarray, swapped: bool, strict: bool):
         _u8(buf), buf.size, int(swapped), int(strict), *[_i64(a) for a in arrs]
     )
     return tuple(arrs)
+
+
+def parse_stream(pend, pos: int, swapped: bool, batch_max: int, max_record: int):
+    """Native streaming record walk over ``pend[pos:]`` (a bytearray): parse
+    every complete record up to ``batch_max``.  Returns
+    ``(count, consumed, status, need, offsets, caplens, origlens, ts, tsf)``
+    — offsets are packet-data starts relative to ``pos``; status/need per
+    msm_parse_stream (0 = need more bytes, 1 = batch full, 2 = oversized
+    record).  The buffer export is released before returning so the caller
+    may resize ``pend`` again."""
+    lib = get_lib()
+    assert lib is not None
+    avail = len(pend) - pos
+    cap = max(1, min(int(batch_max), avail // 16 + 1))
+    arrs = [np.empty(cap, dtype=np.int64) for _ in range(5)]
+    state = np.zeros(3, dtype=np.int64)
+    # The array decays to u8p at the call; ctypes.cast would leak the
+    # buffer export and the caller's next resize of pend would raise.
+    c_buf = (ctypes.c_uint8 * avail).from_buffer(pend, pos)
+    try:
+        count = lib.msm_parse_stream(
+            c_buf, avail, int(swapped), cap, max_record,
+            *[_i64(a) for a in arrs], _i64(state),
+        )
+    finally:
+        del c_buf  # release the bytearray export (refill resizes pend)
+    return (int(count), int(state[0]), int(state[1]), int(state[2]),
+            *[a[:count] for a in arrs])
 
 
 def decode(buf, offsets, caplens, origlens, mode: str, strict: bool):

@@ -589,6 +589,7 @@ def iter_pcap(
     *,
     strict: bool = True,
     read_size: int = 4 << 20,
+    use_native: bool = True,
 ) -> Iterator[PcapFile]:
     """Stream a capture as bounded-memory :class:`PcapFile` batches.
 
@@ -609,6 +610,13 @@ def iter_pcap(
     libpcap.  Compressed captures (gzip/bzip2/xz) stream through the
     decompressor without ever materializing the decompressed file — see
     :func:`open_capture`.
+
+    ``use_native`` takes the C++ streaming record walk when available
+    (bit-identical packets/metadata; tested against the Python walk).  The
+    native path keeps each batch's record headers in ``buf`` (offsets point
+    past them) so the whole span copies with one memcpy instead of one
+    ``bytes()`` per record — :class:`PcapFile` never requires packets to be
+    contiguous.
     """
     if batch_packets < 1:
         raise ValueError("batch_packets must be >= 1")
@@ -630,24 +638,38 @@ def iter_pcap(
         eof = False
         offsets, caplens, origlens, tss, tsf, chunks = [], [], [], [], [], []
         buf_pos = 0
+        n_rec = 0
+
+        def _cat(parts) -> np.ndarray:
+            # Scalar appends (Python walk) or array extends (native walk).
+            if parts and isinstance(parts[0], np.ndarray):
+                return parts[0] if len(parts) == 1 else np.concatenate(parts)
+            return np.asarray(parts, dtype=np.int64)
 
         def flush() -> PcapFile:
-            nonlocal buf_pos
-            blob = b"".join(chunks)
+            nonlocal buf_pos, n_rec
+            if chunks and isinstance(chunks[0], np.ndarray):
+                buf = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+            else:
+                blob = b"".join(chunks)
+                buf = (
+                    np.frombuffer(blob, dtype=np.uint8).copy()
+                    if blob
+                    else np.zeros(0, dtype=np.uint8)
+                )
             out = PcapFile(
-                buf=np.frombuffer(blob, dtype=np.uint8).copy()
-                if blob
-                else np.zeros(0, dtype=np.uint8),
-                offsets=np.asarray(offsets, dtype=np.int64),
-                caplens=np.asarray(caplens, dtype=np.int64),
-                origlens=np.asarray(origlens, dtype=np.int64),
-                ts_sec=np.asarray(tss, dtype=np.int64),
-                ts_frac=np.asarray(tsf, dtype=np.int64),
+                buf=buf,
+                offsets=_cat(offsets),
+                caplens=_cat(caplens),
+                origlens=_cat(origlens),
+                ts_sec=_cat(tss),
+                ts_frac=_cat(tsf),
                 linktype=linktype, snaplen=snaplen, nanos=nanos,
             )
             offsets.clear(); caplens.clear(); origlens.clear()
             tss.clear(); tsf.clear(); chunks.clear()
             buf_pos = 0
+            n_rec = 0
             return out
 
         seekable = _source_seekable(f)
@@ -674,6 +696,11 @@ def iter_pcap(
                     pend.extend(b)
             return len(pend) - pos >= need
 
+        if use_native:
+            from multithreading_string_matching_tpu.io import native
+
+            use_native = native.available()
+
         while True:
             if not refill(16):
                 avail = len(pend) - pos
@@ -682,6 +709,49 @@ def iter_pcap(
                         f"{avail} trailing bytes after last pcap record"
                     )
                 break
+            if use_native:
+                count, consumed, status, need, o, c, g, s, fr = (
+                    native.parse_stream(
+                        pend, pos, swapped, batch_packets - n_rec,
+                        _MAX_STREAM_RECORD,
+                    )
+                )
+                if count:
+                    # ONE span copy, headers included: offsets already point
+                    # past each 16-byte record header inside the span.
+                    chunks.append(
+                        np.frombuffer(
+                            pend, dtype=np.uint8, count=consumed, offset=pos
+                        ).copy()
+                    )
+                    o += buf_pos
+                    offsets.append(o); caplens.append(c); origlens.append(g)
+                    tss.append(s); tsf.append(fr)
+                    buf_pos += consumed
+                    n_rec += count
+                    pos += consumed
+                if status == 1:  # batch full
+                    yield flush()
+                    continue
+                if status == 2:  # oversized record (same error as below)
+                    if strict:
+                        raise ValueError(
+                            f"pcap record of {need} bytes exceeds the "
+                            f"{_MAX_STREAM_RECORD}-byte streaming bound; "
+                            "use read_pcap for this capture"
+                        )
+                    break
+                # status 0: the next record straddles the buffer end.
+                if need == 16:
+                    continue  # partial header: top-of-loop refill/EOF logic
+                if not refill(need):
+                    if strict:
+                        raise ValueError(
+                            f"truncated pcap record: needs {need - 16} bytes, "
+                            f"file has {len(pend) - pos - 16}"
+                        )
+                    break
+                continue
             sec, frac, incl, orig = rec.unpack_from(pend, pos)
             if incl > _MAX_STREAM_RECORD:
                 # Distinct from truncation: the record may be VALID but
@@ -710,9 +780,10 @@ def iter_pcap(
             origlens.append(orig)
             tss.append(sec)
             tsf.append(frac)
-            if len(offsets) >= batch_packets:
+            n_rec += 1
+            if n_rec >= batch_packets:
                 yield flush()
-        if offsets:
+        if n_rec:
             yield flush()
 
 

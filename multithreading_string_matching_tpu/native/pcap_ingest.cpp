@@ -59,6 +59,55 @@ int64_t msm_parse_records(const uint8_t *buf, int64_t n, int swap, int strict,
   return count;
 }
 
+// Streaming record walk for iter_pcap: parse as many COMPLETE records as the
+// buffer holds, up to batch_max, writing packet-data offsets (relative to
+// buf) and metadata.  Returns the record count.  state[0] = bytes consumed
+// (start of the next unparsed header); state[1] = stop status: 0 = buffer
+// exhausted (state[2] = bytes needed from the consumed point to finish the
+// next record: 16 for a partial header, else 16 + incl), 1 = batch_max
+// reached, 2 = record larger than max_record (state[2] = its incl, for the
+// caller's error message).  Oversize is checked before body completeness,
+// matching the Python loop's error precedence.
+int64_t msm_parse_stream(const uint8_t *buf, int64_t n, int swap,
+                         int64_t batch_max, int64_t max_record,
+                         int64_t *offsets, int64_t *caplens,
+                         int64_t *origlens, int64_t *ts_sec, int64_t *ts_frac,
+                         int64_t *state) {
+  int64_t pos = 0, count = 0;
+  state[1] = 1;  // overwritten by the breaks below; 1 = ran to batch_max
+  state[2] = 0;
+  while (count < batch_max) {
+    if (pos + 16 > n) {
+      state[1] = 0;
+      state[2] = 16;
+      break;
+    }
+    const uint32_t sec = rd32(buf + pos, swap);
+    const uint32_t frac = rd32(buf + pos + 4, swap);
+    const uint32_t incl = rd32(buf + pos + 8, swap);
+    const uint32_t orig = rd32(buf + pos + 12, swap);
+    if ((int64_t)incl > max_record) {
+      state[1] = 2;
+      state[2] = incl;
+      break;
+    }
+    if (pos + 16 + (int64_t)incl > n) {
+      state[1] = 0;
+      state[2] = 16 + (int64_t)incl;
+      break;
+    }
+    offsets[count] = pos + 16;
+    caplens[count] = incl;
+    origlens[count] = orig;
+    ts_sec[count] = sec;
+    ts_frac[count] = frac;
+    pos += 16 + (int64_t)incl;
+    count++;
+  }
+  state[0] = pos;
+  return count;
+}
+
 // Validity + payload geometry for every packet; mirrors io/decode.py.
 // mode: 0 = udp, 1 = tcp.  Outputs: valid[i] in {0,1}, payload_off[i]
 // (relative to packet start), payload_len[i] (origlen arithmetic, >= 0).

@@ -329,6 +329,63 @@ def test_stream_pcapng_tiny_tail_ignored_like_one_shot(tmp_path, reference_dir):
     _assert_stream_equals_full(p, full, 7)
 
 
+def test_stream_native_walk_matches_python_walk(tmp_path):
+    """Generative differential: the C++ streaming record walk
+    (use_native=True, the default) must agree with the pure-Python walk on
+    random classic captures — both endiannesses, zero-length records, random
+    record sizes, random batch/read sizes, and truncated tails (strict raise
+    AND tolerant prefix)."""
+    from multithreading_string_matching_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = np.random.default_rng(23)
+
+    def run(path, bp, rs, strict):
+        out = []
+        for un in (True, False):
+            try:
+                out.append(("ok", list(iter_pcap(
+                    path, bp, read_size=rs, strict=strict, use_native=un))))
+            except ValueError as e:
+                out.append(("err", str(e)))
+        return out
+
+    for trial in range(25):
+        end = ">" if rng.integers(2) else "<"
+        magic = 0xA1B23C4D if rng.integers(2) else 0xA1B2C3D4
+        out = bytearray(struct.pack(end + "IHHiIII", magic, 2, 4, 0, 0, 65535, 1))
+        for _ in range(int(rng.integers(0, 40))):
+            n = int(rng.choice([0, 1, 17, 60, 300, 1600]))
+            out += struct.pack(
+                end + "IIII", int(rng.integers(0, 2**31)),
+                int(rng.integers(0, 10**6)), n, n + int(rng.integers(0, 5)),
+            )
+            out += rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        if rng.integers(2):  # clip the tail: truncated record or header
+            out = out[: max(24, len(out) - int(rng.integers(1, 30)))]
+        p = tmp_path / f"nat_{trial}.pcap"
+        p.write_bytes(bytes(out))
+        for bp in (1, 7, 1000):
+            for rs in (64, 4 << 20):
+                for strict in (True, False):
+                    (nk, nv), (pk, pv) = run(p, bp, rs, strict)
+                    tag = f"trial {trial} bp={bp} rs={rs} strict={strict}"
+                    assert nk == pk, f"{tag}: outcome diverged {nk} vs {pk}"
+                    if nk == "err":
+                        assert nv == pv, f"{tag}: errors differ"
+                        continue
+                    assert len(nv) == len(pv), tag
+                    for bn, bp_ in zip(nv, pv):
+                        assert bn.num_packets == bp_.num_packets, tag
+                        for j in range(bn.num_packets):
+                            assert bytes(bn.packet(j)) == bytes(bp_.packet(j))
+                        for f in ("caplens", "origlens", "ts_sec", "ts_frac"):
+                            assert (getattr(bn, f) == getattr(bp_, f)).all(), (
+                                f"{tag}: {f}"
+                            )
+
+
 def test_stream_corrupt_record_length_bounded(tmp_path):
     """A flipped caplen field must error promptly, not buffer gigabytes."""
     hdr = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
