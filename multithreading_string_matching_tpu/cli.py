@@ -382,6 +382,12 @@ def cmd_match(argv: List[str]) -> int:
              "on every host — single-process runs degenerate locally)",
     )
     p.add_argument(
+        "--host-workers", type=int, default=0, metavar="N",
+        help="with --stream: thread the host stages (prefetched ingest + "
+             "N parallel extract workers); identical counts, faster wall "
+             "clock on multi-core hosts",
+    )
+    p.add_argument(
         "--stream", action="store_true",
         help="bounded-memory streaming scan (fixed packed tiles; any-size captures)",
     )
@@ -436,6 +442,11 @@ def _run_match(a, cfg, pcap_paths) -> int:
     if a.distributed and not a.stream:
         raise SystemExit("--distributed requires --stream (the one-shot "
                          "multi-host path is the `mesh` subcommand)")
+    if a.host_workers and not a.stream:
+        raise SystemExit("--host-workers requires --stream (the one-shot "
+                         "path reads the capture in one pass)")
+    if a.host_workers < 0:
+        raise SystemExit("--host-workers must be >= 0")
     if a.stream:
         if cfg.per_packet:
             raise SystemExit("--stream is incompatible with --per-packet")
@@ -479,6 +490,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     dump_path=a.dump_matches, offsets=a.offsets,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     stats=stream_stats, sharded=a.sharded,
+                    host_workers=a.host_workers,
                 )
                 counts, stream_offsets = res if a.offsets else (res, None)
             else:
@@ -486,7 +498,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
-                    sharded=a.sharded,
+                    sharded=a.sharded, host_workers=a.host_workers,
                 )
         # The pipeline reports the engine it ACTUALLY resolved through the
         # stats dict — authoritative over the blob's re-derived rules.

@@ -58,6 +58,41 @@ def _next_pow2(x: int) -> int:
     return 1 << max(3, (x - 1).bit_length())
 
 
+def _iter_extracted(
+    pcap_path, mode, batch_packets, strict, vlan, ipv6, host_workers
+):
+    """Yield (chunk, extracted_batch) pairs in capture order.
+
+    ``host_workers >= 1`` runs ingest in a prefetch thread and extraction on
+    an ordered worker pool (parallel.host) — the reference's producer/worker
+    thread split (openmp_task.c:126-186) applied to the HOST stages, which
+    all release the GIL in their hot paths (file reads, the native record
+    walk, the native decode/fill).  Order is preserved: packet numbering and
+    dump/offsets attribution depend on it.  0 = sequential (identical
+    results either way — tested)."""
+    chunks = _iter_pcap_paths(pcap_path, batch_packets)
+    if host_workers:
+        from multithreading_string_matching_tpu.parallel.host import (
+            map_prefetch,
+            prefetch_iter,
+        )
+
+        def ex(chunk):
+            return chunk, extract_payloads(
+                chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
+            )
+
+        yield from map_prefetch(
+            ex, prefetch_iter(chunks, depth=max(2, host_workers)),
+            workers=host_workers,
+        )
+        return
+    for chunk in chunks:
+        yield chunk, extract_payloads(
+            chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
+        )
+
+
 def iter_batches(
     pcap: PcapFile,
     mode: str,
@@ -106,9 +141,14 @@ def count_pcap_streamed(
     sharded: bool = False,
     mesh=None,
     sync_dispatch: bool = False,
+    host_workers: int = 0,
 ) -> np.ndarray:
     """Production-rate streaming scan: bounded-memory ingest feeding the
     fast engine through ONE fixed compiled shape.
+
+    ``host_workers >= 1`` threads the host stages (prefetched ingest +
+    ordered parallel extract, see :func:`_iter_extracted`); counts are
+    identical, only the schedule changes.
 
     ``engine`` defaults to the matcher's engine; every engine accepts the
     packed tiles (their automata all fail at the 0x00 separator, so counts
@@ -158,7 +198,7 @@ def count_pcap_streamed(
             matcher, pcap_path, mode,
             batch_packets=batch_packets,
             strict=strict, vlan=vlan, ipv6=ipv6, stats=stats,
-            sharded=sharded, mesh=mesh,
+            sharded=sharded, mesh=mesh, host_workers=host_workers,
         )
     counter = PackedTileCounter(
         matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width,
@@ -170,8 +210,9 @@ def count_pcap_streamed(
         # instead of re-deriving the remap rules.
         stats["engine_resolved"] = counter.engine
     n_packets = n_valid = n_bytes = 0
-    for chunk in _iter_pcap_paths(pcap_path, batch_packets):
-        batch = extract_payloads(chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6)
+    for _chunk, batch in _iter_extracted(
+        pcap_path, mode, batch_packets, strict, vlan, ipv6, host_workers
+    ):
         n_packets += batch.num_packets
         n_valid += int(batch.valid.sum())
         n_bytes += batch.total_payload_bytes
@@ -431,9 +472,14 @@ def scan_pcap_streamed(
     stats: Optional[dict] = None,
     sharded: bool = False,
     mesh=None,
+    host_workers: int = 0,
 ):
     """Bounded-memory scan with per-packet attribution: counts, plus
     optionally a matched-packet dump and/or exact match offsets.
+
+    ``host_workers >= 1`` threads the host stages (prefetched ingest +
+    ordered parallel extract) — attribution is order-dependent, and the
+    ordered map preserves capture order exactly (tested).
 
     The packed serving path (:func:`count_pcap_streamed`) deliberately
     destroys row↔packet identity, so this variant runs each ingest chunk
@@ -545,10 +591,9 @@ def scan_pcap_streamed(
     found = [] if offsets else None
     w = PcapWriter(dump_path) if dump_path is not None else None
     try:
-        for chunk in _iter_pcap_paths(pcap_path, batch_packets):
-            batch = extract_payloads(
-                chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
-            )
+        for chunk, batch in _iter_extracted(
+            pcap_path, mode, batch_packets, strict, vlan, ipv6, host_workers
+        ):
             packet_base = n_packets
             n_packets += batch.num_packets
             n_valid += int(batch.valid.sum())
