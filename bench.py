@@ -208,7 +208,7 @@ def main():
     # timed passes move every byte from disk each time.  sync_dispatch=True
     # re-runs with per-tile blocking — the async/sync ratio is the measured
     # producer/consumer overlap gain of asynchronous dispatch.
-    e2e_bps = e2e_sync_bps = link_bps = host_bps = None
+    e2e_bps = e2e_sync_bps = link_bps = host_bps = host_workers_bps = None
     e2e_src = None
     if engine == "pallas" and not os.environ.get("MSM_BENCH_NO_E2E"):
         from multithreading_string_matching_tpu.parallel.pipeline import (
@@ -254,23 +254,39 @@ def main():
             np.asarray(d[:1, :1])
         link_bps = sum(b.nbytes for b in bufs) / (time.perf_counter() - t0)
 
-        from multithreading_string_matching_tpu.io.decode import (
-            extract_payloads as _extract,
-        )
-        from multithreading_string_matching_tpu.io.pcap import iter_pcap
         from multithreading_string_matching_tpu.ops.bucketing import pack_rows
+        from multithreading_string_matching_tpu.parallel.pipeline import (
+            _iter_extracted,
+        )
 
-        t0 = time.perf_counter()
-        host_bytes = 0
-        for chunk in iter_pcap(e2e_src, batch_packets=8192):
-            b = _extract(chunk, "udp")
-            host_bytes += b.total_payload_bytes
-            # Oversized rows can't pack (PackedTileCounter detours them);
-            # zero their lengths so a jumbo-frame corpus probes instead of
-            # crashing after the e2e measurement already ran.
-            lens = b.lengths.astype(np.int64)
-            pack_rows(b.payloads, np.where(lens > 2048, 0, lens), width=2048)
-        host_bps = host_bytes / (time.perf_counter() - t0)
+        def host_pipeline_rate(workers: int) -> float:
+            # The streamed path's host-only stages (ingest -> extract ->
+            # pack, no device); workers >= 1 runs the threaded schedule
+            # (prefetched ingest + ordered parallel extract).  Best of 3:
+            # these sub-second passes are noisy on small shared hosts and a
+            # single unlucky pass would misattribute scheduler jitter.
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                host_bytes = 0
+                for _chunk, b in _iter_extracted(
+                    e2e_src, "udp", 8192, False, False, False, workers
+                ):
+                    host_bytes += b.total_payload_bytes
+                    # Oversized rows can't pack (PackedTileCounter detours
+                    # them); zero their lengths so a jumbo-frame corpus
+                    # probes instead of crashing after the e2e measurement
+                    # already ran.
+                    lens = b.lengths.astype(np.int64)
+                    pack_rows(
+                        b.payloads, np.where(lens > 2048, 0, lens), width=2048
+                    )
+                rate = host_bytes / (time.perf_counter() - t0)
+                best = rate if best is None else max(best, rate)
+            return best
+
+        host_bps = host_pipeline_rate(0)
+        host_workers_bps = host_pipeline_rate(max(2, os.cpu_count() or 2))
 
     payload_list = [
         batch.payloads[i, : batch.lengths[i]].tobytes()
@@ -312,6 +328,9 @@ def main():
                 ),
                 "host_pipeline_bytes_per_sec": (
                     round(host_bps, 1) if host_bps else None
+                ),
+                "host_pipeline_workers_bytes_per_sec": (
+                    round(host_workers_bps, 1) if host_workers_bps else None
                 ),
                 "e2e_fraction_of_link": (
                     round(e2e_bps / link_bps, 3) if link_bps else None

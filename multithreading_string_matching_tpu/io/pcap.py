@@ -298,7 +298,11 @@ def open_capture(source) -> BinaryIO:
 class PcapFile:
     """A fully ingested capture: one flat byte buffer + per-packet indices."""
 
-    buf: np.ndarray        # uint8[total_bytes] — all captured bytes, concatenated
+    # uint8[total_bytes] — every packet's captured bytes live at
+    # buf[offsets[i] : offsets[i]+caplens[i]].  Packets need NOT be
+    # contiguous: natively-streamed batches keep the 16-byte record headers
+    # between them (one span memcpy instead of one copy per record).
+    buf: np.ndarray
     offsets: np.ndarray    # int64[N] — start of packet i's captured bytes in buf
     caplens: np.ndarray    # int64[N] — captured length of packet i
     origlens: np.ndarray   # int64[N] — original (on-the-wire) length of packet i
