@@ -475,6 +475,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
+                    host_workers=a.host_workers,
                 )
                 counts = res.counts
                 import jax

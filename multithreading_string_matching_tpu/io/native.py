@@ -66,41 +66,84 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(str(_SO))
+            _bind(lib)
         except OSError:
             return None
-
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.msm_parse_records.restype = ctypes.c_int64
-        lib.msm_parse_records.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-            i64p, i64p, i64p, i64p, i64p,
-        ]
-        lib.msm_parse_stream.restype = ctypes.c_int64
-        lib.msm_parse_stream.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
-            i64p, i64p, i64p, i64p, i64p, i64p,
-        ]
-        lib.msm_decode.restype = None
-        lib.msm_decode.argtypes = [
-            u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, u8p, i64p, i64p,
-        ]
-        lib.msm_fill_padded.restype = None
-        lib.msm_fill_padded.argtypes = [
-            u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
-        ]
-        lib.msm_pack_fill.restype = None
-        lib.msm_pack_fill.argtypes = [
-            u8p, ctypes.c_int64, i64p, i64p, i64p,
-            ctypes.c_int64, ctypes.c_int64, u8p,
-        ]
-        lib.msm_pack_plan.restype = ctypes.c_int64
-        lib.msm_pack_plan.argtypes = [
-            i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
-        ]
+        except AttributeError:
+            # A pre-existing .so built from an OLDER source lacks newer
+            # symbols (binary-only installs never rebuild; a clock-skewed
+            # mtime can defeat the staleness check).  Rebuild once if we
+            # can; otherwise fall back to numpy rather than crash every
+            # caller of available().  The fresh build must load through a
+            # UNIQUE path: dlopen caches by name, so re-loading _SO's path
+            # would return the stale handle we just rejected.
+            tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.rebind")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC",
+                     "-o", str(tmp), str(_SRC)],
+                    check=True, capture_output=True,
+                )
+                lib = ctypes.CDLL(str(tmp))
+                _bind(lib)
+            except (OSError, subprocess.CalledProcessError, AttributeError):
+                try:
+                    tmp.unlink(missing_ok=True)
+                except OSError:
+                    pass
+                return None
+            try:
+                # Future processes get the fresh library; this process's
+                # handle survives the rename (and even an unlink) on Linux.
+                os.replace(tmp, _SO)
+            except OSError:
+                try:
+                    tmp.unlink(missing_ok=True)
+                except OSError:
+                    pass
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare every symbol's signature; raises AttributeError if the
+    loaded library predates one (get_lib handles the rebuild)."""
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.msm_parse_records.restype = ctypes.c_int64
+    lib.msm_parse_records.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        i64p, i64p, i64p, i64p, i64p,
+    ]
+    lib.msm_parse_stream.restype = ctypes.c_int64
+    lib.msm_parse_stream.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p, i64p,
+    ]
+    lib.msm_parse_pcapng.restype = ctypes.c_int64
+    lib.msm_parse_pcapng.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        i64p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p, i64p,
+    ]
+    lib.msm_decode.restype = None
+    lib.msm_decode.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, u8p, i64p, i64p,
+    ]
+    lib.msm_fill_padded.restype = None
+    lib.msm_fill_padded.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+    ]
+    lib.msm_pack_fill.restype = None
+    lib.msm_pack_fill.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, u8p,
+    ]
+    lib.msm_pack_plan.restype = ctypes.c_int64
+    lib.msm_pack_plan.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+    ]
 
 
 def available() -> bool:
@@ -153,6 +196,34 @@ def parse_stream(pend, pos: int, swapped: bool, batch_max: int, max_record: int)
     try:
         count = lib.msm_parse_stream(
             c_buf, avail, int(swapped), cap, max_record,
+            *[_i64(a) for a in arrs], _i64(state),
+        )
+    finally:
+        del c_buf  # release the bytearray export (refill resizes pend)
+    return (int(count), int(state[0]), int(state[1]), int(state[2]),
+            *[a[:count] for a in arrs])
+
+
+def parse_pcapng(
+    pend, pos: int, swapped: bool, batch_max: int, max_block: int,
+    tsdivs, spb_snap: int,
+):
+    """Native pcapng packet-block walk over ``pend[pos:]`` (current section
+    only; stops at any non-EPB/SPB/PB block for the Python parser).
+    Returns ``(count, consumed, status, aux, data_off, caplens, origlens,
+    ts_sec, ts_frac)`` per msm_parse_pcapng."""
+    lib = get_lib()
+    assert lib is not None
+    avail = len(pend) - pos
+    cap = max(1, min(int(batch_max), avail // 12 + 1))
+    arrs = [np.empty(cap, dtype=np.int64) for _ in range(5)]
+    state = np.zeros(3, dtype=np.int64)
+    divs = np.ascontiguousarray(tsdivs, dtype=np.int64)
+    c_buf = (ctypes.c_uint8 * avail).from_buffer(pend, pos)
+    try:
+        count = lib.msm_parse_pcapng(
+            c_buf, avail, int(swapped), cap, max_block,
+            _i64(divs), divs.size, spb_snap,
             *[_i64(a) for a in arrs], _i64(state),
         )
     finally:

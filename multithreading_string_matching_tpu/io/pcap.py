@@ -629,7 +629,9 @@ def iter_pcap(
         # unreadable has no complete prefix to tolerate.
         head = _stream_read(f, 4, True)
         if head == b"\x0a\x0d\x0d\x0a":
-            yield from _iter_pcapng_stream(f, head, batch_packets, strict, read_size)
+            yield from _iter_pcapng_stream(
+                f, head, batch_packets, strict, read_size, use_native
+            )
             return
         head += _stream_read(f, 20, True)
         parsed = _parse_global_header(head)
@@ -792,13 +794,29 @@ def iter_pcap(
 
 
 def _iter_pcapng_stream(
-    f, head: bytes, batch_packets: int, strict: bool, read_size: int
+    f, head: bytes, batch_packets: int, strict: bool, read_size: int,
+    use_native: bool = True,
 ) -> Iterator[PcapFile]:
     """Block-at-a-time pcapng walk (blocks are self-delimiting); shares the
     per-block parser with :func:`_read_pcapng` so the two paths cannot
     diverge.  Interface state (endianness, linktype, tsresol) persists across
     yielded batches; the first interface's linktype labels every batch, as in
-    the one-shot reader."""
+    the one-shot reader.
+
+    With the native library available, RUNS of packet blocks (EPB/SPB/PB)
+    parse through one C call per buffer fill (``msm_parse_pcapng``); any
+    other block type returns control here so section/interface state stays
+    in exactly one place.  Same leniencies, same error strings, same batch
+    boundaries (differentially tested against the Python walk)."""
+    if use_native:
+        from multithreading_string_matching_tpu.io import native
+
+        use_native = native.available()
+    else:
+        native = None
+    # if_tsresol divisors are Python ints (10**v can exceed int64 for exotic
+    # resolutions); the native walk only runs while every divisor fits.
+    max_tsdiv = (1 << 62)
     pend = bytearray(head)
     pos = 0
     eof = False
@@ -859,6 +877,77 @@ def _iter_pcapng_stream(
             # The one-shot reader's `while pos + 12 <= total` silently
             # ignores a sub-12-byte tail even in strict mode; match it.
             break
+        if use_native and all(it[2] <= max_tsdiv for it in interfaces):
+            remaining = batch_packets - len(offsets)
+            count, consumed, status, aux, doffs, caps, origs, ss, ff = (
+                native.parse_pcapng(
+                    pend, pos, end == ">",
+                    # When the flush gate below holds a late-IDB section's
+                    # packets, remaining can hit 0 — keep walking unbounded
+                    # like the Python loop does.
+                    remaining if remaining > 0 else 1 << 60,
+                    _MAX_STREAM_RECORD,
+                    [it[2] for it in interfaces],
+                    interfaces[0][1] if interfaces else 0,
+                )
+            )
+            if count:
+                # One span per walk, block headers kept in place (offsets
+                # point at each packet's data; the span is trimmed to the
+                # last packet's data end so the shared Python block parser's
+                # buf-position derivation stays exact).
+                base = (offsets[-1] + caplens[-1]) if offsets else 0
+                trim = int(doffs[-1] + caps[-1])
+                chunks.append(bytes(pend[pos : pos + trim]))
+                offsets.extend((doffs + base).tolist())
+                caplens.extend(caps.tolist())
+                origlens.extend(origs.tolist())
+                tss.extend(ss.tolist())
+                tsf.extend(ff.tolist())
+                pos += consumed
+                file_off += consumed
+                saw_packets = True
+            if len(offsets) >= batch_packets and (
+                interfaces or first_meta is not None
+            ):
+                yield flush()
+            if status == 1:  # batch full
+                continue
+            if status == 3:  # oversized block (same error as below)
+                if strict:
+                    raise ValueError(
+                        f"pcapng block of {aux} bytes exceeds the "
+                        f"{_MAX_STREAM_RECORD}-byte streaming bound; "
+                        "use read_pcap for this capture"
+                    )
+                break
+            if status == 4:  # invalid block header
+                if strict:
+                    raise ValueError(
+                        f"truncated/invalid pcapng block at byte {file_off}"
+                    )
+                break
+            if status == 5:  # malformed packet block
+                if strict:
+                    raise ValueError(
+                        f"malformed pcapng block (type 0x{aux:08x}) "
+                        f"at byte {file_off}"
+                    )
+                break
+            if status == 0:  # next block straddles the buffer end
+                if aux <= 12:
+                    continue  # partial header: top-of-loop refill/EOF logic
+                if not refill(aux):
+                    if strict:
+                        raise ValueError(
+                            f"truncated/invalid pcapng block at byte "
+                            f"{file_off}"
+                        )
+                    break
+                continue
+            # status 2: a non-packet block — the Python parser below owns
+            # section (SHB) and interface (IDB) state; it handles this one
+            # block, then the walk resumes natively.
         # The SHB type is an endianness palindrome, so reading it with the
         # previous section's byte order still detects a new section.
         btype = struct.unpack_from(end + "I", pend, pos)[0]

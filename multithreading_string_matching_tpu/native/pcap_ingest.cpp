@@ -108,6 +108,125 @@ int64_t msm_parse_stream(const uint8_t *buf, int64_t n, int swap,
   return count;
 }
 
+// Streaming pcapng packet-block walk: parse runs of EPB (6) / SPB (3) /
+// obsolete PB (2) blocks in the CURRENT section, mirroring
+// io/pcap._parse_pcapng_block exactly.  Any other block type (SHB, IDB,
+// NRB, custom, ...) stops the walk so the Python parser — which owns
+// section/interface state — handles that one block.  Inputs: tsdiv =
+// per-interface if_tsresol divisors (EPB/PB timestamps; out-of-range
+// interface ids use the microsecond default, the late-IDB leniency),
+// spb_snap = interface 0's snaplen (SPB caplen clipping; 0 = no clip).
+// Outputs per packet: data_off (captured bytes start, relative to buf),
+// caplen, origlen, ts_sec, ts_frac(usec).  state[0] = bytes consumed
+// (start of the block that stopped the walk); state[1] = status:
+//   0 = buffer exhausted (state[2] = bytes needed from consumed),
+//   1 = batch_max reached,
+//   2 = non-packet block (state[2] = its type; Python parses it),
+//   3 = block larger than max_block (state[2] = its length),
+//   4 = invalid block header (len < 12 or not 4-aligned),
+//   5 = malformed packet block (caplen past body; state[2] = its type).
+// Error-precedence matches the Python loop: oversize before invalid
+// before completeness.
+int64_t msm_parse_pcapng(const uint8_t *buf, int64_t n, int swap,
+                         int64_t batch_max, int64_t max_block,
+                         const int64_t *tsdiv, int64_t n_ifaces,
+                         int64_t spb_snap, int64_t *data_off,
+                         int64_t *caplens, int64_t *origlens,
+                         int64_t *ts_sec, int64_t *ts_frac, int64_t *state) {
+  int64_t pos = 0, count = 0;
+  state[1] = 1;
+  state[2] = 0;
+  while (count < batch_max) {
+    if (pos + 12 > n) {
+      state[1] = 0;
+      state[2] = 12;
+      break;
+    }
+    const uint32_t btype = rd32(buf + pos, swap);
+    if (btype != 2 && btype != 3 && btype != 6) {
+      state[1] = 2;
+      state[2] = btype;
+      break;
+    }
+    const uint32_t blen = rd32(buf + pos + 4, swap);
+    if ((int64_t)blen > max_block) {
+      state[1] = 3;
+      state[2] = blen;
+      break;
+    }
+    if (blen < 12 || blen % 4) {
+      state[1] = 4;
+      state[2] = btype;
+      break;
+    }
+    if (pos + (int64_t)blen > n) {
+      state[1] = 0;
+      state[2] = blen;
+      break;
+    }
+    const uint8_t *body = buf + pos + 8;
+    const int64_t body_len = (int64_t)blen - 12;
+    if (btype == 6 || btype == 2) {  // EPB / obsolete PB (20B fixed heads)
+      uint32_t iface, ts_hi, ts_lo, incl, orig;
+      if (body_len < 20) {
+        state[1] = 5;
+        state[2] = btype;
+        break;
+      }
+      if (btype == 6) {
+        iface = rd32(body, swap);
+        ts_hi = rd32(body + 4, swap);
+        ts_lo = rd32(body + 8, swap);
+        incl = rd32(body + 12, swap);
+        orig = rd32(body + 16, swap);
+      } else {  // PB: u16 iface, u16 drops, then the same ts/len fields
+        uint16_t i16;
+        std::memcpy(&i16, body, 2);
+        if (swap) i16 = (uint16_t)((i16 >> 8) | (i16 << 8));
+        iface = i16;
+        ts_hi = rd32(body + 4, swap);
+        ts_lo = rd32(body + 8, swap);
+        incl = rd32(body + 12, swap);
+        orig = rd32(body + 16, swap);
+      }
+      if (20 + (int64_t)incl > body_len) {
+        state[1] = 5;
+        state[2] = btype;
+        break;
+      }
+      const int64_t div =
+          (int64_t)iface < n_ifaces ? tsdiv[iface] : 1000000;
+      const uint64_t ticks = ((uint64_t)ts_hi << 32) | ts_lo;
+      data_off[count] = pos + 8 + 20;
+      caplens[count] = incl;
+      origlens[count] = orig;
+      ts_sec[count] = (int64_t)(ticks / (uint64_t)div);
+      ts_frac[count] =
+          (int64_t)((ticks % (uint64_t)div) * 1000000ULL / (uint64_t)div);
+    } else {  // SPB: u32 origlen, data clipped to min(orig, snaplen, body)
+      if (body_len < 4) {
+        state[1] = 5;
+        state[2] = btype;
+        break;
+      }
+      const uint32_t orig = rd32(body, swap);
+      int64_t incl = spb_snap ? (orig < spb_snap ? orig : spb_snap)
+                              : (int64_t)orig;
+      const int64_t avail = body_len - 4;
+      if (incl > avail) incl = avail;
+      data_off[count] = pos + 8 + 4;
+      caplens[count] = incl;
+      origlens[count] = orig;
+      ts_sec[count] = 0;
+      ts_frac[count] = 0;
+    }
+    pos += blen;
+    count++;
+  }
+  state[0] = pos;
+  return count;
+}
+
 // Validity + payload geometry for every packet; mirrors io/decode.py.
 // mode: 0 = udp, 1 = tcp.  Outputs: valid[i] in {0,1}, payload_off[i]
 // (relative to packet start), payload_len[i] (origlen arithmetic, >= 0).

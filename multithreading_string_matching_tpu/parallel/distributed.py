@@ -259,9 +259,14 @@ def count_pcap_streamed_distributed(
     ipv6: bool = False,
     engine: Optional[str] = None,
     stats: Optional[dict] = None,
+    host_workers: int = 0,
 ) -> DistributedResult:
     """Bounded-memory multi-host streaming scan — the serving shape of
     :func:`count_pcap_distributed` for captures larger than any host's RAM.
+
+    ``host_workers >= 1`` threads EACH host's ingest/extract stages
+    (parallel.host combinators — per-host, no cross-host interaction);
+    chunk→rank assignment and counts are identical either way.
 
     Where the one-shot path materializes the whole capture per host before
     sharding, here every host streams it (``iter_pcap``) and scans only the
@@ -311,13 +316,37 @@ def count_pcap_streamed_distributed(
             counter.engine if counter is not None
             else matcher._resolve_engine(engine)
         )
-    try:
-        for i, chunk in enumerate(_iter_pcap_paths(pcap_path, batch_packets)):
-            if i % procs != rank:
-                continue
-            batch = extract_payloads(
+    def _my_batches():
+        # Round-robin chunk selection happens on the INGEST side of the
+        # thread boundary: every host walks the capture, extracts only its
+        # own chunks.
+        src = (
+            c
+            for i, c in enumerate(_iter_pcap_paths(pcap_path, batch_packets))
+            if i % procs == rank
+        )
+
+        def ex(chunk):
+            return extract_payloads(
                 chunk, mode, strict=strict, vlan=vlan, ipv6=ipv6
             )
+
+        if host_workers:
+            from multithreading_string_matching_tpu.parallel.host import (
+                map_prefetch,
+                prefetch_iter,
+            )
+
+            yield from map_prefetch(
+                ex, prefetch_iter(src, depth=max(2, host_workers)),
+                workers=host_workers,
+            )
+            return
+        for chunk in src:
+            yield ex(chunk)
+
+    try:
+        for batch in _my_batches():
             n_pkts += batch.num_packets
             n_valid += int(batch.valid.sum())
             n_bytes += batch.total_payload_bytes

@@ -36,6 +36,21 @@ _DONE = object()  # queue sentinel: source exhausted
 _ERR = object()   # queue sentinel prefix: (sentinel, exception)
 
 
+def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
+    """Blocking put that stays responsive to ``stop``.  EVERY producer put
+    (items, _DONE, errors) must go through this: a one-shot timeout put
+    would drop the terminal sentinel when the consumer is merely SLOW (a
+    long device drain), and the consumer would then block on q.get()
+    forever.  Returns False only if stop was set first (consumer left)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def prefetch_iter(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Yield from ``it``, advancing it in a background thread up to
     ``depth`` items ahead.  The source is touched ONLY by that thread."""
@@ -47,20 +62,11 @@ def prefetch_iter(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     def worker():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put_or_stop(q, item, stop):
                     return
-            q.put(_DONE)
+            _put_or_stop(q, _DONE, stop)
         except BaseException as e:  # propagate to the consumer
-            try:
-                q.put((_ERR, e), timeout=1.0)
-            except queue.Full:
-                pass  # consumer gone; nothing to tell
+            _put_or_stop(q, (_ERR, e), stop)
 
     t = threading.Thread(target=worker, daemon=True, name="msm-prefetch")
     t.start()
@@ -112,23 +118,14 @@ def map_prefetch(
         try:
             for item in it:
                 fut = pool.submit(guarded, item)
-                while not stop.is_set():
-                    try:
-                        q.put(fut, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put_or_stop(q, fut, stop):
                     fut.cancel()
                     return
-            q.put(_DONE)
+            _put_or_stop(q, _DONE, stop)
         except BaseException as e:  # source raised: surface it in order
             f: Future = Future()
             f.set_exception(e)
-            try:
-                q.put(f, timeout=1.0)
-            except queue.Full:
-                pass
+            _put_or_stop(q, f, stop)
 
     t = threading.Thread(target=scheduler, daemon=True, name="msm-map-sched")
     t.start()

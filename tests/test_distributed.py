@@ -170,6 +170,16 @@ def test_streamed_distributed_single_process(reference_dir):
     )
     assert res2.counts.tolist() == want2.tolist()
 
+    # Threaded host stages: same counts, same stats (CLI --host-workers
+    # composes with --distributed --stream).
+    stats_w = {}
+    res_w = count_pcap_streamed_distributed(
+        m, reference_dir / "udp_1000.pcap", "udp",
+        batch_packets=130, tile_rows=64, stats=stats_w, host_workers=2,
+    )
+    assert res_w.counts.tolist() == want.tolist()
+    assert stats_w["packets"] == 1000
+
 
 def test_streamed_distributed_missing_file_single(reference_dir):
     from multithreading_string_matching_tpu import Matcher

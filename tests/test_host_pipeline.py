@@ -122,6 +122,109 @@ def test_map_prefetch_bounded_inflight():
     it.close()
 
 
+def _consume_with_watchdog(gen, slow_first_s: float, timeout_s: float = 30.0):
+    """Consume ``gen`` (sleeping ``slow_first_s`` after the first item) on a
+    daemon thread; returns (items, exception).  A regression that drops the
+    terminal sentinel makes the consumer block forever — the join timeout
+    turns that hang into an assertion failure instead of a stuck suite."""
+    out: dict = {}
+
+    def run():
+        items = []
+        try:
+            for x in gen:
+                items.append(x)
+                if len(items) == 1:
+                    time.sleep(slow_first_s)
+            out["items"] = items
+        except BaseException as e:
+            out["items"] = items
+            out["exc"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    assert not t.is_alive(), "consumer hung: terminal sentinel was dropped"
+    return out.get("items"), out.get("exc")
+
+
+def test_prefetch_iter_error_survives_slow_consumer():
+    """The source error must reach a consumer that was stalled long enough
+    for the queue to be full when the source raised (the one-shot timeout
+    put would have dropped it and hung the consumer forever)."""
+    def bad():
+        yield 1
+        yield 2
+        yield 3
+        raise RuntimeError("late source error")
+
+    items, exc = _consume_with_watchdog(
+        prefetch_iter(bad(), depth=1), slow_first_s=1.6
+    )
+    assert items == [1, 2, 3]
+    assert isinstance(exc, RuntimeError) and "late source error" in str(exc)
+
+
+def test_map_prefetch_source_error_survives_slow_consumer():
+    def bad():
+        yield 1
+        yield 2
+        raise OSError("late read failure")
+
+    items, exc = _consume_with_watchdog(
+        map_prefetch(lambda x: x, bad(), workers=1, depth=1),
+        slow_first_s=1.6,
+    )
+    assert items == [1, 2]
+    assert isinstance(exc, OSError) and "late read failure" in str(exc)
+
+
+def test_prefetch_iter_done_survives_slow_consumer():
+    """Same rule for the DONE sentinel: a stalled consumer must still see
+    the end of a finite source, not block forever."""
+    items, exc = _consume_with_watchdog(
+        prefetch_iter(iter(range(4)), depth=1), slow_first_s=1.6
+    )
+    assert items == [0, 1, 2, 3] and exc is None
+
+
+def test_native_stale_library_rebuilds_or_falls_back(tmp_path, monkeypatch):
+    """A pre-existing .so missing a newer symbol (binary-only install,
+    clock-skewed mtime) must trigger one rebuild — or a clean numpy
+    fallback — never an AttributeError out of native.available()."""
+    import subprocess
+
+    from multithreading_string_matching_tpu.io import native
+
+    stub = tmp_path / "stub.cpp"
+    stub.write_text("extern \"C\" int msm_nothing() { return 0; }\n")
+    old_so = tmp_path / "libstale.so"
+    subprocess.run(
+        ["g++", "-O0", "-shared", "-fPIC", "-o", str(old_so), str(stub)],
+        check=True, capture_output=True,
+    )
+    # Point the module at the stale .so with a REAL source next to it; make
+    # the .so look fresh so the mtime check does not rebuild preemptively.
+    real_src = native._SRC
+    import os as _os
+    import shutil
+
+    src_copy = tmp_path / "pcap_ingest.cpp"
+    shutil.copyfile(real_src, src_copy)
+    past = old_so.stat().st_mtime
+    _os.utime(src_copy, (past - 100, past - 100))
+    monkeypatch.setattr(native, "_SO", old_so)
+    monkeypatch.setattr(native, "_SRC", src_copy)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    lib = native.get_lib()  # must not raise
+    assert lib is not None  # source available: rebuilt and rebound
+    assert hasattr(lib, "msm_parse_stream")
+    # And the module-level cache must not leak into other tests.
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+
+
 @pytest.mark.parametrize("workers", [1, 3])
 def test_streamed_counts_with_host_workers(reference_dir, workers):
     """count_pcap_streamed(host_workers=N) is bit-identical to sequential."""

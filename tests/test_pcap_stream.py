@@ -386,6 +386,103 @@ def test_stream_native_walk_matches_python_walk(tmp_path):
                             )
 
 
+def test_stream_pcapng_native_walk_matches_python_walk(tmp_path):
+    """Generative differential for the native pcapng packet-block walk:
+    random EPB/SPB/PB mixes (multiple sections, late IDBs, if_tsresol
+    options, junk blocks, both endiannesses, clipped tails) must stream
+    IDENTICALLY through use_native=True and =False — packets, metadata,
+    timestamps, linktype labels, and error strings."""
+    from multithreading_string_matching_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = np.random.default_rng(31)
+
+    def block(end, btype, body):
+        pad = (-len(body)) % 4
+        blen = 12 + len(body) + pad
+        return (struct.pack(end + "II", btype, blen) + body
+                + b"\x00" * pad + struct.pack(end + "I", blen))
+
+    def run(path, bp, rs, strict):
+        out = []
+        for un in (True, False):
+            try:
+                out.append(("ok", list(iter_pcap(
+                    path, bp, read_size=rs, strict=strict, use_native=un))))
+            except ValueError as e:
+                out.append(("err", str(e)))
+        return out
+
+    for trial in range(25):
+        end = ">" if rng.integers(2) else "<"
+        out = bytearray()
+        for _ in range(int(rng.integers(1, 3))):  # sections
+            out += block(end, 0x0A0D0D0A,
+                         struct.pack(end + "IHHq", 0x1A2B3C4D, 1, 0, -1))
+            for _ in range(int(rng.integers(0, 14))):
+                kind = int(rng.integers(0, 6))
+                if kind == 0:  # IDB, sometimes with if_tsresol
+                    body = struct.pack(
+                        end + "HHI", int(rng.choice([1, 101, 113])), 0,
+                        int(rng.choice([0, 64, 65535])),
+                    )
+                    if rng.integers(2):
+                        body += struct.pack(end + "HH", 9, 1) + bytes(
+                            [int(rng.choice([3, 6, 9]))]) + b"\x00\x00\x00"
+                        body += struct.pack(end + "HH", 0, 0)
+                    out += block(end, 0x00000001, body)
+                elif kind == 1:  # EPB
+                    data = rng.integers(0, 256, int(rng.integers(0, 90))
+                                        ).astype(np.uint8).tobytes()
+                    out += block(end, 0x00000006, struct.pack(
+                        end + "IIIII", int(rng.integers(0, 3)),
+                        int(rng.integers(0, 1000)),
+                        int(rng.integers(0, 2**32)), len(data),
+                        len(data) + int(rng.integers(0, 9)),
+                    ) + data)
+                elif kind == 2:  # SPB (snaplen-clipped)
+                    data = rng.integers(0, 256, int(rng.integers(0, 70))
+                                        ).astype(np.uint8).tobytes()
+                    out += block(end, 0x00000003,
+                                 struct.pack(end + "I", len(data)) + data)
+                elif kind == 3:  # obsolete PB
+                    data = rng.integers(0, 256, int(rng.integers(0, 50))
+                                        ).astype(np.uint8).tobytes()
+                    out += block(end, 0x00000002, struct.pack(
+                        end + "HHIIII", 0, 0, 0,
+                        int(rng.integers(0, 10**6)), len(data), len(data),
+                    ) + data)
+                elif kind == 4:  # junk block (skipped by both)
+                    out += block(end, 0x0BADBEEF, b"\x07" * 12)
+                else:  # malformed EPB: caplen beyond body
+                    out += block(end, 0x00000006, struct.pack(
+                        end + "IIIII", 0, 0, 0, 4000, 4000) + b"x" * 8)
+        if rng.integers(2):  # clipped tail
+            out = out[: max(4, len(out) - int(rng.integers(1, 40)))]
+        p = tmp_path / f"natng_{trial}.pcapng"
+        p.write_bytes(bytes(out))
+        for bp in (1, 5, 1000):
+            for rs in (64, 4 << 20):
+                for strict in (True, False):
+                    (nk, nv), (pk, pv) = run(p, bp, rs, strict)
+                    tag = f"trial {trial} bp={bp} rs={rs} strict={strict}"
+                    assert nk == pk, f"{tag}: outcome diverged {nk} vs {pk}"
+                    if nk == "err":
+                        assert nv == pv, f"{tag}: errors differ"
+                        continue
+                    assert len(nv) == len(pv), tag
+                    for bn, bp_ in zip(nv, pv):
+                        assert bn.num_packets == bp_.num_packets, tag
+                        assert bn.linktype == bp_.linktype, tag
+                        for j in range(bn.num_packets):
+                            assert bytes(bn.packet(j)) == bytes(bp_.packet(j))
+                        for f in ("caplens", "origlens", "ts_sec", "ts_frac"):
+                            assert (getattr(bn, f) == getattr(bp_, f)).all(), (
+                                f"{tag}: {f}"
+                            )
+
+
 def test_stream_corrupt_record_length_bounded(tmp_path):
     """A flipped caplen field must error promptly, not buffer gigabytes."""
     hdr = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
