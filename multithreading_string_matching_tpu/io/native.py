@@ -210,7 +210,9 @@ def parse_pcapng(
 ):
     """Native pcapng packet-block walk over ``pend[pos:]`` (current section
     only; stops at any non-EPB/SPB/PB block for the Python parser).
-    Returns ``(count, consumed, status, aux, data_off, caplens, origlens,
+    ``pend`` may be a bytearray (streaming buffer) or bytes (the one-shot
+    reader's immutable file image — the walk only reads).  Returns
+    ``(count, consumed, status, aux, data_off, caplens, origlens,
     ts_sec, ts_frac)`` per msm_parse_pcapng."""
     lib = get_lib()
     assert lib is not None
@@ -219,7 +221,10 @@ def parse_pcapng(
     arrs = [np.empty(cap, dtype=np.int64) for _ in range(5)]
     state = np.zeros(3, dtype=np.int64)
     divs = np.ascontiguousarray(tsdivs, dtype=np.int64)
-    c_buf = (ctypes.c_uint8 * avail).from_buffer(pend, pos)
+    if isinstance(pend, bytearray):
+        c_buf = (ctypes.c_uint8 * avail).from_buffer(pend, pos)
+    else:  # read-only source: a zero-copy numpy view carries the pointer
+        c_buf = _u8(np.frombuffer(pend, dtype=np.uint8, offset=pos))
     try:
         count = lib.msm_parse_pcapng(
             c_buf, avail, int(swapped), cap, max_block,

@@ -362,7 +362,7 @@ def read_pcap(
     parsed = _parse_global_header(raw[:24])
     if parsed == "pcapng":
         # libpcap's pcap_open_offline reads pcapng transparently; so do we.
-        return _read_pcapng(raw, strict=strict)
+        return _read_pcapng(raw, strict=strict, use_native=use_native)
     swapped, nanos, snaplen, linktype = parsed
     data = np.frombuffer(raw, dtype=np.uint8)
     total = data.shape[0]
@@ -417,7 +417,9 @@ def read_pcap(
 _PCAPNG_BOM = 0x1A2B3C4D
 
 
-def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
+def _read_pcapng(
+    raw: bytes, *, strict: bool = True, use_native: bool = True
+) -> PcapFile:
     """Minimal pcapng reader: SHB / IDB / EPB / SPB / obsolete PB blocks.
 
     The reference gets pcapng support for free from libpcap
@@ -440,7 +442,59 @@ def _read_pcapng(raw: bytes, *, strict: bool = True) -> PcapFile:
     def u32(b, o):
         return struct.unpack_from(end + "I", b, o)[0]
 
+    if use_native:
+        from multithreading_string_matching_tpu.io import native
+
+        use_native = native.available()
+    max_tsdiv = 1 << 62  # exotic if_tsresol divisors disable the fast path
+
     while pos + 12 <= total:
+        if use_native and all(it[2] <= max_tsdiv for it in interfaces):
+            # Runs of packet blocks parse natively (same walker as the
+            # streaming reader, unbounded batch/block size — the one-shot
+            # reader has no streaming bound); any other block type falls
+            # through to the Python parser below, which owns section and
+            # interface state.
+            count, consumed, status, aux, doffs, caps, origs, ss, ff = (
+                native.parse_pcapng(
+                    raw, pos, end == ">", 1 << 60, 1 << 62,
+                    [it[2] for it in interfaces],
+                    interfaces[0][1] if interfaces else 0,
+                )
+            )
+            if count:
+                base = (offsets[-1] + caplens[-1]) if offsets else 0
+                trim = int(doffs[-1] + caps[-1])
+                chunks.append(raw[pos : pos + trim])
+                offsets.extend((doffs + base).tolist())
+                caplens.extend(caps.tolist())
+                origlens.extend(origs.tolist())
+                tss.extend(ss.tolist())
+                tsf.extend(ff.tolist())
+                pos += consumed
+            if status == 0:  # next block incomplete
+                if aux <= 12:
+                    break  # sub-12-byte tail: the while guard's silent exit
+                if strict:
+                    raise ValueError(
+                        f"truncated/invalid pcapng block at byte {pos}"
+                    )
+                break
+            if status == 4:  # invalid block header (same message as below)
+                if strict:
+                    raise ValueError(
+                        f"truncated/invalid pcapng block at byte {pos}"
+                    )
+                break
+            if status == 5:  # malformed packet block
+                if strict:
+                    raise ValueError(
+                        f"malformed pcapng block (type 0x{aux:08x}) "
+                        f"at byte {pos}"
+                    )
+                break
+            # status 2: a non-packet block — handled below, then the walk
+            # resumes natively.  (status 1/3 impossible at 2^60/2^62.)
         btype = u32(raw, pos)
         if btype == 0x0A0D0D0A:  # SHB: re-detect endianness from its BOM
             bom_le = struct.unpack_from("<I", raw, pos + 8)[0]

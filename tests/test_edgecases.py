@@ -82,9 +82,10 @@ def test_format_report_rejects_matrix():
 
 
 def test_zero_caplen_capture_decodes_as_invalid(tmp_path):
-    """pcapng packet blocks captured with 0 bytes parse to an EMPTY byte
-    buffer (chunks are concatenated); decode must mark the packets invalid,
-    not crash indexing buf[-1]."""
+    """pcapng packet blocks captured with 0 bytes parse to packets with NO
+    captured bytes; decode must mark them invalid, not crash indexing
+    buf[-1].  (buf itself may retain block-header bytes — the native span
+    layout — so the pin is on caplens/packet(), not buf.size.)"""
     out = bytearray()
 
     def block(btype, body):
@@ -100,7 +101,11 @@ def test_zero_caplen_capture_decodes_as_invalid(tmp_path):
     p = tmp_path / "zerocap.pcapng"
     p.write_bytes(bytes(out))
     pcap = read_pcap(p)
-    assert pcap.num_packets == 3 and pcap.buf.size == 0
+    assert pcap.num_packets == 3
+    assert (pcap.caplens == 0).all()
+    assert all(pcap.packet(i).size == 0 for i in range(3))
+    # The pure-Python walk still produces the fully-empty buffer.
+    assert read_pcap(p, use_native=False).buf.size == 0
     for mode in ("udp", "tcp"):
         for kw in ({}, {"strict": True}, {"vlan": True, "ipv6": True}):
             batch = extract_payloads(pcap, mode, keep_invalid=True, **kw)

@@ -462,6 +462,31 @@ def test_stream_pcapng_native_walk_matches_python_walk(tmp_path):
             out = out[: max(4, len(out) - int(rng.integers(1, 40)))]
         p = tmp_path / f"natng_{trial}.pcapng"
         p.write_bytes(bytes(out))
+        # One-shot reader: native vs Python on the same image.
+        from multithreading_string_matching_tpu.io.pcap import _read_pcapng
+
+        for strict in (True, False):
+            one = []
+            for un in (True, False):
+                try:
+                    one.append(("ok", _read_pcapng(
+                        bytes(out), strict=strict, use_native=un)))
+                except ValueError as e:
+                    one.append(("err", str(e)))
+            (nk, nv), (pk, pv) = one
+            tag = f"trial {trial} one-shot strict={strict}"
+            assert nk == pk, f"{tag}: outcome diverged"
+            if nk == "err":
+                assert nv == pv, f"{tag}: errors differ"
+            else:
+                assert nv.num_packets == pv.num_packets, tag
+                assert nv.linktype == pv.linktype, tag
+                for j in range(nv.num_packets):
+                    assert bytes(nv.packet(j)) == bytes(pv.packet(j)), tag
+                for f in ("caplens", "origlens", "ts_sec", "ts_frac"):
+                    assert (getattr(nv, f) == getattr(pv, f)).all(), (
+                        f"{tag}: {f}"
+                    )
         for bp in (1, 5, 1000):
             for rs in (64, 4 << 20):
                 for strict in (True, False):
