@@ -3,8 +3,12 @@
 tests/test_fuzz_engines.py pins six adversarial corners; this keeps rolling
 fresh random cases (patterns with NULs/duplicates/extremes, binary payloads,
 case folding, per-packet attribution) for a wall-clock budget and diffs
-every engine against tests/oracle.py.  Run it when touching engine or
-staging code:
+every engine against tests/oracle.py.  A sampled fraction of cases also
+round-trips through the FULL streamed pipeline: payloads wrapped as real
+UDP frames in a random container (classic pcap / pcapng / gzipped), walked
+by the native ingest, extracted, packed, and counted via
+count_pcap_streamed at random batch sizes with and without threaded host
+workers.  Run it when touching engine, staging, or ingest code:
 
     MSM_PLATFORM=cpu python bench/fuzz_soak.py --minutes 10 [--seed 0]
 
@@ -72,6 +76,72 @@ def random_case(rng: np.random.Generator):
     return pats, payloads, lengths
 
 
+def _streamed_case(m, texts, crng):
+    """Round-trip the payloads through the real streamed pipeline: wrap as
+    UDP frames in a random container, scan via count_pcap_streamed with
+    random batch size / host threading.  Returns (counts, shape_tag)."""
+    import gzip
+    import struct as st
+    import tempfile
+
+    from multithreading_string_matching_tpu.parallel.pipeline import (
+        count_pcap_streamed,
+    )
+
+    frames = []
+    for pl in texts:
+        ip = st.pack(
+            ">BBHHHBBH4s4s", 0x45, 0, 28 + len(pl), 0, 0, 64, 17, 0,
+            b"\x01\x02\x03\x04", b"\x05\x06\x07\x08",
+        )
+        udp = st.pack(">HHHH", 1111, 2222, 8 + len(pl), 0)
+        frames.append(b"\xaa" * 12 + b"\x08\x00" + ip + udp + pl)
+    fmt = int(crng.integers(0, 3))  # 0 classic, 1 pcapng, 2 classic.gz
+    if fmt == 1:
+        blob = bytearray()
+
+        def block(btype, body):
+            pad = (-len(body)) % 4
+            blen = 12 + len(body) + pad
+            blob.extend(
+                st.pack("<II", btype, blen) + body + b"\x00" * pad
+                + st.pack("<I", blen)
+            )
+
+        block(0x0A0D0D0A, st.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+        block(0x00000001, st.pack("<HHI", 1, 0, 65535))
+        for fr in frames:
+            block(
+                0x00000006,
+                st.pack("<IIIII", 0, 0, 0, len(fr), len(fr)) + fr,
+            )
+        raw = bytes(blob)
+        suffix = ".pcapng"
+    else:
+        blob = bytearray(
+            st.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+        )
+        for fr in frames:
+            blob.extend(st.pack("<IIII", 0, 0, len(fr), len(fr)) + fr)
+        raw = bytes(blob)
+        suffix = ".pcap"
+    if fmt == 2:
+        raw = gzip.compress(raw)
+        suffix = ".pcap.gz"
+    bp = int(crng.choice([3, 64, 8192]))
+    hw = int(crng.choice([0, 2]))
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tf:
+        tf.write(raw)
+        path = tf.name
+    try:
+        got = count_pcap_streamed(
+            m, path, "udp", batch_packets=bp, host_workers=hw
+        )
+    finally:
+        os.unlink(path)
+    return got, f"fmt={suffix} bp={bp} hw={hw}"
+
+
 def run(minutes: float, seed: int) -> int:
     rng = np.random.default_rng(seed)
     deadline = time.monotonic() + minutes * 60
@@ -121,6 +191,15 @@ def run(minutes: float, seed: int) -> int:
                 print(
                     f"DIVERGENCE engine={engine} nocase={nocase} "
                     f"case_seed={case_seed}\n pats={pats}\n got={got}\n want={want}"
+                )
+                return 1
+        if crng.random() < 0.25:
+            got_s, shape = _streamed_case(m, texts, crng)
+            if not (np.asarray(got_s) == want).all():
+                print(
+                    f"DIVERGENCE streamed {shape} nocase={nocase} "
+                    f"case_seed={case_seed}\n pats={pats}\n"
+                    f" got={np.asarray(got_s)}\n want={want}"
                 )
                 return 1
         cases += 1
