@@ -280,7 +280,12 @@ def cmd_live(argv: List[str]) -> int:
         old_hup = _signal.signal(
             _signal.SIGHUP, lambda s, f: reload_flag.__setitem__("hup", True)
         )
-    print("Starting the sniffing process...")
+    # Byte-exact start banner (live_openmp_task.c:152-153).
+    print("\nWork in progress...\nPress ctrl+c to stop sniffing procedure")
+    print(
+        "You can stop the procedure only if at least one "
+        f"{mode} packet has been read"
+    )
     try:
         for batch in source:
             if reload_flag["hup"]:

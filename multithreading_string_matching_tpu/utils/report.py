@@ -34,8 +34,10 @@ def format_report(
         )
     lines = []
     if sniffed is not None:
-        # live_openmp_task.c:228-229
-        lines.append(f"We have sniffed {sniffed} packets")
+        # live_openmp_task.c:229 prints `"\n\n%d packet sniffed\n\n"` (sic —
+        # no plural s) immediately before the banner; reproduce the exact
+        # byte stream, blank lines included.
+        lines.extend(["", "", f"{sniffed} packet sniffed", ""])
     lines.append(BANNER)
     any_nonzero = False
     for p, c in zip(patterns, np.asarray(counts).tolist()):

@@ -48,7 +48,7 @@ def test_live_sighup_reloads_rules(tmp_path):
             stdout=out, stderr=err, env=env,
         )
         try:
-            _wait_for(out_f, "Starting the sniffing process", 120)
+            _wait_for(out_f, "Work in progress", 120)
             rules.write_text("beta\n")
             proc.send_signal(signal.SIGHUP)
             _wait_for(err_f, "# rules reloaded", 120)
@@ -69,7 +69,7 @@ def test_live_sighup_reloads_rules(tmp_path):
     # exact number varies with timing).
     import re
 
-    m = re.search(r"We have sniffed (\d+) packets", out_text)
+    m = re.search(r"(\d+) packet sniffed", out_text)
     assert m and int(m.group(1)) > 0
 
 
@@ -93,7 +93,7 @@ def test_live_sighup_bad_rules_keeps_old_set(tmp_path):
             stdout=out, stderr=err, env=env,
         )
         try:
-            _wait_for(out_f, "Starting the sniffing process", 120)
+            _wait_for(out_f, "Work in progress", 120)
             os.unlink(rules)  # reload will fail: rules file gone
             proc.send_signal(signal.SIGHUP)
             _wait_for(err_f, "reload failed", 120)

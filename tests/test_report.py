@@ -20,9 +20,11 @@ def test_duplicates_each_get_a_line():
 
 def test_live_extras():
     out = format_report([b"a"], np.array([0]), sniffed=17, oops_line=True)
-    lines = out.split("\n")
-    assert lines[0] == "We have sniffed 17 packets"
-    assert lines[-1] == OOPS
+    # Byte-exact reproduction of live_openmp_task.c:229+233: two blank
+    # lines, "%d packet sniffed" (sic — no plural s), one blank line, then
+    # the banner.
+    assert out.startswith("\n\n17 packet sniffed\n\n" + BANNER)
+    assert out.split("\n")[-1] == OOPS
 
 
 def test_phase_timer():
