@@ -417,6 +417,26 @@ def read_pcap(
 _PCAPNG_BOM = 0x1A2B3C4D
 
 
+def _extend_native_pcapng(
+    accs, span, doffs, caps, origs, ss, ff
+):
+    """Append one native pcapng walk's packets to the batch accumulators
+    ``accs = (chunks, offsets, caplens, origlens, tss, tsf)``.  ``span`` is
+    the walked bytes TRIMMED to the last packet's data end — that keeps the
+    shared Python block parser's buf-position derivation
+    (``offsets[-1] + caplens[-1]``) exact for whatever block it parses
+    next.  Offsets point at each packet's data inside the span (block
+    headers stay in place)."""
+    chunks, offsets, caplens, origlens, tss, tsf = accs
+    base = (offsets[-1] + caplens[-1]) if offsets else 0
+    chunks.append(span)
+    offsets.extend((doffs + base).tolist())
+    caplens.extend(caps.tolist())
+    origlens.extend(origs.tolist())
+    tss.extend(ss.tolist())
+    tsf.extend(ff.tolist())
+
+
 def _read_pcapng(
     raw: bytes, *, strict: bool = True, use_native: bool = True
 ) -> PcapFile:
@@ -463,14 +483,11 @@ def _read_pcapng(
                 )
             )
             if count:
-                base = (offsets[-1] + caplens[-1]) if offsets else 0
                 trim = int(doffs[-1] + caps[-1])
-                chunks.append(raw[pos : pos + trim])
-                offsets.extend((doffs + base).tolist())
-                caplens.extend(caps.tolist())
-                origlens.extend(origs.tolist())
-                tss.extend(ss.tolist())
-                tsf.extend(ff.tolist())
+                _extend_native_pcapng(
+                    (chunks, offsets, caplens, origlens, tss, tsf),
+                    raw[pos : pos + trim], doffs, caps, origs, ss, ff,
+                )
                 pos += consumed
             if status == 0:  # next block incomplete
                 if aux <= 12:
@@ -866,11 +883,9 @@ def _iter_pcapng_stream(
         from multithreading_string_matching_tpu.io import native
 
         use_native = native.available()
-    else:
-        native = None
     # if_tsresol divisors are Python ints (10**v can exceed int64 for exotic
     # resolutions); the native walk only runs while every divisor fits.
-    max_tsdiv = (1 << 62)
+    max_tsdiv = 1 << 62
     pend = bytearray(head)
     pos = 0
     eof = False
@@ -946,18 +961,14 @@ def _iter_pcapng_stream(
                 )
             )
             if count:
-                # One span per walk, block headers kept in place (offsets
-                # point at each packet's data; the span is trimmed to the
-                # last packet's data end so the shared Python block parser's
-                # buf-position derivation stays exact).
-                base = (offsets[-1] + caplens[-1]) if offsets else 0
                 trim = int(doffs[-1] + caps[-1])
-                chunks.append(bytes(pend[pos : pos + trim]))
-                offsets.extend((doffs + base).tolist())
-                caplens.extend(caps.tolist())
-                origlens.extend(origs.tolist())
-                tss.extend(ss.tolist())
-                tsf.extend(ff.tolist())
+                _extend_native_pcapng(
+                    (chunks, offsets, caplens, origlens, tss, tsf),
+                    # memoryview: one copy out of the mutable buffer, not a
+                    # bytearray-slice copy followed by a bytes() copy.
+                    bytes(memoryview(pend)[pos : pos + trim]),
+                    doffs, caps, origs, ss, ff,
+                )
                 pos += consumed
                 file_off += consumed
                 saw_packets = True
