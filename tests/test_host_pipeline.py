@@ -5,6 +5,7 @@ ordering is load-bearing for attribution — and the combinators must
 propagate errors and never hang when the consumer leaves early.
 """
 
+import os
 import threading
 import time
 
@@ -188,6 +189,10 @@ def test_prefetch_iter_done_survives_slow_consumer():
     assert items == [0, 1, 2, 3] and exc is None
 
 
+@pytest.mark.skipif(
+    bool(os.environ.get("MSM_NO_NATIVE")),
+    reason="native path disabled by MSM_NO_NATIVE",
+)
 def test_native_stale_library_rebuilds_or_falls_back(tmp_path, monkeypatch):
     """A pre-existing .so missing a newer symbol (binary-only install,
     clock-skewed mtime) must trigger one rebuild — or a clean numpy
