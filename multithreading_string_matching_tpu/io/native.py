@@ -25,20 +25,35 @@ _lib = None
 _tried = False
 
 
+def _compile_to(out: pathlib.Path) -> bool:
+    """g++ the source to ``out`` — the ONE compile command (the normal
+    build and the stale-rebind path must not drift apart in flags)."""
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(out), str(_SRC)],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        try:
+            out.unlink(missing_ok=True)
+        except OSError:
+            pass
+        return False
+
+
 def _build() -> bool:
     # Compile to a per-process temp name, then atomically rename into place:
     # concurrent builders (pytest workers, CLI + bench) each produce a whole
     # .so and the last rename wins — nobody can CDLL a half-written file.
     tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.tmp")
+    if not _compile_to(tmp):
+        return False
     try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
-            check=True,
-            capture_output=True,
-        )
         os.replace(tmp, _SO)
         return True
-    except (OSError, subprocess.CalledProcessError):
+    except OSError:
         try:
             tmp.unlink(missing_ok=True)
         except OSError:
@@ -78,15 +93,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             # UNIQUE path: dlopen caches by name, so re-loading _SO's path
             # would return the stale handle we just rejected.
             tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.rebind")
+            if not _compile_to(tmp):
+                return None
             try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC",
-                     "-o", str(tmp), str(_SRC)],
-                    check=True, capture_output=True,
-                )
                 lib = ctypes.CDLL(str(tmp))
                 _bind(lib)
-            except (OSError, subprocess.CalledProcessError, AttributeError):
+            except (OSError, AttributeError):
                 try:
                     tmp.unlink(missing_ok=True)
                 except OSError:
@@ -217,7 +229,10 @@ def parse_pcapng(
     lib = get_lib()
     assert lib is not None
     avail = len(pend) - pos
-    cap = max(1, min(int(batch_max), avail // 12 + 1))
+    # A VALID packet block is >= 16 bytes (12-byte frame + the smallest SPB
+    # body); a 12-byte one stops the walk as malformed before any output is
+    # written, so avail//16 bounds the per-call output arrays.
+    cap = max(1, min(int(batch_max), avail // 16 + 1))
     arrs = [np.empty(cap, dtype=np.int64) for _ in range(5)]
     state = np.zeros(3, dtype=np.int64)
     divs = np.ascontiguousarray(tsdivs, dtype=np.int64)

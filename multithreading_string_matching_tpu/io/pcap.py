@@ -415,6 +415,12 @@ def read_pcap(
 
 
 _PCAPNG_BOM = 0x1A2B3C4D
+# pcapng packet-block types the native walker handles (PB/SPB/EPB).
+_PCAPNG_PACKET_BLOCKS = (2, 3, 6)
+# if_tsresol divisors are Python ints (10**v can exceed int64 for exotic
+# resolutions); the native walk only runs while every divisor fits.  Shared
+# between the one-shot and streaming readers so the bound cannot drift.
+_MAX_TSDIV = 1 << 62
 
 
 def _extend_native_pcapng(
@@ -466,18 +472,22 @@ def _read_pcapng(
         from multithreading_string_matching_tpu.io import native
 
         use_native = native.available()
-    max_tsdiv = 1 << 62  # exotic if_tsresol divisors disable the fast path
 
     while pos + 12 <= total:
-        if use_native and all(it[2] <= max_tsdiv for it in interfaces):
+        # Peek the type: invoking the walker on a non-packet block would
+        # pay the call + output-array allocation only to stop immediately.
+        if (
+            use_native
+            and u32(raw, pos) in _PCAPNG_PACKET_BLOCKS
+            and all(it[2] <= _MAX_TSDIV for it in interfaces)
+        ):
             # Runs of packet blocks parse natively (same walker as the
-            # streaming reader, unbounded batch/block size — the one-shot
-            # reader has no streaming bound); any other block type falls
-            # through to the Python parser below, which owns section and
-            # interface state.
+            # streaming reader; block size unbounded — the one-shot reader
+            # has no streaming bound — but the batch is capped so the
+            # per-call output arrays stay ~40 MB even on multi-GB files).
             count, consumed, status, aux, doffs, caps, origs, ss, ff = (
                 native.parse_pcapng(
-                    raw, pos, end == ">", 1 << 60, 1 << 62,
+                    raw, pos, end == ">", 1 << 20, 1 << 62,
                     [it[2] for it in interfaces],
                     interfaces[0][1] if interfaces else 0,
                 )
@@ -489,6 +499,8 @@ def _read_pcapng(
                     raw[pos : pos + trim], doffs, caps, origs, ss, ff,
                 )
                 pos += consumed
+            if status == 1:  # batch cap reached: just keep walking
+                continue
             if status == 0:  # next block incomplete
                 if aux <= 12:
                     break  # sub-12-byte tail: the while guard's silent exit
@@ -511,7 +523,7 @@ def _read_pcapng(
                     )
                 break
             # status 2: a non-packet block — handled below, then the walk
-            # resumes natively.  (status 1/3 impossible at 2^60/2^62.)
+            # resumes natively.  (status 3 impossible at max_block 2^62.)
         btype = u32(raw, pos)
         if btype == 0x0A0D0D0A:  # SHB: re-detect endianness from its BOM
             bom_le = struct.unpack_from("<I", raw, pos + 8)[0]
@@ -590,7 +602,15 @@ def _parse_pcapng_block(
         # scaled with the default — byte counts are unaffected.
         div = interfaces[iface][2] if iface < len(interfaces) else 1_000_000
         ticks = (ts_hi << 32) | ts_lo
-        return ticks // div, ((ticks % div) * 1_000_000) // div
+        sec = ticks // div
+        if sec > 0x7FFF_FFFF_FFFF_FFFF:
+            # Not representable as int64 seconds (corrupt/absurd capture):
+            # struct.error so the caller's malformed-block mapping applies —
+            # and so the native walk (which checks the same bound) and this
+            # path fail identically instead of np.asarray raising a raw
+            # OverflowError at batch-flush time.
+            raise struct.error(f"pcapng timestamp overflows int64 at byte {pos}")
+        return sec, ((ticks % div) * 1_000_000) // div
 
     if btype == 0x00000001:  # IDB
         linktype = struct.unpack_from(end + "H", body, 0)[0]
@@ -883,9 +903,6 @@ def _iter_pcapng_stream(
         from multithreading_string_matching_tpu.io import native
 
         use_native = native.available()
-    # if_tsresol divisors are Python ints (10**v can exceed int64 for exotic
-    # resolutions); the native walk only runs while every divisor fits.
-    max_tsdiv = 1 << 62
     pend = bytearray(head)
     pos = 0
     eof = False
@@ -946,7 +963,14 @@ def _iter_pcapng_stream(
             # The one-shot reader's `while pos + 12 <= total` silently
             # ignores a sub-12-byte tail even in strict mode; match it.
             break
-        if use_native and all(it[2] <= max_tsdiv for it in interfaces):
+        if (
+            use_native
+            # Peek the type: a non-packet block would stop the walker
+            # immediately — skip the call + output-array allocation.
+            and struct.unpack_from(end + "I", pend, pos)[0]
+            in _PCAPNG_PACKET_BLOCKS
+            and all(it[2] <= _MAX_TSDIV for it in interfaces)
+        ):
             remaining = batch_packets - len(offsets)
             count, consumed, status, aux, doffs, caps, origs, ss, ff = (
                 native.parse_pcapng(

@@ -194,15 +194,25 @@ int64_t msm_parse_pcapng(const uint8_t *buf, int64_t n, int swap,
         state[2] = btype;
         break;
       }
-      const int64_t div =
-          (int64_t)iface < n_ifaces ? tsdiv[iface] : 1000000;
+      const uint64_t div =
+          (int64_t)iface < n_ifaces ? (uint64_t)tsdiv[iface] : 1000000u;
       const uint64_t ticks = ((uint64_t)ts_hi << 32) | ts_lo;
+      const uint64_t sec = ticks / div;
+      if (sec > (uint64_t)INT64_MAX) {
+        // Timestamp not representable as int64 seconds (corrupt/absurd
+        // capture): malformed, exactly like the Python parser raises.
+        state[1] = 5;
+        state[2] = btype;
+        break;
+      }
       data_off[count] = pos + 8 + 20;
       caplens[count] = incl;
       origlens[count] = orig;
-      ts_sec[count] = (int64_t)(ticks / (uint64_t)div);
-      ts_frac[count] =
-          (int64_t)((ticks % (uint64_t)div) * 1000000ULL / (uint64_t)div);
+      ts_sec[count] = (int64_t)sec;
+      // 128-bit multiply: (ticks % div) * 1e6 overflows uint64 for
+      // divisors above ~1.8e13 (if_tsresol >= 14 decimal / 44 binary).
+      ts_frac[count] = (int64_t)((unsigned __int128)(ticks % div) * 1000000u
+                                 / div);
     } else {  // SPB: u32 origlen, data clipped to min(orig, snaplen, body)
       if (body_len < 4) {
         state[1] = 5;

@@ -428,8 +428,14 @@ def test_stream_pcapng_native_walk_matches_python_walk(tmp_path):
                         int(rng.choice([0, 64, 65535])),
                     )
                     if rng.integers(2):
+                        # 0 = 1-tick seconds (tiny divisor: huge ts_hi can
+                        # overflow int64 seconds — must fail identically);
+                        # 14/16 = divisors past ~1.8e13 (the uint64 frac-
+                        # multiply overflow regime — needs the 128-bit
+                        # multiply to match Python's big ints).
                         body += struct.pack(end + "HH", 9, 1) + bytes(
-                            [int(rng.choice([3, 6, 9]))]) + b"\x00\x00\x00"
+                            [int(rng.choice([0, 3, 6, 9, 14, 16]))]
+                        ) + b"\x00\x00\x00"
                         body += struct.pack(end + "HH", 0, 0)
                     out += block(end, 0x00000001, body)
                 elif kind == 1:  # EPB
@@ -437,7 +443,11 @@ def test_stream_pcapng_native_walk_matches_python_walk(tmp_path):
                                         ).astype(np.uint8).tobytes()
                     out += block(end, 0x00000006, struct.pack(
                         end + "IIIII", int(rng.integers(0, 3)),
-                        int(rng.integers(0, 1000)),
+                        # Occasionally a huge ts_hi: with a small divisor
+                        # the seconds overflow int64 (must be 'malformed'
+                        # in BOTH paths), with a big one it exercises the
+                        # full 64-bit tick range.
+                        int(rng.choice([0, 1000, 2**31, 2**32 - 1])),
                         int(rng.integers(0, 2**32)), len(data),
                         len(data) + int(rng.integers(0, 9)),
                     ) + data)
@@ -506,6 +516,55 @@ def test_stream_pcapng_native_walk_matches_python_walk(tmp_path):
                             assert (getattr(bn, f) == getattr(bp_, f)).all(), (
                                 f"{tag}: {f}"
                             )
+
+
+def test_pcapng_timestamp_extremes_native_equals_python(tmp_path):
+    """Deterministic pins for the two native-timestamp regressions: (a) an
+    if_tsresol divisor past ~1.8e13 overflowed the uint64 frac multiply
+    (needs the 128-bit multiply); (b) seconds past int64 with a tiny
+    divisor must be 'malformed pcapng block' in BOTH paths, not a silent
+    negative ts_sec natively and a raw OverflowError in Python."""
+    from multithreading_string_matching_tpu.io.pcap import _read_pcapng
+
+    def ng(tsresol, ts_hi, ts_lo):
+        out = bytearray()
+
+        def block(btype, body):
+            pad = (-len(body)) % 4
+            blen = 12 + len(body) + pad
+            out.extend(struct.pack("<II", btype, blen) + body
+                       + b"\x00" * pad + struct.pack("<I", blen))
+
+        block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+        idb = struct.pack("<HHI", 1, 0, 65535)
+        idb += struct.pack("<HH", 9, 1) + bytes([tsresol]) + b"\x00\x00\x00"
+        idb += struct.pack("<HH", 0, 0)
+        block(0x00000001, idb)
+        block(0x00000006,
+              struct.pack("<IIIII", 0, ts_hi, ts_lo, 4, 4) + b"data")
+        return bytes(out)
+
+    # (a) tsresol=14 (divisor 1e14): exact big-int frac, both paths equal.
+    ticks = 123_456_789_012_345_678
+    raw = ng(14, ticks >> 32, ticks & 0xFFFFFFFF)
+    nat = _read_pcapng(raw, use_native=True)
+    py = _read_pcapng(raw, use_native=False)
+    div = 10**14
+    assert int(nat.ts_sec[0]) == int(py.ts_sec[0]) == ticks // div
+    assert (int(nat.ts_frac[0]) == int(py.ts_frac[0])
+            == ((ticks % div) * 1_000_000) // div)
+
+    # (b) tsresol=0 (1-tick seconds) with ticks >= 2^63: identical
+    # malformed-block error from both paths, strict and tolerant.
+    raw = ng(0, 2**32 - 1, 2**32 - 5)
+    errs = []
+    for un in (True, False):
+        with pytest.raises(ValueError, match="malformed pcapng block") as ei:
+            _read_pcapng(raw, use_native=un)
+        errs.append(str(ei.value))
+    assert errs[0] == errs[1]
+    for un in (True, False):  # tolerant: keep the (empty) prefix
+        assert _read_pcapng(raw, strict=False, use_native=un).num_packets == 0
 
 
 def test_stream_corrupt_record_length_bounded(tmp_path):
