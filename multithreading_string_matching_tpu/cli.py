@@ -346,7 +346,9 @@ def cmd_match(argv: List[str]) -> int:
         help="capture file; repeatable — multiple captures (e.g. rotated "
              "files) scan as one corpus, packets numbered in input order",
     )
-    p.add_argument("--patterns", required=True)
+    # Not argparse-required: a --config file may provide it (validated
+    # after the merge, like --pcap).
+    p.add_argument("--patterns")
     p.add_argument("--mode", choices=["udp", "tcp"], default=None)
     p.add_argument(
         "--engine",
@@ -412,11 +414,14 @@ def cmd_match(argv: List[str]) -> int:
         raise SystemExit("match: --pcap is required (flag or config file)")
     cfg.pcap = pcap_paths[0]
     cfg.patterns = a.patterns or cfg.patterns
+    if not cfg.patterns:
+        raise SystemExit("match: --patterns is required (flag or config file)")
     cfg.mode = a.mode or cfg.mode
     cfg.engine = a.engine or cfg.engine
     cfg.strict = a.strict or cfg.strict
     cfg.per_packet = a.per_packet or cfg.per_packet
     cfg.profile_dir = a.profile or cfg.profile_dir
+    cfg.host_workers = a.host_workers or cfg.host_workers
     cfg.validate()
     if cfg.per_packet and not a.json:
         raise SystemExit("--per-packet produces an [N, P] matrix: use --json")
@@ -447,7 +452,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
     if a.distributed and not a.stream:
         raise SystemExit("--distributed requires --stream (the one-shot "
                          "multi-host path is the `mesh` subcommand)")
-    if a.host_workers and not a.stream:
+    if cfg.host_workers and not a.stream:
         raise SystemExit("--host-workers requires --stream (the one-shot "
                          "path reads the capture in one pass)")
     if a.host_workers < 0:
@@ -480,7 +485,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
-                    host_workers=a.host_workers,
+                    host_workers=cfg.host_workers,
                 )
                 counts = res.counts
                 import jax
@@ -496,7 +501,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     dump_path=a.dump_matches, offsets=a.offsets,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     stats=stream_stats, sharded=a.sharded,
-                    host_workers=a.host_workers,
+                    host_workers=cfg.host_workers,
                 )
                 counts, stream_offsets = res if a.offsets else (res, None)
             else:
@@ -504,7 +509,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
-                    sharded=a.sharded, host_workers=a.host_workers,
+                    sharded=a.sharded, host_workers=cfg.host_workers,
                 )
         # The pipeline reports the engine it ACTUALLY resolved through the
         # stats dict — authoritative over the blob's re-derived rules.

@@ -35,6 +35,8 @@ class MatchConfig:
     stream_window: int = 2048         # [live] streaming chunk width (bytes)
     stream_packed: str = "auto"       # [live] packed-tile dispatch: auto|0|1
     stream_tile_rows: int = 1024      # [live] packed-tile rows per dispatch
+    host_workers: int = 0             # [match] threaded host stages for --stream
+                                      #         (0 = sequential)
     n_tile: int = 2048                # [match] bucket tile rows
     l_quant: int = 128                # [match] bucket byte-length quantum (lanes)
     row_tile: int = 512               # [lib] Pallas kernel rows per grid step
@@ -54,6 +56,8 @@ class MatchConfig:
                    "l_quant", "row_tile", "stream_tile_rows"):
             if getattr(self, f_) <= 0:
                 raise ValueError(f"{f_} must be positive")
+        if self.host_workers < 0:
+            raise ValueError("host_workers must be >= 0")
         return self
 
     # -- serialization ------------------------------------------------------

@@ -26,6 +26,30 @@ def test_config_validation():
         MatchConfig.from_json('{"nonsense": 1}')
 
 
+def test_config_host_workers(tmp_path, reference_dir, capsys):
+    """host_workers rides the config system: JSON round-trip, validation,
+    and a config-file-driven streamed CLI run (no flag needed)."""
+    import json
+
+    cfg = MatchConfig(host_workers=2)
+    assert MatchConfig.from_json(cfg.to_json()).host_workers == 2
+    with pytest.raises(ValueError, match="host_workers"):
+        MatchConfig(host_workers=-1).validate()
+
+    from multithreading_string_matching_tpu.cli import main
+
+    path = tmp_path / "c.json"
+    path.write_text(MatchConfig(
+        pcap=str(reference_dir / "udp.pcap"),
+        patterns=str(reference_dir / "strings.txt"),
+        host_workers=2,
+    ).to_json())
+    rc = main(["match", "--config", str(path), "--stream", "--json"])
+    assert rc == 0
+    blob = json.loads(capsys.readouterr().out)
+    assert sum(blob["counts"]) == 39  # BASELINE.md variant A
+
+
 def test_config_env_override(monkeypatch):
     monkeypatch.setenv("MSM_ENGINE", "kmp")
     monkeypatch.setenv("MSM_STRICT", "true")
