@@ -85,7 +85,7 @@ m = Matcher(load_patterns(ref + "/strings.txt"))
 stats = {}
 res = count_pcap_streamed_distributed(
     m, ref + "/udp_1000.pcap", "udp", batch_packets=100, tile_rows=64,
-    stats=stats,
+    stats=stats, host_workers=int(sys.argv[6]) if len(sys.argv) > 6 else 0,
 )
 if int(sys.argv[3]) == 0:
     with open(sys.argv[5], "w") as f:
@@ -95,20 +95,23 @@ if int(sys.argv[3]) == 0:
 """
 
 
-def test_two_process_streamed_distributed(reference_dir, tmp_path):
+@pytest.mark.parametrize("host_workers", [0, 2])
+def test_two_process_streamed_distributed(reference_dir, tmp_path, host_workers):
     """Streamed multi-host serving: round-robin chunks, local tiles, ONE
-    end merge — counts equal the oracle, each rank streamed only its half."""
+    end merge — counts equal the oracle, each rank streamed only its half.
+    host_workers=2 runs each rank's ingest/extract on its own threads
+    (ordering and the chunk→rank assignment must survive)."""
     out = tmp_path / "counts.json"
     script = tmp_path / "stream_worker.py"
     script.write_text(STREAM_WORKER)
-    port = 23765 + os.getpid() % 2000
+    port = 23765 + os.getpid() % 2000 + host_workers
     coord = f"localhost:{port}"
     env = dict(os.environ)
     env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, "2", str(i),
-             str(reference_dir), str(out)],
+             str(reference_dir), str(out), str(host_workers)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for i in range(2)
