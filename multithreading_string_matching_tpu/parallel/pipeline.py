@@ -209,6 +209,8 @@ def count_pcap_streamed(
         # (incl. its sharded kmp->ac remap) so CLI blobs echo the truth
         # instead of re-deriving the remap rules.
         stats["engine_resolved"] = counter.engine
+        if host_workers:
+            stats["host_workers"] = host_workers
     n_packets = n_valid = n_bytes = 0
     for _chunk, batch in _iter_extracted(
         pcap_path, mode, batch_packets, strict, vlan, ipv6, host_workers
@@ -586,6 +588,8 @@ def scan_pcap_streamed(
         stats["engine_resolved"] = (
             "window" if offsets else matcher._resolve_engine(None)
         )
+    if stats is not None and host_workers:
+        stats["host_workers"] = host_workers
     total = None
     n_packets = n_valid = n_bytes = 0
     found = [] if offsets else None
