@@ -3,12 +3,20 @@
 tests/test_fuzz_engines.py pins six adversarial corners; this keeps rolling
 fresh random cases (patterns with NULs/duplicates/extremes, binary payloads,
 case folding, per-packet attribution) for a wall-clock budget and diffs
-every engine against tests/oracle.py.  A sampled fraction of cases also
-round-trips through the FULL streamed pipeline: payloads wrapped as real
-UDP frames in a random container (classic pcap / pcapng / gzipped), walked
-by the native ingest, extracted, packed, and counted via
+every engine against tests/oracle.py.  Sampled sub-checks per case:
+per-packet count matrices against a naive per-text oracle (not just their
+column sums), find_matches offset rows against a bytes.find position
+oracle (every (packet, start, unique_pattern) triple, overlapping starts
+included), and the counts<->rows bincount invariant.  A sampled fraction
+of cases also round-trips through the FULL streamed pipeline: payloads
+wrapped as real UDP frames in a random container (classic pcap / pcapng /
+gzipped), walked by the native ingest, extracted, packed, and counted via
 count_pcap_streamed at random batch sizes with and without threaded host
-workers.  Run it when touching engine, staging, or ingest code:
+workers — or, when the sample lands on the attribution path, scanned via
+scan_pcap_streamed(offsets=True) with the offset rows diffed against the
+same position oracle and (half the time) --dump-matches verified to emit
+exactly the original frames of the matched packets, in capture order.
+Run it when touching engine, staging, or ingest code:
 
     MSM_PLATFORM=cpu python bench/fuzz_soak.py --minutes 10 [--seed 0]
 
@@ -76,16 +84,37 @@ def random_case(rng: np.random.Generator):
     return pats, payloads, lengths
 
 
+def naive_rows(texts, uniq):
+    """Position oracle: every (packet, start, unique_pattern) triple, with
+    overlapping starts, sorted — the find_matches contract."""
+    rows = []
+    for n, t in enumerate(texts):
+        for u, p in enumerate(uniq):
+            start = 0
+            while True:
+                i = t.find(p, start)
+                if i < 0:
+                    break
+                rows.append((n, i, u))
+                start = i + 1
+    rows.sort()
+    return rows
+
+
 def _streamed_case(m, texts, crng):
     """Round-trip the payloads through the real streamed pipeline: wrap as
     UDP frames in a random container, scan via count_pcap_streamed with
-    random batch size / host threading.  Returns (counts, shape_tag)."""
+    random batch size / host threading — or scan_pcap_streamed(offsets=True)
+    when the attribution sample hits.  Returns (counts, rows|None,
+    shape_tag); rows carry original capture packet numbers, which equal the
+    text index here because every synthesized frame is a valid UDP packet."""
     import gzip
     import struct as st
     import tempfile
 
     from multithreading_string_matching_tpu.parallel.pipeline import (
         count_pcap_streamed,
+        scan_pcap_streamed,
     )
 
     frames = []
@@ -130,16 +159,52 @@ def _streamed_case(m, texts, crng):
         suffix = ".pcap.gz"
     bp = int(crng.choice([3, 64, 8192]))
     hw = int(crng.choice([0, 2]))
+    attribution = bool(crng.random() < 0.4)
+    dump = attribution and bool(crng.random() < 0.5)
+    rows = dumped = None
+    dump_path = None
     with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tf:
         tf.write(raw)
         path = tf.name
     try:
-        got = count_pcap_streamed(
-            m, path, "udp", batch_packets=bp, host_workers=hw
-        )
+        if attribution:
+            if dump:
+                dump_path = path + ".dump.pcap"
+            got, rows = scan_pcap_streamed(
+                m, path, "udp", offsets=True, batch_packets=bp,
+                host_workers=hw, dump_path=dump_path,
+            )
+            if dump_path is not None:
+                # The dump must hold EXACTLY the original frames of the
+                # packets that matched, in capture order.
+                from multithreading_string_matching_tpu.io.pcap import (
+                    read_pcap,
+                )
+
+                hit_pkts = sorted({int(r[0]) for r in np.asarray(rows)})
+                want_frames = [frames[i] for i in hit_pkts]
+                if os.path.exists(dump_path):
+                    dp = read_pcap(dump_path)
+                    got_frames = [
+                        dp.buf[dp.offsets[i]:dp.offsets[i] + dp.caplens[i]]
+                        .tobytes()
+                        for i in range(dp.num_packets)
+                    ]
+                else:  # no matches -> writer may never have been opened
+                    got_frames = []
+                dumped = (got_frames == want_frames)
+        else:
+            got = count_pcap_streamed(
+                m, path, "udp", batch_packets=bp, host_workers=hw
+            )
     finally:
         os.unlink(path)
-    return got, f"fmt={suffix} bp={bp} hw={hw}"
+        if dump_path is not None and os.path.exists(dump_path):
+            os.unlink(dump_path)
+    return (
+        got, rows, dumped,
+        f"fmt={suffix} bp={bp} hw={hw} offsets={attribution} dump={dump}",
+    )
 
 
 def run(minutes: float, seed: int) -> int:
@@ -154,13 +219,12 @@ def run(minutes: float, seed: int) -> int:
         texts = [payloads[i, : lengths[i]].tobytes() for i in range(len(lengths))]
         if nocase:
             fold = bytes(range(65)) + bytes(range(97, 123)) + bytes(range(91, 256))
+            folded_texts = [t.translate(fold) for t in texts]
             want = np.array(
-                oracle.oracle_counts(
-                    [t.translate(fold) for t in texts],
-                    [p.translate(fold) for p in pats],
-                )
+                oracle.oracle_counts(folded_texts, [p.translate(fold) for p in pats])
             )
         else:
+            folded_texts = texts
             want = np.array(oracle.oracle_counts(texts, pats))
         m = Matcher(pats, case_insensitive=nocase)
         engines = ["window", "ac", "kmp"]
@@ -181,6 +245,18 @@ def run(minutes: float, seed: int) -> int:
                         m.count(payloads, lengths, engine=engine, per_packet=True)
                     )
                     assert (pp.sum(axis=0) == got).all(), "per-packet sum mismatch"
+                    # Full per-packet oracle, not just the column sums.
+                    want_pp = np.array(
+                        [
+                            oracle.oracle_counts(
+                                [t],
+                                [p.translate(fold) for p in pats]
+                                if nocase else pats,
+                            )
+                            for t in folded_texts
+                        ]
+                    )
+                    assert (pp == want_pp).all(), "per-packet matrix mismatch"
             finally:
                 for k, v in old.items():
                     if v is None:
@@ -194,12 +270,45 @@ def run(minutes: float, seed: int) -> int:
                 )
                 return 1
         if crng.random() < 0.25:
-            got_s, shape = _streamed_case(m, texts, crng)
+            # Offset attribution differential: every (packet, start,
+            # unique_pattern) triple against the bytes.find position
+            # oracle, plus the rows->counts bincount invariant.
+            uniq = [bytes(p) for p in m.window.unique_patterns]
+            got_rows = sorted(
+                map(tuple, np.asarray(m.find_matches(payloads, lengths)).tolist())
+            )
+            want_rows = naive_rows(folded_texts, uniq)
+            if got_rows != want_rows:
+                print(
+                    f"DIVERGENCE find_matches nocase={nocase} "
+                    f"case_seed={case_seed}\n pats={pats}\n"
+                    f" got={got_rows[:20]}\n want={want_rows[:20]}"
+                )
+                return 1
+            derived = m.counts_from_match_rows(np.array(got_rows).reshape(-1, 3))
+            assert (derived == want).all(), "rows->counts invariant"
+        if crng.random() < 0.25:
+            got_s, rows_s, dumped_ok, shape = _streamed_case(m, texts, crng)
             if not (np.asarray(got_s) == want).all():
                 print(
                     f"DIVERGENCE streamed {shape} nocase={nocase} "
                     f"case_seed={case_seed}\n pats={pats}\n"
                     f" got={np.asarray(got_s)}\n want={want}"
+                )
+                return 1
+            if rows_s is not None:
+                uniq = [bytes(p) for p in m.window.unique_patterns]
+                got_rows = sorted(map(tuple, np.asarray(rows_s).tolist()))
+                if got_rows != naive_rows(folded_texts, uniq):
+                    print(
+                        f"DIVERGENCE streamed offsets {shape} nocase={nocase} "
+                        f"case_seed={case_seed}\n pats={pats}"
+                    )
+                    return 1
+            if dumped_ok is False:
+                print(
+                    f"DIVERGENCE streamed dump {shape} nocase={nocase} "
+                    f"case_seed={case_seed}\n pats={pats}"
                 )
                 return 1
         cases += 1

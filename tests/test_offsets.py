@@ -50,3 +50,52 @@ def test_offsets_agree_with_counts(reference_dir):
     for n, i, u in rows[:50]:
         p = m.window.unique_patterns[u]
         assert batch.payloads[n, i : i + len(p)].tobytes() == p
+
+
+@pytest.mark.parametrize("seed", [40, 41, 42, 43])
+def test_offsets_random_differential(seed):
+    """Generative offsets differential (the soak's attribution check, pinned
+    deterministically): random binary payloads x adversarial pattern mixes
+    (duplicates, embedded NULs, single bytes, near-payload-length) against
+    the bytes.find position oracle, plus the rows->counts invariant."""
+    from multithreading_string_matching_tpu import Matcher
+
+    rng = np.random.default_rng(seed)
+    pats = []
+    for _ in range(int(rng.integers(2, 10))):
+        m_len = int(rng.integers(1, 20))
+        alpha = int(rng.choice([2, 3, 256]))
+        p = rng.integers(0, alpha, size=m_len).astype(np.uint8)
+        if rng.random() < 0.2:
+            p[rng.integers(0, m_len)] = 0
+        pats.append(p.tobytes())
+    pats.append(pats[0])  # duplicate
+    nocase = bool(rng.random() < 0.5)
+    n, lmax = int(rng.integers(4, 40)), int(rng.integers(8, 160))
+    payloads = rng.integers(0, int(rng.choice([2, 3, 256])),
+                            size=(n, lmax)).astype(np.uint8)
+    lengths = rng.integers(0, lmax + 1, size=n).astype(np.int32)
+    lengths[0] = 0
+
+    m = Matcher(pats, case_insensitive=nocase)
+    fold = bytes(range(65)) + bytes(range(97, 123)) + bytes(range(91, 256))
+    texts = [payloads[i, : lengths[i]].tobytes() for i in range(n)]
+    if nocase:
+        texts = [t.translate(fold) for t in texts]
+    uniq = [bytes(p) for p in m.window.unique_patterns]
+
+    got = sorted(map(tuple, np.asarray(
+        m.find_matches(payloads, lengths)).tolist()))
+    want = []
+    for row, t in enumerate(texts):
+        for u, p in enumerate(uniq):
+            start = 0
+            while (i := t.find(p, start)) >= 0:
+                want.append((row, i, u))
+                start = i + 1
+    assert got == sorted(want), f"seed={seed} nocase={nocase}"
+    derived = m.counts_from_match_rows(np.array(got).reshape(-1, 3))
+    want_counts = np.array(
+        [sum(1 for r in want if r[2] == int(du)) for du in m.window.dup_map]
+    )
+    assert (derived == want_counts).all()
