@@ -19,12 +19,14 @@ vulnerability surface.  This builds the library with
 Any ASan/UBSan finding aborts the process (nonzero exit).  Run it when
 touching native/pcap_ingest.cpp:
 
-    python bench/asan_audit.py            # re-execs itself under LD_PRELOAD
+    python bench/asan_audit.py [--seed N] [--garbage-cases N]
+    # re-execs itself under LD_PRELOAD
 
 Audit history: clean at round 3 (differentials + 4000 garbage cases +
-500 geometry cases).
+500 geometry cases at seed 5, plus a 20000-case pass at seed 6).
 """
 
+import argparse
 import ctypes
 import os
 import pathlib
@@ -60,10 +62,14 @@ def _reexec_with_asan() -> None:
     env["LD_PRELOAD"] = libasan
     env.setdefault("ASAN_OPTIONS", "detect_leaks=0:abort_on_error=1")
     env["MSM_ASAN_AUDIT_CHILD"] = "1"
-    os.execve(sys.executable, [sys.executable, __file__], env)
+    os.execve(sys.executable, [sys.executable, __file__] + sys.argv[1:], env)
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--garbage-cases", type=int, default=4000)
+    args = ap.parse_args()
     _build()
     if not os.environ.get("MSM_ASAN_AUDIT_CHILD"):
         _reexec_with_asan()  # never returns
@@ -90,7 +96,7 @@ def main() -> int:
     t.test_pcapng_timestamp_extremes_native_equals_python(tmp)
     print("timestamp extremes clean under ASan", flush=True)
 
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(args.seed)
     from multithreading_string_matching_tpu.io.pcap import iter_pcap, read_pcap
 
     def valid_classic(end="<"):
@@ -122,7 +128,7 @@ def main() -> int:
         return out
 
     cases = 0
-    for trial in range(4000):
+    for trial in range(args.garbage_cases):
         kind = trial % 4
         if kind == 0:  # pure garbage, classic magic prepended half the time
             blob = rng.integers(
