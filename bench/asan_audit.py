@@ -70,9 +70,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--garbage-cases", type=int, default=4000)
     args = ap.parse_args()
-    _build()
     if not os.environ.get("MSM_ASAN_AUDIT_CHILD"):
-        _reexec_with_asan()  # never returns
+        _build()
+        _reexec_with_asan()  # never returns; child reuses the built .so
 
     sys.path.insert(0, str(REPO))
     sys.path.insert(0, str(REPO / "tests"))
@@ -130,13 +130,16 @@ def main() -> int:
     cases = 0
     for trial in range(args.garbage_cases):
         kind = trial % 4
+        # Random endianness per case: the native walkers have separate
+        # byte-swap branches that the all-little default never exercised.
+        end = "<" if rng.integers(2) else ">"
         if kind == 0:  # pure garbage, classic magic prepended half the time
             blob = rng.integers(
                 0, 256, int(rng.integers(0, 400))
             ).astype(np.uint8).tobytes()
             if rng.integers(2):
                 blob = struct.pack(
-                    "<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1
+                    end + "IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1
                 ) + blob
         elif kind == 1:  # garbage behind a valid pcapng SHB
             blob = rng.integers(
@@ -147,12 +150,12 @@ def main() -> int:
                    + struct.pack("<I", 28))
             blob = shb + blob
         elif kind == 2:  # bit-flipped valid classic
-            b = bytearray(valid_classic())
+            b = bytearray(valid_classic(end))
             for _ in range(int(rng.integers(1, 20))):
                 b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
             blob = bytes(b)
         else:  # bit-flipped valid pcapng
-            b = bytearray(valid_pcapng())
+            b = bytearray(valid_pcapng(end))
             for _ in range(int(rng.integers(1, 20))):
                 b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
             blob = bytes(b)
@@ -160,7 +163,7 @@ def main() -> int:
         p.write_bytes(blob)
         for strict in (False, True):
             try:
-                read_pcap(p)
+                read_pcap(p, strict=strict)
             except (ValueError, OverflowError):
                 pass
             try:

@@ -106,8 +106,9 @@ def _streamed_case(m, texts, crng):
     UDP frames in a random container, scan via count_pcap_streamed with
     random batch size / host threading — or scan_pcap_streamed(offsets=True)
     when the attribution sample hits.  Returns (counts, rows|None,
-    shape_tag); rows carry original capture packet numbers, which equal the
-    text index here because every synthesized frame is a valid UDP packet."""
+    dumped|None, shape_tag); rows carry original capture packet numbers,
+    which equal the text index here because every synthesized frame is a
+    valid UDP packet; dumped is the --dump-matches round-trip verdict."""
     import gzip
     import struct as st
     import tempfile

@@ -16,11 +16,15 @@ Here::
   python -m multithreading_string_matching_tpu mesh   <file.pcap> <strings.txt> [udp/tcp]
   python -m multithreading_string_matching_tpu match  --pcap ... --patterns ... [options]
 
-The thread-count argument is accepted for drop-in compatibility and ignored:
-on a TPU the packet axis is vectorized on-chip and sharded across the device
-mesh, so there is no host thread pool to size (pass ``mesh`` to use every
-device).  Output is byte-compatible with the reference's report
-(utils/report.py), so ``diff`` against serial.c's output validates parity.
+The thread-count argument sizes the HOST-side thread pool (parallel/host.py
+threaded ingest/extract — the genuine analogue of ``num_threads``,
+openmp_data.c:128): ``data`` extracts contiguous packet ranges on a pool,
+``task`` threads the streamed read/extract stages, ``live`` prefetches tap
+batches.  The device-side parallelism is unaffected — the packet axis is
+vectorized on-chip and sharded across the device mesh (pass ``mesh`` to use
+every device) — and counts are identical at any thread count (tested).
+Output is byte-compatible with the reference's report (utils/report.py), so
+``diff`` against serial.c's output validates parity.
 
 Default packet type is UDP, as in serial.c:31.
 """
@@ -125,11 +129,19 @@ def cmd_serial(argv: List[str]) -> int:
     return 0
 
 
-def _skip_threads(argv: List[str]) -> List[str]:
-    """Drop the reference's thread-count argument if present."""
+def _take_threads(argv: List[str]):
+    """Parse the reference's positional thread-count argument.
+
+    Returns ``(host_workers, rest)``: the count drives the framework's real
+    host-parallelism knob (parallel/host.py threaded ingest/extract stages —
+    the analogue of ``num_threads(thread_count)``, openmp_data.c:128).  A
+    count of 0/1 or an absent argument maps to host_workers=0 (sequential:
+    one OpenMP thread is no parallelism, and a 1-worker pool only adds
+    handoff overhead — measured, CLAUDE.md)."""
     if argv and argv[0].isdigit():
-        return argv[1:]
-    return argv
+        n = int(argv[0])
+        return (n if n > 1 else 0), argv[1:]
+    return 0, argv
 
 
 def cmd_data(argv: List[str]) -> int:
@@ -139,15 +151,40 @@ def cmd_data(argv: List[str]) -> int:
     if len(argv) < 2:
         print("USAGE: data <file.pcap> <strings.txt> [threads] [tcp/udp]")
         return 1
-    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.pcap import read_pcap, slice_pcap
     from multithreading_string_matching_tpu.io.decode import extract_payloads
 
-    mode = _mode_arg(_skip_threads(argv[2:]))
+    threads, rest = _take_threads(argv[2:])
+    mode = _mode_arg(rest)
     matcher = _build(argv[1])
     pcap = read_pcap(argv[0])
     start = time.perf_counter()
-    batch = extract_payloads(pcap, mode, keep_invalid=True, pad_n_to=128, pad_len_to=8)
-    counts = matcher.count_batch(batch)
+    if threads and pcap.num_packets:
+        # The thread count sizes a real pool: contiguous packet ranges
+        # extract on host worker threads (the native decode releases the
+        # GIL), counts sum exactly — the host-side analogue of
+        # openmp_data.c's packet-parallel region (:128-146).
+        from multithreading_string_matching_tpu.parallel.host import map_prefetch
+
+        per = -(-pcap.num_packets // threads)
+        slices = [
+            slice_pcap(pcap, s, min(s + per, pcap.num_packets), copy=False)
+            for s in range(0, pcap.num_packets, per)
+        ]
+        batches = list(map_prefetch(
+            lambda p: extract_payloads(
+                p, mode, keep_invalid=True, pad_n_to=128, pad_len_to=8
+            ),
+            iter(slices), workers=threads,
+        ))
+        counts = np.sum(
+            [matcher.count_batch(b) for b in batches], axis=0
+        ).astype(np.int64)
+    else:
+        batch = extract_payloads(
+            pcap, mode, keep_invalid=True, pad_n_to=128, pad_len_to=8
+        )
+        counts = matcher.count_batch(batch)
     elapsed = time.perf_counter() - start
     _report(matcher, counts, elapsed)
     return 0
@@ -160,10 +197,11 @@ def cmd_task(argv: List[str]) -> int:
         return 1
     from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_pipelined
 
-    mode = _mode_arg(_skip_threads(argv[2:]))
+    threads, rest = _take_threads(argv[2:])
+    mode = _mode_arg(rest)
     matcher = _build(argv[1])
     start = time.perf_counter()
-    counts = count_pcap_pipelined(matcher, argv[0], mode)
+    counts = count_pcap_pipelined(matcher, argv[0], mode, host_workers=threads)
     elapsed = time.perf_counter() - start
     _report(matcher, counts, elapsed)
     return 0
@@ -222,7 +260,8 @@ def cmd_live(argv: List[str]) -> int:
     from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
     import os
 
-    mode = _mode_arg(_skip_threads(argv[2:]))
+    threads, rest = _take_threads(argv[2:])
+    mode = _mode_arg(rest)
     matcher = _build(argv[1])
     # An existing file path replays offline (testing hook); otherwise open
     # the named interface for real capture.  The source comes first: a
@@ -286,8 +325,18 @@ def cmd_live(argv: List[str]) -> int:
         "You can stop the procedure only if at least one "
         f"{mode} packet has been read"
     )
+    # The thread count sizes the live host pipeline: a prefetch thread pulls
+    # batches off the tap while the main thread decodes/dispatches (the
+    # reference's producer/worker split, live_openmp_task.c:162-227).  The
+    # prefetch iterator is early-close safe, so SIGINT/stop still drains.
+    if threads:
+        from multithreading_string_matching_tpu.parallel.host import prefetch_iter
+
+        batches = prefetch_iter(iter(source), depth=max(2, threads))
+    else:
+        batches = source
     try:
-        for batch in source:
+        for batch in batches:
             if reload_flag["hup"]:
                 reload_flag["hup"] = False
                 try:

@@ -33,11 +33,33 @@ window formulation's fast path from the unrolled kernel's practical ~512-word
 ceiling to the multi-thousand-pattern regime where the Aho-Corasick DFA
 (whose per-byte gather is ~370x one compare, DESIGN.md §1) is the only other
 option.  api.Matcher picks between the two kernels by pattern-set size.
+
+Filter/verify (``filtered=True``): the plain table kernel pays the full
+K-word chain (~6-8 VPU ops per position) for EVERY pattern at EVERY
+position, which is why throughput scales ~1/U.  The filtered variant runs a
+cheap shared first stage per pattern — ONE masked word-compare of ``w[0]``
+against the pattern's rarest full word, plus a scalar any-reduce (~2 ops per
+position) — and gates the full verification chain behind ``pl.when`` on the
+reduced flag, so patterns absent from the tile cost 2 ops/position instead
+of 6-8.  Correctness hinges on one observation: a match of pattern u at
+position i puts u's word k at ABSOLUTE position i+4k, so testing view
+``w[0]`` at every position catches it — no per-pattern view selection, which
+matters because the pattern tables are data and the K window views are a
+compile-time Python list.  The filter word per pattern is the full (mask
+0xFFFFFFFF) word whose value is rarest across the whole pattern set (shared
+prefixes like "HTTP" or the crossover bench's "pt00" would otherwise fire
+everywhere); sets sharing ALL their full words degrade to the unfiltered
+cost plus the 2-op filter, never to wrong counts — false positives only
+cost the verify, false negatives are impossible.  Padded pattern slots get
+(fword=1, fmask=0): the filter can never fire, so padded slots report 0
+instead of the unfiltered kernel's garbage (host slices them off either
+way).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +157,128 @@ def _make_table_kernel_rows(K: int, use_fit: bool, unroll: int = UNROLL):
     return kernel
 
 
+def _make_filter_kernel(K: int, use_fit: bool, with_reps: bool,
+                        unroll: int = UNROLL):
+    """Filter/verify totals kernel: same grid/accumulation contract as
+    _make_table_kernel, two extra SMEM operands (fwords/fmasks).  Each
+    unroll group first computes its ``unroll`` filter flags branchlessly
+    (independent eq+reduce chains keep the VPU pipelined), then runs the
+    per-pattern verify chains under ``pl.when`` — per-PATTERN granularity,
+    so one hot pattern cannot drag its whole block into full verification."""
+
+    def kernel(words_ref, masks_ref, lens_ref, fwords_ref, fmasks_ref,
+               payload_ref, length_ref, out_ref):
+        first = pl.program_id(1) == 0 if not with_reps else (
+            (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+        )
+        PB = out_ref.shape[0]
+
+        @pl.when(first)
+        def _():
+            def zero(u, c):
+                out_ref[u, 0] = 0
+                return c
+
+            jax.lax.fori_loop(0, PB, zero, 0)
+
+        w, pos = _window_views(payload_ref, K, use_fit)
+        lens = length_ref[:]
+
+        def body(g, c):
+            base = g * unroll
+            flags = []
+            for t in range(unroll):
+                u = base + t
+                hit = (w[0] & fmasks_ref[u, 0]) == fwords_ref[u, 0]
+                flags.append(jnp.sum(hit.astype(jnp.int32)))
+            for t in range(unroll):
+                u = base + t
+
+                @pl.when(flags[t] > 0)
+                def _(u=u):
+                    acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
+                    for k in range(1, K):
+                        acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
+                    if use_fit:
+                        acc &= (pos + lens_ref[u, 0]) <= lens
+                    out_ref[u, 0] = out_ref[u, 0] + jnp.sum(
+                        acc.astype(jnp.int32)
+                    )
+            return c
+
+        jax.lax.fori_loop(0, PB // unroll, body, 0)
+
+    return kernel
+
+
+def _make_filter_kernel_rows(K: int, use_fit: bool, unroll: int = UNROLL):
+    """Per-row filter/verify variant: each grid step OWNS its [PB, TN]
+    output block, so unverified patterns must write explicit zero rows
+    (cheap: one store per element vs the verify chain's compare tree)."""
+
+    def kernel(words_ref, masks_ref, lens_ref, fwords_ref, fmasks_ref,
+               payload_ref, length_ref, out_ref):
+        PB = out_ref.shape[0]
+        w, pos = _window_views(payload_ref, K, use_fit)
+        lens = length_ref[:]
+
+        def body(g, c):
+            base = g * unroll
+            flags = []
+            for t in range(unroll):
+                u = base + t
+                hit = (w[0] & fmasks_ref[u, 0]) == fwords_ref[u, 0]
+                flags.append(jnp.sum(hit.astype(jnp.int32)))
+            for t in range(unroll):
+                u = base + t
+
+                @pl.when(flags[t] > 0)
+                def _(u=u):
+                    acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
+                    for k in range(1, K):
+                        acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
+                    if use_fit:
+                        acc &= (pos + lens_ref[u, 0]) <= lens
+                    out_ref[u, :] = jnp.sum(acc.astype(jnp.int32), axis=1)
+
+                @pl.when(flags[t] == 0)
+                def _(u=u):
+                    out_ref[u, :] = jnp.zeros(
+                        (out_ref.shape[1],), jnp.int32
+                    )
+            return c
+
+        jax.lax.fori_loop(0, PB // unroll, body, 0)
+
+    return kernel
+
+
+def _filter_words(wp: WindowProgram):
+    """Per-unique-pattern (filter_word, filter_mask): the FULL (mask
+    0xFFFFFFFF) word whose value is rarest across the whole pattern set —
+    shared-prefix sets ("HTTP/1.1 ...", the crossover bench's "pt%06d")
+    keep a discriminative filter because ties break toward the LAST word.
+    Patterns with no full word (length < 4) fall back to their masked
+    word 0."""
+    full = wp.pat_masks == np.uint32(0xFFFFFFFF)
+    vals, counts = np.unique(wp.pat_words[full], return_counts=True)
+    freq = dict(zip(vals.tolist(), counts.tolist()))
+    U, K = wp.pat_words.shape
+    fwords = np.empty(U, np.uint32)
+    fmasks = np.empty(U, np.uint32)
+    for u in range(U):
+        cands = np.flatnonzero(full[u])
+        if cands.size:
+            k = min(cands.tolist(),
+                    key=lambda k: (freq[int(wp.pat_words[u, k])], -k))
+            fwords[u] = wp.pat_words[u, k]
+            fmasks[u] = np.uint32(0xFFFFFFFF)
+        else:
+            fwords[u] = wp.pat_words[u, 0]
+            fmasks[u] = wp.pat_masks[u, 0]
+    return fwords, fmasks
+
+
 class _PatternClass:
     """One word-count class: contiguous tables padded to whole SMEM blocks.
 
@@ -143,7 +287,9 @@ class _PatternClass:
     at any size, and small classes then carry ≤7 padded slots."""
 
     def __init__(self, K: int, words: np.ndarray, masks: np.ndarray,
-                 lens: np.ndarray, block: int, unroll: int = UNROLL):
+                 lens: np.ndarray, block: int, unroll: int = UNROLL,
+                 fwords: Optional[np.ndarray] = None,
+                 fmasks: Optional[np.ndarray] = None):
         self.K = K
         self.num = words.shape[0]
         # pb must be a multiple of the kernel's unroll width (the loop runs
@@ -160,6 +306,17 @@ class _PatternClass:
         self.words = np.pad(words[:, :K], ((0, pad), (0, 0)))
         self.masks = np.pad(masks[:, :K], ((0, pad), (0, 0)))
         self.lens = np.pad(lens, (0, pad)).reshape(-1, 1).astype(np.int32)
+        if fwords is not None:
+            # Padded slots get the never-fires sentinel (x & 0 == 1 is
+            # false everywhere), so they skip verification and report 0.
+            self.fwords = np.pad(
+                fwords, (0, pad), constant_values=1
+            ).reshape(-1, 1).astype(np.uint32)
+            self.fmasks = np.pad(
+                fmasks, (0, pad), constant_values=0
+            ).reshape(-1, 1).astype(np.uint32)
+        else:
+            self.fwords = self.fmasks = None
 
 
 class PallasTableMatcher(TileCountSurface):
@@ -176,6 +333,7 @@ class PallasTableMatcher(TileCountSurface):
         pattern_block: int = PATTERN_BLOCK,
         unroll: int = UNROLL,
         vmem_budget: int = 1_600_000,
+        filtered: bool = False,
     ):
         self.wp = wp
         self.row_tile = row_tile
@@ -184,6 +342,7 @@ class PallasTableMatcher(TileCountSurface):
         self.interpret = interpret
         self.num_unique = int(wp.pat_words.shape[0])
         self.pattern_block = pattern_block
+        self.filtered = filtered
         use_fit = (not assume_zero_padded) or any(
             0 in p for p in wp.unique_patterns
         )
@@ -197,6 +356,10 @@ class PallasTableMatcher(TileCountSurface):
         inv[order] = np.arange(order.size)
         self._inv = jnp.asarray(inv.astype(np.int32))
 
+        fwords = fmasks = None
+        if filtered:
+            fwords, fmasks = _filter_words(wp)
+
         self.classes = []
         sorted_k = kcounts[order]
         for K in sorted(set(sorted_k.tolist())):
@@ -209,18 +372,22 @@ class PallasTableMatcher(TileCountSurface):
                     wp.pat_lens[sel],
                     pattern_block,
                     unroll=unroll,
+                    fwords=fwords[sel] if filtered else None,
+                    fmasks=fmasks[sel] if filtered else None,
                 )
             )
+        mk = _make_filter_kernel if filtered else _make_table_kernel
+        mk_rows = _make_filter_kernel_rows if filtered else _make_table_kernel_rows
         self._kernels = {
-            c.K: _make_table_kernel(c.K, use_fit, with_reps=False, unroll=unroll)
+            c.K: mk(c.K, use_fit, with_reps=False, unroll=unroll)
             for c in self.classes
         }
         self._kernels_rep = {
-            c.K: _make_table_kernel(c.K, use_fit, with_reps=True, unroll=unroll)
+            c.K: mk(c.K, use_fit, with_reps=True, unroll=unroll)
             for c in self.classes
         }
         self._kernels_rows = {
-            c.K: _make_table_kernel_rows(c.K, use_fit, unroll=unroll)
+            c.K: mk_rows(c.K, use_fit, unroll=unroll)
             for c in self.classes
         }
         self._maxK = max(c.K for c in self.classes)
@@ -251,24 +418,31 @@ class PallasTableMatcher(TileCountSurface):
             grid = (c.nblocks, reps, n // tn)
             pat_ix = lambda j, r, i: (j, 0)
             vec_ix = lambda j, r, i: (i, 0)
+        specs = [
+            pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+        ]
+        args = [jnp.asarray(c.words), jnp.asarray(c.masks), jnp.asarray(c.lens)]
+        if self.filtered:
+            specs += [
+                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+            ]
+            args += [jnp.asarray(c.fwords), jnp.asarray(c.fmasks)]
+        specs += [
+            pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
+        ]
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
-                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
-                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-                pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
-                pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
-            ],
+            in_specs=specs,
             out_specs=pl.BlockSpec((c.pb, 1), lambda *ix: (ix[0], 0),
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, 1), jnp.int32),
             interpret=self.interpret,
-        )(
-            jnp.asarray(c.words), jnp.asarray(c.masks), jnp.asarray(c.lens),
-            payloads, lengths,
-        )
+        )(*args, payloads, lengths)
 
     def _one_tile(self, payloads, lengths, reps=None):
         """Counts in SORTED-unique order, concatenated across classes."""
@@ -295,23 +469,33 @@ class PallasTableMatcher(TileCountSurface):
         n, L = payloads.shape
         outs = []
         for c in self.classes:
+            pat_ix = lambda j, i: (j, 0)
+            vec_ix = lambda j, i: (i, 0)
+            specs = [
+                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+            ]
+            args = [jnp.asarray(c.words), jnp.asarray(c.masks),
+                    jnp.asarray(c.lens)]
+            if self.filtered:
+                specs += [
+                    pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+                    pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+                ]
+                args += [jnp.asarray(c.fwords), jnp.asarray(c.fmasks)]
+            specs += [
+                pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
+            ]
             out = pl.pallas_call(
                 self._kernels_rows[c.K],
                 grid=(c.nblocks, n // tn),
-                in_specs=[
-                    pl.BlockSpec((c.pb, c.K), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
-                    pl.BlockSpec((c.pb, c.K), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
-                    pl.BlockSpec((c.pb, 1), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
-                    pl.BlockSpec((tn, L), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                ],
+                in_specs=specs,
                 out_specs=pl.BlockSpec((c.pb, tn), lambda j, i: (j, i)),
                 out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, n), jnp.int32),
                 interpret=self.interpret,
-            )(
-                jnp.asarray(c.words), jnp.asarray(c.masks),
-                jnp.asarray(c.lens), payloads, lengths,
-            )
+            )(*args, payloads, lengths)
             outs.append(out[: c.num])
         return jnp.take(jnp.concatenate(outs), self._inv, axis=0).T  # [n, U]
 

@@ -710,6 +710,7 @@ def count_pcap_pipelined(
     strict: bool = False,
     vlan: bool = False,
     ipv6: bool = False,
+    host_workers: int = 0,
 ) -> np.ndarray:
     """Full-file counting through the batched pipeline; counts are identical
     to the one-shot scan (tested), only the execution schedule differs.
@@ -718,6 +719,13 @@ def count_pcap_pipelined(
     producer pulls packets from libpcap incrementally instead of loading the
     capture first (openmp_task.c:131-156) — so captures larger than host RAM
     flow through with bounded residency (one batch + one read buffer).
+
+    ``host_workers >= 1`` threads the read/extract host stages exactly like
+    count_pcap_streamed does (parallel.host: prefetch + ordered worker
+    pool) — this is what the reference's ``num_threads(thread_count)``
+    sizes (openmp_task.c:128), so the compat ``task`` subcommand's
+    positional thread count drives it.  Order preserved, counts identical
+    (tested).
 
     The batch kernel is the matcher's RESOLVED engine — the Pallas kernel
     on TPU hosts (each reference task runs the same full-speed matcher as
@@ -738,10 +746,28 @@ def count_pcap_pipelined(
         total = None
         pos_since_drain = 0
 
-    for chunk in _iter_pcap_paths(pcap_path, batch_size):
-        for payloads, lengths in iter_batches(
+    chunks = _iter_pcap_paths(pcap_path, batch_size)
+
+    def _extract(chunk):
+        return list(iter_batches(
             chunk, mode, batch_size, strict=strict, vlan=vlan, ipv6=ipv6
-        ):
+        ))
+
+    if host_workers:
+        from multithreading_string_matching_tpu.parallel.host import (
+            map_prefetch,
+            prefetch_iter,
+        )
+
+        batch_lists = map_prefetch(
+            _extract, prefetch_iter(chunks, depth=max(2, host_workers)),
+            workers=host_workers,
+        )
+    else:
+        batch_lists = (_extract(c) for c in chunks)
+
+    for batches in batch_lists:
+        for payloads, lengths in batches:
             # Async dispatch: does NOT block — device consumes batch k while
             # the host (producer) reads + extracts batch k+1.  (The AC scan
             # is ~30x slower on TPU; see docs/DESIGN.md §1 — counts are

@@ -23,6 +23,23 @@ import jax
 # process so tests really run on the 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Tunnel guard (round-3 verdict observed one cold suite start blocked >20min
+# in poll() on a localhost tunnel socket before any test output).  Nothing in
+# this repo touches a device at import time (api/ops call jax.default_backend
+# only at runtime, after the forced-cpu config above), so fail LOUDLY here if
+# a backend somehow initialized before or despite the override, instead of
+# hanging deep inside the first test's dispatch.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+assert not _xb._backends, (
+    "a JAX backend initialized before conftest forced jax_platforms=cpu: "
+    f"{list(_xb._backends)} — something at import time touched a device"
+)
+assert jax.default_backend() == "cpu", (
+    f"conftest forced jax_platforms=cpu but got {jax.default_backend()!r}: "
+    "the sitecustomize PJRT plugin overrode the in-process config"
+)
+
 # Persistent compilation cache: recompiles of the scan kernels dominate test
 # wall-clock otherwise.
 jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).parent / ".jax_cache"))
