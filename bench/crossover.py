@@ -89,6 +89,17 @@ def main():
         row["table_bytes_per_sec"] = round(nbytes / t_dt, 1)
         row["table_compile_s"] = round(t_compile, 1)
 
+        # Filter/verify variant: same tables, ~2-op filter stage gating the
+        # full chain per pattern — the round-4 answer to the ~1/U wall.
+        filt = PallasTableMatcher(
+            m.window, assume_zero_padded=True, filtered=True
+        )
+        f_dt, f_compile, f_counts = measure(filt, reps)
+        row["filter_bytes_per_sec"] = round(nbytes / f_dt, 1)
+        row["filter_compile_s"] = round(f_compile, 1)
+        row["filter_over_table"] = round(t_dt / f_dt, 2)
+        assert (f_counts == t_counts).all(), "filter != table counts"
+
         if U <= UNROLLED_MAX_U:
             unrolled = PallasWindowMatcher(m.window, assume_zero_padded=True)
             u_dt, u_compile, u_counts = measure(unrolled, reps)
