@@ -16,7 +16,8 @@ import pytest
 WORKER = r"""
 import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                           + os.environ.get("MSM_TEST_DEVCOUNT", "4"))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
@@ -93,6 +94,100 @@ if int(sys.argv[3]) == 0:
                    "local_packets": res.local_packets,
                    "stats": stats}, f)
 """
+
+
+DEATH_WORKER = r"""
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+    heartbeat_timeout_seconds=10,
+)
+if sys.argv[3] == "1":
+    os._exit(0)  # simulated mid-run crash (preemption/OOM-kill analogue)
+from multithreading_string_matching_tpu import Matcher, load_patterns
+from multithreading_string_matching_tpu.parallel.distributed import count_pcap_distributed
+
+m = Matcher(load_patterns(sys.argv[4] + "/strings.txt"))
+count_pcap_distributed(m, sys.argv[4] + "/udp_1000.pcap", "udp", engine="window")
+print("SURVIVOR FINISHED", flush=True)  # must never be reached
+"""
+
+
+def _spawn_ranks(script, coord, n, extra, env, tail=()):
+    return [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(n), str(i), *extra,
+             *tail],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(n)
+    ]
+
+
+def test_four_process_distributed(reference_dir, tmp_path):
+    """Four processes, ONE device each — a real (non-degenerate) collective
+    topology, the closest this box gets to the reference's multi-VM MPI runs
+    (/root/reference/README.md:19).  Counts equal the oracle; each rank
+    ingested only its quarter."""
+    out = tmp_path / "counts.json"
+    script = tmp_path / "worker4.py"
+    script.write_text(WORKER)
+    port = 24865 + os.getpid() % 2000
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    env["MSM_TEST_DEVCOUNT"] = "1"
+    procs = _spawn_ranks(
+        script, f"localhost:{port}", 4,
+        [str(reference_dir), str(out), "window"], env,
+    )
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    import json
+
+    import oracle
+
+    from multithreading_string_matching_tpu import load_patterns
+
+    data = json.loads(out.read_text())
+    pats = load_patterns(reference_dir / "strings.txt")
+    want = oracle.oracle_pcap_counts(reference_dir / "udp_1000.pcap", pats, "udp")
+    assert data["counts"] == list(want)
+    assert data["local_packets"] == 250  # rank 0's quarter
+
+
+def test_rank_death_aborts_survivors(reference_dir, tmp_path):
+    """Kill one rank after init: the surviving ranks must terminate with the
+    coordination-service failure within the heartbeat window — NOT hang in
+    the collective (the failure-detection half of the mpi_dumping story the
+    error-flag test can't cover).  JAX surfaces peer death as a fatal
+    process abort, so the pin is: nonzero exit, unhealthy-task diagnostics
+    on stderr, completion well inside the subprocess timeout."""
+    script = tmp_path / "death_worker.py"
+    script.write_text(DEATH_WORKER)
+    port = 25865 + os.getpid() % 2000
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    procs = _spawn_ranks(
+        script, f"localhost:{port}", 4, [str(reference_dir)], env,
+    )
+    outs = [p.communicate(timeout=180) for p in procs]  # hang -> TimeoutExpired
+    (so1, _) = outs[1]
+    assert procs[1].returncode == 0  # the victim exits quietly
+    for i in (0, 2, 3):
+        p, (so, se) = procs[i], outs[i]
+        assert p.returncode != 0, f"rank {i} finished despite peer death"
+        assert b"SURVIVOR FINISHED" not in so
+        text = se.decode()
+        assert ("stopped sending heartbeats" in text
+                or "detected fatal errors" in text), text[-2000:]
 
 
 @pytest.mark.parametrize("host_workers", [0, 2])
