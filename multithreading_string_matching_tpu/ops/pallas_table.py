@@ -158,16 +158,27 @@ def _make_table_kernel_rows(K: int, use_fit: bool, unroll: int = UNROLL):
 
 
 def _make_filter_kernel(K: int, use_fit: bool, with_reps: bool,
-                        unroll: int = UNROLL):
-    """Filter/verify totals kernel: same grid/accumulation contract as
-    _make_table_kernel, two extra SMEM operands (fwords/fmasks).  Each
-    unroll group first computes its ``unroll`` filter flags branchlessly
-    (independent eq+reduce chains keep the VPU pipelined), then runs the
-    per-pattern verify chains under ``pl.when`` — per-PATTERN granularity,
-    so one hot pattern cannot drag its whole block into full verification."""
+                        unroll: int = UNROLL, gate: str = "group"):
+    """Filter/verify totals kernel: same grid/accumulation contract AND the
+    same operand list as _make_table_kernel — the filter word/mask ride as
+    an EXTRA COLUMN K of the words/masks tables.  That is not cosmetic:
+    adding two more SMEM operands multiplied the Mosaic compile time ~20x
+    (measured 194 s vs 9 s for an identical kernel body; the packed-column
+    form compiles like the plain kernel).
 
-    def kernel(words_ref, masks_ref, lens_ref, fwords_ref, fmasks_ref,
-               payload_ref, length_ref, out_ref):
+    Each unroll group computes its ``unroll`` filter-hit masks branchlessly
+    (independent eq chains keep the VPU pipelined), ORs them, and gates the
+    group's verify chains behind ONE ``pl.when`` on the reduced flag.
+
+    ``gate`` granularity: ``'group'`` (default) spends one predicated
+    region and one scalar reduce per unroll group — a hot pattern drags its
+    ``unroll``-sized group into verification, which is the price of keeping
+    the branch count at PB/unroll; ``'pattern'`` gates each pattern
+    individually (unroll x more predicated regions + reduces);  ``'none'``
+    verifies unconditionally (the filter cost floor, for measurement)."""
+
+    def kernel(words_ref, masks_ref, lens_ref, payload_ref, length_ref,
+               out_ref):
         first = pl.program_id(1) == 0 if not with_reps else (
             (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
         )
@@ -184,26 +195,42 @@ def _make_filter_kernel(K: int, use_fit: bool, with_reps: bool,
         w, pos = _window_views(payload_ref, K, use_fit)
         lens = length_ref[:]
 
+        def verify(u):
+            acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
+            for k in range(1, K):
+                acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
+            if use_fit:
+                acc &= (pos + lens_ref[u, 0]) <= lens
+            out_ref[u, 0] = out_ref[u, 0] + jnp.sum(acc.astype(jnp.int32))
+
         def body(g, c):
             base = g * unroll
-            flags = []
+            hits = []
             for t in range(unroll):
                 u = base + t
-                hit = (w[0] & fmasks_ref[u, 0]) == fwords_ref[u, 0]
-                flags.append(jnp.sum(hit.astype(jnp.int32)))
-            for t in range(unroll):
-                u = base + t
+                hits.append(
+                    (w[0] & masks_ref[u, K]) == words_ref[u, K]
+                )
+            if gate == "group":
+                anyhit = hits[0]
+                for h in hits[1:]:
+                    anyhit |= h
+                flag = jnp.sum(anyhit.astype(jnp.int32))
 
-                @pl.when(flags[t] > 0)
-                def _(u=u):
-                    acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
-                    for k in range(1, K):
-                        acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
-                    if use_fit:
-                        acc &= (pos + lens_ref[u, 0]) <= lens
-                    out_ref[u, 0] = out_ref[u, 0] + jnp.sum(
-                        acc.astype(jnp.int32)
-                    )
+                @pl.when(flag > 0)
+                def _():
+                    for t in range(unroll):
+                        verify(base + t)
+            elif gate == "pattern":
+                flags = [jnp.sum(h.astype(jnp.int32)) for h in hits]
+                for t in range(unroll):
+
+                    @pl.when(flags[t] > 0)
+                    def _(u=base + t):
+                        verify(u)
+            else:
+                for t in range(unroll):
+                    verify(base + t)
             return c
 
         jax.lax.fori_loop(0, PB // unroll, body, 0)
@@ -211,39 +238,51 @@ def _make_filter_kernel(K: int, use_fit: bool, with_reps: bool,
     return kernel
 
 
-def _make_filter_kernel_rows(K: int, use_fit: bool, unroll: int = UNROLL):
+def _make_filter_kernel_rows(K: int, use_fit: bool, unroll: int = UNROLL,
+                             gate: str = "group"):
     """Per-row filter/verify variant: each grid step OWNS its [PB, TN]
-    output block, so unverified patterns must write explicit zero rows
-    (cheap: one store per element vs the verify chain's compare tree)."""
+    output block, so ungated groups must write explicit zero rows (cheap:
+    one store per element vs the verify chain's compare tree).  Filter
+    word/mask live in column K of the tables (see _make_filter_kernel)."""
 
-    def kernel(words_ref, masks_ref, lens_ref, fwords_ref, fmasks_ref,
-               payload_ref, length_ref, out_ref):
+    def kernel(words_ref, masks_ref, lens_ref, payload_ref, length_ref,
+               out_ref):
         PB = out_ref.shape[0]
         w, pos = _window_views(payload_ref, K, use_fit)
         lens = length_ref[:]
 
+        def verify_rows(u):
+            acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
+            for k in range(1, K):
+                acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
+            if use_fit:
+                acc &= (pos + lens_ref[u, 0]) <= lens
+            out_ref[u, :] = jnp.sum(acc.astype(jnp.int32), axis=1)
+
         def body(g, c):
             base = g * unroll
-            flags = []
+            if gate == "none":
+                for t in range(unroll):
+                    verify_rows(base + t)
+                return c
+            hits = []
             for t in range(unroll):
                 u = base + t
-                hit = (w[0] & fmasks_ref[u, 0]) == fwords_ref[u, 0]
-                flags.append(jnp.sum(hit.astype(jnp.int32)))
-            for t in range(unroll):
-                u = base + t
+                hits.append((w[0] & masks_ref[u, K]) == words_ref[u, K])
+            anyhit = hits[0]
+            for h in hits[1:]:
+                anyhit |= h
+            flag = jnp.sum(anyhit.astype(jnp.int32))
 
-                @pl.when(flags[t] > 0)
-                def _(u=u):
-                    acc = (w[0] & masks_ref[u, 0]) == words_ref[u, 0]
-                    for k in range(1, K):
-                        acc &= (w[k] & masks_ref[u, k]) == words_ref[u, k]
-                    if use_fit:
-                        acc &= (pos + lens_ref[u, 0]) <= lens
-                    out_ref[u, :] = jnp.sum(acc.astype(jnp.int32), axis=1)
+            @pl.when(flag > 0)
+            def _():
+                for t in range(unroll):
+                    verify_rows(base + t)
 
-                @pl.when(flags[t] == 0)
-                def _(u=u):
-                    out_ref[u, :] = jnp.zeros(
+            @pl.when(flag == 0)
+            def _():
+                for t in range(unroll):
+                    out_ref[base + t, :] = jnp.zeros(
                         (out_ref.shape[1],), jnp.int32
                     )
             return c
@@ -307,16 +346,19 @@ class _PatternClass:
         self.masks = np.pad(masks[:, :K], ((0, pad), (0, 0)))
         self.lens = np.pad(lens, (0, pad)).reshape(-1, 1).astype(np.int32)
         if fwords is not None:
-            # Padded slots get the never-fires sentinel (x & 0 == 1 is
-            # false everywhere), so they skip verification and report 0.
-            self.fwords = np.pad(
-                fwords, (0, pad), constant_values=1
-            ).reshape(-1, 1).astype(np.uint32)
-            self.fmasks = np.pad(
-                fmasks, (0, pad), constant_values=0
-            ).reshape(-1, 1).astype(np.uint32)
-        else:
-            self.fwords = self.fmasks = None
+            # Filter word/mask ride as COLUMN K of the same tables (extra
+            # SMEM operands cost ~20x in Mosaic compile time — kernel
+            # docstring).  Padded slots get the never-fires sentinel
+            # (x & 0 == 1 is false everywhere), so they skip verification
+            # and report 0.
+            fw = np.pad(fwords, (0, pad), constant_values=1)
+            fm = np.pad(fmasks, (0, pad), constant_values=0)
+            self.words = np.concatenate(
+                [self.words, fw[:, None].astype(self.words.dtype)], axis=1
+            )
+            self.masks = np.concatenate(
+                [self.masks, fm[:, None].astype(self.masks.dtype)], axis=1
+            )
 
 
 class PallasTableMatcher(TileCountSurface):
@@ -334,6 +376,7 @@ class PallasTableMatcher(TileCountSurface):
         unroll: int = UNROLL,
         vmem_budget: int = 1_600_000,
         filtered: bool = False,
+        filter_gate: str = "group",
     ):
         self.wp = wp
         self.row_tile = row_tile
@@ -376,8 +419,15 @@ class PallasTableMatcher(TileCountSurface):
                     fmasks=fmasks[sel] if filtered else None,
                 )
             )
-        mk = _make_filter_kernel if filtered else _make_table_kernel
-        mk_rows = _make_filter_kernel_rows if filtered else _make_table_kernel_rows
+        if filtered:
+            import functools
+
+            mk = functools.partial(_make_filter_kernel, gate=filter_gate)
+            mk_rows = functools.partial(
+                _make_filter_kernel_rows, gate=filter_gate
+            )
+        else:
+            mk, mk_rows = _make_table_kernel, _make_table_kernel_rows
         self._kernels = {
             c.K: mk(c.K, use_fit, with_reps=False, unroll=unroll)
             for c in self.classes
@@ -418,31 +468,25 @@ class PallasTableMatcher(TileCountSurface):
             grid = (c.nblocks, reps, n // tn)
             pat_ix = lambda j, r, i: (j, 0)
             vec_ix = lambda j, r, i: (i, 0)
-        specs = [
-            pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
-            pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
-            pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-        ]
-        args = [jnp.asarray(c.words), jnp.asarray(c.masks), jnp.asarray(c.lens)]
-        if self.filtered:
-            specs += [
-                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-            ]
-            args += [jnp.asarray(c.fwords), jnp.asarray(c.fmasks)]
-        specs += [
-            pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
-        ]
+        kw = c.words.shape[1]  # K, or K+1 with the packed filter column
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=specs,
+            in_specs=[
+                pl.BlockSpec((c.pb, kw), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, kw), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
+                pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((c.pb, 1), lambda *ix: (ix[0], 0),
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, 1), jnp.int32),
             interpret=self.interpret,
-        )(*args, payloads, lengths)
+        )(
+            jnp.asarray(c.words), jnp.asarray(c.masks), jnp.asarray(c.lens),
+            payloads, lengths,
+        )
 
     def _one_tile(self, payloads, lengths, reps=None):
         """Counts in SORTED-unique order, concatenated across classes."""
@@ -469,33 +513,24 @@ class PallasTableMatcher(TileCountSurface):
         n, L = payloads.shape
         outs = []
         for c in self.classes:
-            pat_ix = lambda j, i: (j, 0)
-            vec_ix = lambda j, i: (i, 0)
-            specs = [
-                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
-                pl.BlockSpec((c.pb, c.K), pat_ix, memory_space=pltpu.SMEM),
-                pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-            ]
-            args = [jnp.asarray(c.words), jnp.asarray(c.masks),
-                    jnp.asarray(c.lens)]
-            if self.filtered:
-                specs += [
-                    pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-                    pl.BlockSpec((c.pb, 1), pat_ix, memory_space=pltpu.SMEM),
-                ]
-                args += [jnp.asarray(c.fwords), jnp.asarray(c.fmasks)]
-            specs += [
-                pl.BlockSpec((tn, L), vec_ix, memory_space=pltpu.VMEM),
-                pl.BlockSpec((tn, 1), vec_ix, memory_space=pltpu.VMEM),
-            ]
+            kw = c.words.shape[1]
             out = pl.pallas_call(
                 self._kernels_rows[c.K],
                 grid=(c.nblocks, n // tn),
-                in_specs=specs,
+                in_specs=[
+                    pl.BlockSpec((c.pb, kw), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((c.pb, kw), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((c.pb, 1), lambda j, i: (j, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tn, L), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                ],
                 out_specs=pl.BlockSpec((c.pb, tn), lambda j, i: (j, i)),
                 out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, n), jnp.int32),
                 interpret=self.interpret,
-            )(*args, payloads, lengths)
+            )(
+                jnp.asarray(c.words), jnp.asarray(c.masks),
+                jnp.asarray(c.lens), payloads, lengths,
+            )
             outs.append(out[: c.num])
         return jnp.take(jnp.concatenate(outs), self._inv, axis=0).T  # [n, U]
 
