@@ -418,6 +418,12 @@ def cmd_match(argv: List[str]) -> int:
     p.add_argument("--ipv6", action="store_true", help="also decode IPv6 frames (ethertype 0x86dd)")
     p.add_argument("--per-packet", action="store_true")
     p.add_argument(
+        "--flows", action="store_true",
+        help="reassemble TCP/UDP 5-tuple flows and scan the concatenated "
+             "streams: signatures split across segments count (one-shot "
+             "counts only; the reference's per-packet model misses these)",
+    )
+    p.add_argument(
         "--offsets", action="store_true",
         help="also emit (packet, start, pattern) match positions",
     )
@@ -506,6 +512,40 @@ def _run_match(a, cfg, pcap_paths) -> int:
                          "path reads the capture in one pass)")
     if a.host_workers < 0:
         raise SystemExit("--host-workers must be >= 0")
+    if a.flows and (a.stream or cfg.per_packet or a.offsets or a.dump_matches
+                    or a.sharded):
+        raise SystemExit(
+            "--flows is one-shot counts-only: drop --stream/--per-packet/"
+            "--offsets/--dump-matches/--sharded (per-flow attribution is a "
+            "library surface: io.flows + parallel.flow_stream)"
+        )
+    if a.flows:
+        from multithreading_string_matching_tpu.io.flows import extract_flows
+        from multithreading_string_matching_tpu.io.pcap import concat_pcaps
+
+        with timer.phase("ingest"):
+            pcap = concat_pcaps([read_pcap(p_) for p_ in pcap_paths])
+        with timer.phase("extract"):
+            fb = extract_flows(pcap, cfg.mode)
+        with timer.phase("scan"):
+            counts = matcher.count(fb.payloads, fb.lengths)
+        if a.json:
+            import json
+
+            blob = {
+                "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
+                "counts": np.asarray(counts).tolist(),
+                "flows": fb.num_flows,
+                "flow_packets": int((fb.flow_of_packet >= 0).sum()),
+                "packets": fb.num_packets,
+                "stream_bytes": fb.total_payload_bytes,
+                "phases": timer.phases,
+                "execution": _execution_blob(matcher, False),
+            }
+            print(json.dumps(blob))
+        else:
+            _report(matcher, counts, timer.total)
+        return 0
     if a.stream:
         if cfg.per_packet:
             raise SystemExit("--stream is incompatible with --per-packet")

@@ -1,0 +1,209 @@
+"""Flow reassembly — the IDS-shaped capability the reference cannot have.
+
+The reference treats every packet independently (packet_dumping.h hands each
+payload to kmp_matcher in isolation), so a signature split across two TCP
+segments of the same connection is invisible to it.  This module groups
+packets into flows (the 5-tuple conversation, direction-sensitive) and
+concatenates each flow's payload bytes in capture order, so any engine can
+scan the reassembled byte stream; matches that straddle segment boundaries
+count exactly like the concatenated-flow oracle.
+
+Scope (documented, deliberate): segments are concatenated in CAPTURE order —
+there is no TCP sequence-number reordering or overlap resolution (a full
+reassembler also needs timeout/RST/FIN state; captures replayed from a
+well-behaved stack are already in order).  Truncated captures (caplen <
+wire length) contribute only their captured bytes.
+
+This is a beyond-reference surface, so the parse is the HONEST one
+(``decode_headers(strict=True)``: real IHL, real TCP data offset, protocol
+checked) — none of the compat quirks apply here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from multithreading_string_matching_tpu.io.decode import decode_headers
+from multithreading_string_matching_tpu.io.pcap import PcapFile
+
+# Link-layer header sizes by linktype (mirrors decode_headers' map; VLAN
+# tagging is not supported on the flow path — keys would need per-packet
+# l2 shifts).
+_LINKTYPE_SLL = 113
+_LINKTYPE_NULL = 0
+_RAW_IP = (101, 12)
+
+
+def _l2_base(linktype: int) -> int:
+    if linktype == _LINKTYPE_SLL:
+        return 16
+    if linktype in _RAW_IP:
+        return 0
+    if linktype == _LINKTYPE_NULL:
+        return 4
+    return 14  # Ethernet, and the unknown-linktype fallback
+
+
+@dataclass(frozen=True)
+class FlowBatch:
+    """Reassembled flows in the same padded-tensor shape PayloadBatch uses,
+    so every Matcher entry point accepts the rows directly."""
+
+    payloads: np.ndarray        # uint8[Fq, Lmax] zero-padded concatenated bytes
+    lengths: np.ndarray         # int64[Fq] true stream byte counts
+    keys: np.ndarray            # uint8[Fq, 12] src_ip|dst_ip|sport|dport (BE)
+    segments: np.ndarray        # int64[Fq] segment (packet) count per flow
+    flow_of_packet: np.ndarray  # int64[N_packets] flow id, -1 for non-flow pkts
+    num_packets: int
+    num_flows: int              # true flow count (rows past it are padding)
+
+    @property
+    def total_payload_bytes(self) -> int:
+        return int(self.lengths.sum())
+
+    def stream(self, f: int) -> bytes:
+        return self.payloads[f, : int(self.lengths[f])].tobytes()
+
+    def key_tuple(self, f: int):
+        """(src_ip, dst_ip, sport, dport) as dotted-quad strings + ints."""
+        k = self.keys[f]
+        return (
+            ".".join(str(int(b)) for b in k[0:4]),
+            ".".join(str(int(b)) for b in k[4:8]),
+            int(k[8]) << 8 | int(k[9]),
+            int(k[10]) << 8 | int(k[11]),
+        )
+
+
+def flow_keys(pcap: PcapFile, mode: str = "tcp"):
+    """(valid bool[N], keys uint8[N, 12], payload_off, payload_len) for the
+    honest (strict) decode — the key is readable only when the capture
+    actually holds the IP addresses and transport ports."""
+    valid, off, ln = decode_headers(pcap, mode, strict=True)
+    buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
+    l2 = _l2_base(pcap.linktype)
+    n = base.shape[0]
+    vhl = np.zeros(n, np.int64)
+    ok_vhl = cap >= l2 + 1
+    if len(buf):
+        np.copyto(
+            vhl, buf[np.minimum(base + l2, len(buf) - 1)],
+            where=ok_vhl, casting="unsafe",
+        )
+    iplen = (vhl & 0x0F) * 4
+    # Key bytes: IPs at l2+12..20, ports at l2+iplen..+4 — all must be
+    # within the CAPTURED bytes (origlen-valid but caplen-truncated packets
+    # have no recoverable key).
+    valid = valid & (cap >= l2 + 20) & (cap >= l2 + iplen + 4)
+    keys = np.zeros((n, 12), np.uint8)
+    if len(buf):
+        ipidx = base[:, None] + l2 + 12 + np.arange(8)[None, :]
+        pidx = (base + l2 + iplen)[:, None] + np.arange(4)[None, :]
+        idx = np.concatenate([ipidx, pidx], axis=1)
+        np.copyto(
+            keys, buf[np.minimum(idx, len(buf) - 1)],
+            where=valid[:, None], casting="unsafe",
+        )
+    # Captured payload bytes only (truncation-safe).
+    avail = np.clip(cap - off, 0, ln)
+    return valid, keys, off, np.where(valid, avail, 0)
+
+
+def extract_flows(
+    pcap: PcapFile,
+    mode: str = "tcp",
+    *,
+    pad_len_to: int = 128,
+    pad_flows_to: int = 8,
+) -> FlowBatch:
+    """Group packets into flows and concatenate payloads in capture order.
+
+    Rows are zero-padded past their true length (the staged-batch
+    invariant every engine relies on), widths quantized to ``pad_len_to``
+    lanes and the flow axis to ``pad_flows_to`` (padding rows are length-0
+    and count zero)."""
+    valid, keys, off, ln = flow_keys(pcap, mode)
+    n = valid.shape[0]
+    flow_of_packet = np.full(n, -1, np.int64)
+    vidx = np.flatnonzero(valid)
+    if vidx.size == 0:
+        return FlowBatch(
+            payloads=np.zeros((0, 0), np.uint8),
+            lengths=np.zeros(0, np.int64),
+            keys=np.zeros((0, 12), np.uint8),
+            segments=np.zeros(0, np.int64),
+            flow_of_packet=flow_of_packet,
+            num_packets=n,
+            num_flows=0,
+        )
+    # Distinct keys -> dense flow ids, in FIRST-SEEN order (np.unique sorts
+    # by key bytes; remap so flow 0 is the first flow on the wire — stable
+    # output for humans and tests).
+    kv = keys[vidx]
+    _, first_idx, inv = np.unique(
+        kv.view([("k", "V12")]).ravel(), return_index=True, return_inverse=True
+    )
+    order_of_first = np.argsort(np.argsort(first_idx))
+    fid = order_of_first[inv]
+    flow_of_packet[vidx] = fid
+    F = int(fid.max()) + 1
+
+    seg_lens = ln[vidx]
+    flow_len = np.bincount(fid, weights=seg_lens, minlength=F).astype(np.int64)
+    segments = np.bincount(fid, minlength=F).astype(np.int64)
+
+    lmax = int(flow_len.max()) if F else 0
+    lmax_q = max(pad_len_to, -(-lmax // pad_len_to) * pad_len_to)
+    f_q = max(pad_flows_to, -(-F // pad_flows_to) * pad_flows_to)
+    payloads = np.zeros((f_q, lmax_q), np.uint8)
+    # Per-segment slice copies in capture order (fancy-indexed scatter is
+    # ~40x slower for contiguous byte runs — DESIGN §6); the running write
+    # cursor per flow IS the reassembly.
+    cursor = np.zeros(F, np.int64)
+    buf = pcap.buf
+    for j, pkt in enumerate(vidx):
+        f = fid[j]
+        ln_j = int(seg_lens[j])
+        if ln_j:
+            s = int(pcap.offsets[pkt] + off[pkt])
+            c = int(cursor[f])
+            payloads[f, c : c + ln_j] = buf[s : s + ln_j]
+            cursor[f] = c + ln_j
+
+    lengths = np.zeros(f_q, np.int64)
+    lengths[:F] = flow_len
+    keys_out = np.zeros((f_q, 12), np.uint8)
+    # Flow f's key = the f-th DISTINCT key on the wire; sorting the
+    # first-occurrence indices recovers exactly that order.
+    keys_out[:F] = kv[np.sort(first_idx)]
+    segs_out = np.zeros(f_q, np.int64)
+    segs_out[:F] = segments
+    return FlowBatch(
+        payloads=payloads,
+        lengths=lengths,
+        keys=keys_out,
+        segments=segs_out,
+        flow_of_packet=flow_of_packet,
+        num_packets=n,
+        num_flows=F,
+    )
+
+
+def count_flows_chunked(matcher, fb: FlowBatch, chunk_width: int = 2048):
+    """Scan reassembled flows in fixed-width chunks with carried DFA state
+    (the long-context path): identical counts to one-shot scanning of the
+    full rows, with per-dispatch width bounded — the shape used when Lmax
+    would blow a single staged tile.  Returns int64[P] counts."""
+    F, L = fb.payloads.shape
+    if F == 0 or L == 0:
+        return np.zeros(len(matcher.patterns), np.int64)
+    states = matcher.streaming_state(F)
+    total = np.zeros(len(matcher.patterns), np.int64)
+    for c in range(0, L, chunk_width):
+        chunk = fb.payloads[:, c : c + chunk_width]
+        rel = np.clip(fb.lengths - c, 0, chunk.shape[1]).astype(np.int32)
+        counts, states = matcher.count_chunk(chunk, rel, states)
+        total += np.asarray(counts, dtype=np.int64)
+    return total

@@ -69,6 +69,94 @@ def synth_udp_pcap(
     return total_payload
 
 
+def synth_tcp_flows_pcap(
+    path,
+    flows,
+    *,
+    segment_len: int = 0,
+    interleave_seed: Optional[int] = None,
+    noise_packets: int = 0,
+    seed: int = 0,
+) -> int:
+    """Write a capture of TCP flows with controlled segmentation.
+
+    ``flows``: sequence of ``((src_ip, dst_ip, sport, dport), payload)`` or
+    ``(key, payload, segment_lens)`` — the stream bytes are split into
+    segments (``segment_lens`` explicit, or fixed ``segment_len``, or one
+    segment).  Segments keep per-flow order; ``interleave_seed`` shuffles
+    segments ACROSS flows (the split-signature test shape: another flow's
+    packet lands between two halves of a signature).  ``noise_packets``
+    appends undecodable/UDP frames to exercise the non-flow path.  Returns
+    total stream bytes."""
+    from multithreading_string_matching_tpu.io.pcap import classic_global_header
+
+    rng = np.random.default_rng(seed)
+    frames = []  # (flow_order_tag, frame bytes)
+    total = 0
+    for fi, spec in enumerate(flows):
+        key, payload = spec[0], bytes(spec[1])
+        seglens = spec[2] if len(spec) > 2 else None
+        total += len(payload)
+        if seglens is None:
+            step = segment_len if segment_len > 0 else max(1, len(payload))
+            seglens = [step] * (-(-len(payload) // step)) if payload else [0]
+        pos = 0
+        seq = 1000 * (fi + 1)
+        for sl in seglens:
+            seg = payload[pos : pos + sl]
+            pos += sl
+            frames.append((fi, _eth_ipv4_tcp(seg, key, seq)))
+            seq += len(seg)
+        assert pos >= len(payload), "segment_lens shorter than payload"
+    if interleave_seed is not None:
+        # Shuffle WHICH flow emits at each slot, then emit each flow's
+        # segments in order — random cross-flow interleaving that preserves
+        # per-flow segment order (the only order reassembly relies on).
+        tags = [fi for fi, _ in frames]
+        np.random.default_rng(interleave_seed).shuffle(tags)
+        by_flow = {}
+        for fi, fr in frames:
+            by_flow.setdefault(fi, []).append(fr)
+        nxt = {fi: 0 for fi in by_flow}
+        out_frames = []
+        for fi in tags:
+            out_frames.append(by_flow[fi][nxt[fi]])
+            nxt[fi] += 1
+    else:
+        out_frames = [fr for _, fr in frames]
+    for _ in range(noise_packets):
+        pay = rng.integers(0, 256, size=int(rng.integers(0, 64)),
+                           dtype=np.uint8).tobytes()
+        out_frames.append(_eth_ipv4(pay, proto=17))
+    with open(path, "wb") as f:
+        f.write(classic_global_header())
+        for i, pkt in enumerate(out_frames):
+            f.write(struct.pack("<IIII", i, 0, len(pkt), len(pkt)))
+            f.write(pkt)
+    return total
+
+
+def _ip4(s) -> bytes:
+    if isinstance(s, (bytes, bytearray)):
+        return bytes(s)
+    return bytes(int(x) for x in str(s).split("."))
+
+
+def _eth_ipv4_tcp(payload: bytes, key, seq: int) -> bytes:
+    src, dst, sport, dport = key
+    ihl = 5
+    ip = bytearray(ihl * 4)
+    ip[0] = (4 << 4) | ihl
+    ip[9] = 6
+    total = ihl * 4 + 20 + len(payload)
+    ip[2:4] = total.to_bytes(2, "big")
+    ip[12:16] = _ip4(src)
+    ip[16:20] = _ip4(dst)
+    tcp = struct.pack(">HHIIHHHH", sport, dport, seq, 0,
+                      (5 << 12) | 0x18, 65535, 0, 0)  # doff=5, PSH|ACK
+    return b"\x00" * 12 + b"\x08\x00" + bytes(ip) + tcp + payload
+
+
 def _eth_ipv4(payload: bytes, proto: int = 17, ihl: int = 5) -> bytes:
     ip = bytearray(ihl * 4)
     ip[0] = (4 << 4) | ihl

@@ -81,9 +81,16 @@ def ac_scan_chunk_impl(
 
     Returns ``(new_states, hist)`` where ``hist: int32[N, E]`` counts, per
     lane, how many valid positions inside this chunk ended in each emitting
-    state.  Lanes whose payload ends inside the chunk park in the dead state
-    (idempotent for later chunks).  ``lengths`` must already be expressed
-    relative to the chunk (callers subtract the chunk's start offset).
+    state.  Lanes whose payload ends inside the chunk HOLD their state at
+    the last valid byte (masked positions transition nowhere and emit
+    nothing) — so the returned state is exactly the DFA state after the
+    lane's real bytes, and a later chunk can append MORE bytes to the same
+    logical stream (the flow-streaming revival case, parallel/flow_stream).
+    Counts are unchanged vs the older park-in-dead semantics: emission was
+    already impossible at masked positions either way.  ``lengths`` must
+    already be expressed relative to the chunk (callers subtract the
+    chunk's start offset).  ``dead`` is kept in the signature for the
+    jit-cache key but no longer drives the masking.
 
     ``init_hist`` overrides the zero histogram carry — the sharded path
     (parallel/mesh.py) passes a pcast-varying zero so the scan's carry types
@@ -99,10 +106,13 @@ def ac_scan_chunk_impl(
         byte, pos = xs
         nxt = jnp.take(goto_flat, st * 256 + byte.astype(jnp.int32), axis=0)
         valid = pos < lengths
-        nxt = jnp.where(valid, nxt, dead)
+        nxt = jnp.where(valid, nxt, st)
         # Per-lane emitting-state hits, accumulated IN the carry (an [L,N,E]
-        # scan output would materialize terabytes on large captures).
-        hist = hist + (nxt[:, None] == emit_ids[None, :]).astype(jnp.int32)
+        # scan output would materialize terabytes on large captures).  The
+        # valid mask keeps held states from re-emitting at masked positions.
+        hist = hist + (
+            valid[:, None] & (nxt[:, None] == emit_ids[None, :])
+        ).astype(jnp.int32)
         return (nxt, hist), None
 
     positions = jnp.arange(cols.shape[0], dtype=jnp.int32)

@@ -5,8 +5,10 @@ from multithreading_string_matching_tpu.parallel.mesh import (
 )
 from multithreading_string_matching_tpu.parallel.pipeline import count_pcap_pipelined
 from multithreading_string_matching_tpu.parallel.stream import StreamMatcher
+from multithreading_string_matching_tpu.parallel.flow_stream import FlowStreamMatcher
 
 __all__ = [
+    "FlowStreamMatcher",
     "make_mesh",
     "count_matches_sharded",
     "shard_batch",

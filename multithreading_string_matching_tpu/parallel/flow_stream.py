@@ -1,0 +1,129 @@
+"""Flow-aware streaming: per-TCP-flow carried DFA state across feeds.
+
+`parallel.stream.StreamMatcher` counts per PACKET (the reference's model,
+live_openmp_task.c) — a signature split across two segments of one
+connection is invisible to it.  :class:`FlowStreamMatcher` keeps one
+Aho-Corasick DFA state per flow: segments append to small per-flow pending
+buffers, and each scan round lays active flows out as LANES of a
+``[flows, width]`` tile fed through ``Matcher.count_chunk`` (the carried-
+state AC scan, ops/scan.py) — the DFA step is a monoid action, so chunked
+per-flow scans compose exactly and a match split across ANY boundary
+(segment, feed, scan round) counts once, equal to the concatenated-flow
+oracle (tested).
+
+Memory model: pending bytes are bounded by ``scan_bytes`` (a round fires
+when they exceed it, or at :meth:`flush`); the per-flow residue is one
+int32 DFA state, so long-lived connections cost 4 bytes between rounds.
+State eviction (idle timeout, FIN/RST tracking) is deployment policy and
+out of scope — ``evict(keys)`` lets the caller apply one.
+
+Lane layout quantizes (pow2 flows x fixed width) so a long capture reuses
+O(log) compiled shapes, the same rule the packed-tile serving path uses.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from multithreading_string_matching_tpu.io.flows import flow_keys
+
+
+def _pow2(x: int, floor: int) -> int:
+    return max(floor, 1 << max(0, (x - 1).bit_length()))
+
+
+class FlowStreamMatcher:
+    def __init__(
+        self,
+        matcher,
+        mode: str = "tcp",
+        *,
+        scan_bytes: int = 1 << 20,
+        width: int = 2048,
+        min_lanes: int = 128,
+    ):
+        self.matcher = matcher
+        if mode not in ("udp", "tcp"):
+            raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
+        self.mode = mode
+        self.scan_bytes = scan_bytes
+        self.width = width
+        self.min_lanes = min_lanes
+        self._states: dict = {}      # key bytes -> int DFA state
+        self._pending: dict = {}     # key bytes -> bytearray (insertion order)
+        self._pending_bytes = 0
+        self._counts = np.zeros(len(matcher.patterns), np.int64)
+        self.packets_seen = 0        # valid flow segments fed
+        self.bytes_seen = 0
+
+    @property
+    def flows_seen(self) -> int:
+        return len(self._states) + sum(
+            1 for k in self._pending if k not in self._states
+        )
+
+    def feed_pcap_slice(self, pcap) -> None:
+        """Append each valid segment's payload to its flow's pending buffer
+        (capture order — the same reassembly contract as io.flows)."""
+        valid, keys, off, ln = flow_keys(pcap, self.mode)
+        buf = pcap.buf
+        for pkt in np.flatnonzero(valid):
+            n = int(ln[pkt])
+            self.packets_seen += 1
+            if not n:
+                continue
+            k = keys[pkt].tobytes()
+            s = int(pcap.offsets[pkt] + off[pkt])
+            self._pending.setdefault(k, bytearray()).extend(buf[s : s + n])
+            self._pending_bytes += n
+            self.bytes_seen += n
+        if self._pending_bytes >= self.scan_bytes:
+            self._scan()
+
+    def _scan(self) -> None:
+        if not self._pending_bytes:
+            self._pending.clear()
+            return
+        flows = [k for k, b in self._pending.items() if b]
+        F = _pow2(len(flows), self.min_lanes)
+        states = np.zeros(F, np.int32)
+        for i, k in enumerate(flows):
+            states[i] = self._states.get(k, 0)
+        states_v = self.matcher.streaming_state(F) + states
+        longest = max(len(self._pending[k]) for k in flows)
+        tile = np.zeros((F, self.width), np.uint8)
+        rel = np.zeros(F, np.int32)
+        for c in range(0, longest, self.width):
+            tile[:] = 0
+            for i, k in enumerate(flows):
+                b = self._pending[k]
+                seg = b[c : c + self.width]
+                tile[i, : len(seg)] = np.frombuffer(bytes(seg), np.uint8)
+                rel[i] = len(seg)
+            counts, states_v = self.matcher.count_chunk(tile, rel, states_v)
+            self._counts += np.asarray(counts, dtype=np.int64)
+        final = np.asarray(states_v)
+        for i, k in enumerate(flows):
+            self._states[k] = int(final[i])
+        self._pending.clear()
+        self._pending_bytes = 0
+
+    def flush(self) -> None:
+        """Scan whatever is pending (end-of-capture / timer tick)."""
+        self._scan()
+
+    def counts(self) -> np.ndarray:
+        """Totals over the ORIGINAL pattern list (duplicates expanded),
+        int64, NOT including unflushed pending bytes."""
+        return self._counts.copy()
+
+    def evict(self, keys) -> None:
+        """Drop carried state (and pending bytes) for the given flow keys
+        (12-byte ``bytes`` values) — the hook for idle/FIN eviction."""
+        for k in keys:
+            self._states.pop(k, None)
+            b = self._pending.pop(k, None)
+            if b:
+                self._pending_bytes -= len(b)

@@ -1,0 +1,214 @@
+"""Flow reassembly + flow-aware streaming vs the concatenated-flow oracle.
+
+The capability under test is the one the per-packet reference model
+fundamentally misses (packet_dumping.h scans each packet in isolation): a
+signature split across TCP segments of one connection must count exactly
+once, wherever the split lands — segment boundary, feed boundary, or scan
+round — and exactly as many times as it appears in the reassembled stream.
+"""
+
+import numpy as np
+import pytest
+
+from oracle import count_overlapping
+from multithreading_string_matching_tpu import Matcher
+from multithreading_string_matching_tpu.io.decode import extract_payloads
+from multithreading_string_matching_tpu.io.flows import (
+    count_flows_chunked,
+    extract_flows,
+    flow_keys,
+)
+from multithreading_string_matching_tpu.io.pcap import read_pcap, slice_pcap
+from multithreading_string_matching_tpu.io.synth import synth_tcp_flows_pcap
+from multithreading_string_matching_tpu.parallel.flow_stream import (
+    FlowStreamMatcher,
+)
+
+KEY_A = ("10.0.0.1", "10.0.0.2", 1111, 80)
+KEY_B = ("10.0.0.3", "10.0.0.2", 2222, 80)
+KEY_B_REV = ("10.0.0.2", "10.0.0.3", 80, 2222)
+PAY_A = b"xxxxSIGNATUREyyySIGNATUREzz"
+PAY_B = b"ppppSIGNATUREqq"
+PATS = [b"SIGNATURE", b"zz", b"pp"]
+
+
+def _want(streams):
+    return [sum(count_overlapping(s, p) for s in streams) for p in PATS]
+
+
+@pytest.fixture()
+def split_capture(tmp_path):
+    p = tmp_path / "flows.pcap"
+    synth_tcp_flows_pcap(
+        p,
+        [(KEY_A, PAY_A, [8, 8, 7, 4]), (KEY_B, PAY_B, [5, 5, 5])],
+        interleave_seed=9, noise_packets=3,
+    )
+    return p
+
+
+def test_reassembly_exact(split_capture):
+    fb = extract_flows(read_pcap(split_capture), "tcp")
+    assert fb.num_flows == 2
+    streams = {fb.key_tuple(f): fb.stream(f) for f in range(fb.num_flows)}
+    assert streams[KEY_A] == PAY_A
+    assert streams[KEY_B] == PAY_B
+    # padding rows are inert
+    assert (fb.lengths[fb.num_flows:] == 0).all()
+    # noise (UDP) packets are non-flow
+    assert (fb.flow_of_packet == -1).sum() == 3
+    assert int(fb.segments[:2].sum()) == 7
+
+
+def test_split_signature_counts_once(split_capture):
+    """Per-packet scanning misses every split signature; the flow scan
+    equals the concatenated-flow oracle — THE flow-aware guarantee."""
+    pcap = read_pcap(split_capture)
+    m = Matcher(PATS, engine="window")
+    per_packet = m.count_batch(extract_payloads(pcap, "tcp", strict=True))
+    assert per_packet[0] == 0  # every SIGNATURE is split
+    fb = extract_flows(pcap, "tcp")
+    got = m.count(fb.payloads, fb.lengths)
+    assert got.tolist() == _want([PAY_A, PAY_B])
+
+
+@pytest.mark.parametrize("engine", ["window", "ac", "kmp"])
+def test_flow_rows_engine_agnostic(split_capture, engine):
+    fb = extract_flows(read_pcap(split_capture), "tcp")
+    m = Matcher(PATS, engine=engine)
+    assert m.count(fb.payloads, fb.lengths).tolist() == _want([PAY_A, PAY_B])
+
+
+@pytest.mark.parametrize("chunk", [4, 7, 64])
+def test_chunked_equals_oneshot(split_capture, chunk):
+    """Carried-DFA chunked scan of the reassembled rows == one-shot (the
+    long-flow path; chunk widths deliberately misaligned with segments)."""
+    fb = extract_flows(read_pcap(split_capture), "tcp")
+    m = Matcher(PATS)
+    want = m.count(fb.payloads, fb.lengths, engine="window")
+    got = count_flows_chunked(m, fb, chunk_width=chunk)
+    assert got.tolist() == list(want)
+
+
+def test_directionality_and_keys(tmp_path):
+    """A->B and B->A are distinct streams (TCP data flows are one-way);
+    keys report real addresses/ports."""
+    p = tmp_path / "dir.pcap"
+    synth_tcp_flows_pcap(
+        p, [(KEY_B, b"abcd", [2, 2]), (KEY_B_REV, b"efgh", [4])],
+    )
+    fb = extract_flows(read_pcap(p), "tcp")
+    assert fb.num_flows == 2
+    streams = {fb.key_tuple(f): fb.stream(f) for f in range(2)}
+    assert streams[KEY_B] == b"abcd"
+    assert streams[KEY_B_REV] == b"efgh"
+
+
+def test_flow_keys_truncated_capture(tmp_path):
+    """Packets whose captured bytes stop before the ports have no
+    recoverable key and drop off the flow path (no wild reads)."""
+    p = tmp_path / "trunc.pcap"
+    synth_tcp_flows_pcap(p, [(KEY_A, b"hello", [5])])
+    raw = bytearray(p.read_bytes())
+    # shrink caplen (record header at 24) to 30 bytes: eth+16
+    import struct
+
+    caplen = struct.unpack("<I", raw[32:36])[0]
+    raw[32:36] = struct.pack("<I", 30)
+    p.write_bytes(raw[: 24 + 16 + 30] + raw[24 + 16 + caplen :])
+    pcap = read_pcap(p)
+    valid, keys, off, ln = flow_keys(pcap, "tcp")
+    assert not valid.any()
+    fb = extract_flows(pcap, "tcp")
+    assert fb.num_flows == 0
+
+
+def test_empty_and_udp_mode(tmp_path):
+    from multithreading_string_matching_tpu.io.pcap import classic_global_header
+    from multithreading_string_matching_tpu.io.synth import synth_udp_pcap
+
+    p = tmp_path / "empty.pcap"
+    p.write_bytes(classic_global_header())
+    fb = extract_flows(read_pcap(p), "tcp")
+    assert fb.num_flows == 0 and fb.num_packets == 0
+
+    # UDP "flows" (5-tuple conversations) reassemble too
+    p2 = tmp_path / "u.pcap"
+    synth_udp_pcap(p2, 10, payload_len=32, seed=1)
+    fb2 = extract_flows(read_pcap(p2), "udp")
+    assert fb2.num_flows >= 1  # synth uses one fixed 5-tuple
+    assert fb2.total_payload_bytes == 10 * 32
+
+
+def test_cli_match_flows(split_capture, tmp_path, capsys):
+    import json
+
+    from multithreading_string_matching_tpu.cli import main
+
+    pats = tmp_path / "p.txt"
+    pats.write_text("SIGNATURE zz pp")
+    code = main([
+        "match", "--pcap", str(split_capture), "--patterns", str(pats),
+        "--mode", "tcp", "--flows", "--json",
+    ])
+    out = capsys.readouterr().out
+    assert code == 0
+    blob = json.loads(out)
+    assert blob["counts"] == _want([PAY_A, PAY_B])
+    assert blob["flows"] == 2 and blob["flow_packets"] == 7
+    # incompatible combos error out loudly
+    with pytest.raises(SystemExit, match="--flows"):
+        main(["match", "--pcap", str(split_capture), "--patterns", str(pats),
+              "--mode", "tcp", "--flows", "--stream"])
+
+
+class TestFlowStream:
+    def _feed(self, fs, pcap, step):
+        for s in range(0, pcap.num_packets, step):
+            fs.feed_pcap_slice(slice_pcap(pcap, s, s + step, copy=False))
+        fs.flush()
+
+    @pytest.mark.parametrize("step,scan_bytes,width", [
+        (1, 1, 8),        # scan round per packet, multi-chunk widths
+        (3, 10, 8),       # splits land across feeds AND rounds
+        (100, 1 << 20, 2048),  # everything in one round
+    ])
+    def test_stream_equals_oracle(self, split_capture, step, scan_bytes, width):
+        pcap = read_pcap(split_capture)
+        m = Matcher(PATS, engine="ac")
+        fs = FlowStreamMatcher(
+            m, "tcp", scan_bytes=scan_bytes, width=width, min_lanes=8
+        )
+        self._feed(fs, pcap, step)
+        assert fs.counts().tolist() == _want([PAY_A, PAY_B])
+        assert fs.flows_seen == 2
+
+    def test_state_survives_across_rounds(self, tmp_path):
+        """The half-fed signature's DFA state must survive a scan round in
+        which the flow is idle, then complete when the rest arrives."""
+        p1 = tmp_path / "h1.pcap"
+        p2 = tmp_path / "h2.pcap"
+        synth_tcp_flows_pcap(p1, [(KEY_A, b"SIGNA", [5])])
+        synth_tcp_flows_pcap(p2, [(KEY_A, b"TURE", [4]), (KEY_B, b"noise", [5])])
+        m = Matcher(PATS, engine="ac")
+        fs = FlowStreamMatcher(m, "tcp", scan_bytes=1, width=8, min_lanes=8)
+        fs.feed_pcap_slice(read_pcap(p1))
+        fs.flush()           # round ends mid-signature
+        assert fs.counts()[0] == 0
+        fs.feed_pcap_slice(read_pcap(p2))
+        fs.flush()
+        assert fs.counts()[0] == 1
+
+    def test_evict_drops_state(self, tmp_path):
+        p1 = tmp_path / "e1.pcap"
+        p2 = tmp_path / "e2.pcap"
+        synth_tcp_flows_pcap(p1, [(KEY_A, b"SIGNA", [5])])
+        synth_tcp_flows_pcap(p2, [(KEY_A, b"TURE", [4])])
+        m = Matcher(PATS, engine="ac")
+        fs = FlowStreamMatcher(m, "tcp", scan_bytes=1, width=8, min_lanes=8)
+        fs.feed_pcap_slice(read_pcap(p1))
+        fs.flush()
+        fs.evict(list(fs._states))
+        fs.feed_pcap_slice(read_pcap(p2))
+        fs.flush()
+        assert fs.counts()[0] == 0  # the join was forgotten, by request
