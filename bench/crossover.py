@@ -33,7 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # Unrolled-kernel compile cost explodes past this (that is the point of the
-# table kernel); skip it above.
+# table kernel); skip it above.  The remote compiler also hard-rejects the
+# 768-pattern unrolled HLO now (HTTP 413 request-body limit on the compile
+# tunnel — measured round 4), so the attempt is try/except-guarded.
 UNROLLED_MAX_U = 768
 
 
@@ -101,11 +103,14 @@ def main():
         assert (f_counts == t_counts).all(), "filter != table counts"
 
         if U <= UNROLLED_MAX_U:
-            unrolled = PallasWindowMatcher(m.window, assume_zero_padded=True)
-            u_dt, u_compile, u_counts = measure(unrolled, reps)
-            row["unrolled_bytes_per_sec"] = round(nbytes / u_dt, 1)
-            row["unrolled_compile_s"] = round(u_compile, 1)
-            assert (u_counts == t_counts).all(), "table != unrolled counts"
+            try:
+                unrolled = PallasWindowMatcher(m.window, assume_zero_padded=True)
+                u_dt, u_compile, u_counts = measure(unrolled, reps)
+                row["unrolled_bytes_per_sec"] = round(nbytes / u_dt, 1)
+                row["unrolled_compile_s"] = round(u_compile, 1)
+                assert (u_counts == t_counts).all(), "table != unrolled counts"
+            except Exception as e:  # compile-tunnel body limit at large U
+                row["unrolled_error"] = f"{type(e).__name__}: {str(e)[:80]}"
 
         payloads = jnp.asarray(batch.payloads, jnp.uint8)
         lengths = jnp.asarray(batch.lengths, jnp.int32)
