@@ -129,15 +129,20 @@ def main():
                 0, ac_reps, body, jnp.zeros((U,), jnp.int32)
             )
 
-        ac_counts = np.asarray(run_ac())
-        assert (ac_counts == np.asarray(t_counts)[m.window.dup_map] * ac_reps).all() or \
-            (ac_counts / ac_reps == np.asarray(t_counts)[m.window.dup_map]).all(), \
-            "ac != table counts"
-        t0 = time.perf_counter()
-        np.asarray(run_ac())
-        ac_dt = (time.perf_counter() - t0) / ac_reps
-        row["ac_bytes_per_sec"] = round(nbytes / ac_dt, 1)
-        row["table_over_ac"] = round(ac_dt / t_dt, 2)
+        try:
+            ac_counts = np.asarray(run_ac())
+            assert (ac_counts == np.asarray(t_counts)[m.window.dup_map] * ac_reps).all() or \
+                (ac_counts / ac_reps == np.asarray(t_counts)[m.window.dup_map]).all(), \
+                "ac != table counts"
+            t0 = time.perf_counter()
+            np.asarray(run_ac())
+            ac_dt = (time.perf_counter() - t0) / ac_reps
+            row["ac_bytes_per_sec"] = round(nbytes / ac_dt, 1)
+            row["table_over_ac"] = round(ac_dt / t_dt, 2)
+        except Exception as e:
+            # At ~12k patterns the AC goto table is a ~100 MB inline HLO
+            # constant — past the compile tunnel's request-body limit.
+            row["ac_error"] = f"{type(e).__name__}: {str(e)[:80]}"
 
         print(json.dumps(row), flush=True)
 

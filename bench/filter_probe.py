@@ -57,7 +57,7 @@ def main():
             os.replace(tmp, path)
         corpora[name] = extract_payloads(read_pcap(path), "udp")
 
-    for U in (256, 1024):
+    for U in (256, 1024, 3072):
         pats = [b"pt%06d" % i for i in range(U)]
         m = Matcher(pats)
         for cname, batch in corpora.items():
@@ -74,12 +74,20 @@ def main():
 
             plain = PallasTableMatcher(m.window, assume_zero_padded=True)
             row["table"] = round(nbytes / measure(plain) / 1e9, 3)
-            for gate in ("none", "group", "pattern"):
+            for gate in ("none", "group", "pattern", "hier"):
                 f = PallasTableMatcher(
                     m.window, assume_zero_padded=True, filtered=True,
                     filter_gate=gate,
                 )
                 row[f"filter_{gate}"] = round(nbytes / measure(f) / 1e9, 3)
+            for un in (8, 32):
+                f = PallasTableMatcher(
+                    m.window, assume_zero_padded=True, filtered=True,
+                    filter_gate="pattern", unroll=un,
+                )
+                row[f"filter_pattern_u{un}"] = round(
+                    nbytes / measure(f) / 1e9, 3
+                )
             print(json.dumps(row), flush=True)
 
 

@@ -201,18 +201,20 @@ class Matcher:
             # The ONE word-count computation (equal by construction to the
             # WindowProgram's nonzero mask words — _pattern_stats docstring).
             total_words = self._pattern_stats()[2]
-            cls = (
-                PallasTableMatcher
-                if self._pallas_table_selected(total_words)
-                else PallasWindowMatcher
-            )
+            interpret = jax.default_backend() == "cpu"
             # prepare()/extract_payloads zero-pad rows past their lengths,
             # which unlocks the kernel's no-fit fast path.
-            self._pallas = cls(
-                self.window,
-                interpret=jax.default_backend() == "cpu",
-                assume_zero_padded=True,
-            )
+            if self._pallas_table_selected(total_words):
+                self._pallas = PallasTableMatcher(
+                    self.window, interpret=interpret,
+                    assume_zero_padded=True,
+                    filtered=self._pallas_filter_selected(),
+                )
+            else:
+                self._pallas = PallasWindowMatcher(
+                    self.window, interpret=interpret,
+                    assume_zero_padded=True,
+                )
         return self._pallas
 
     def _pattern_stats(self):
@@ -238,6 +240,16 @@ class Matcher:
             return total_words > self.PALLAS_TABLE_WORDS
         return force not in ("0", "")
 
+    def _pallas_filter_selected(self) -> bool:
+        """Filter/verify gating for the table kernel: ON by default — the
+        measured win is 1.5-1.7x on pattern sets mostly ABSENT from the
+        scanned traffic (the serving norm; bench/filter_probe), and the
+        cost where every pattern is hot is the ~2% stage-1 overhead plus
+        the verify it would have run anyway.  MSM_PALLAS_FILTER=0 disables
+        (saturated-traffic escape hatch); only consulted when the table
+        kernel is selected."""
+        return os.environ.get("MSM_PALLAS_FILTER", "") not in ("0",)
+
     def explain(self) -> dict:
         """How this matcher will execute — for logs/observability, not for
         program logic (shapes may route differently per call: staging,
@@ -261,10 +273,13 @@ class Matcher:
             "nul_patterns": any(0 in p for p in unique),
         }
         if eng == "pallas":
-            out["pallas_kernel"] = (
-                "table" if self._pallas_table_selected(total_words)
-                else "unrolled"
-            )
+            if self._pallas_table_selected(total_words):
+                out["pallas_kernel"] = (
+                    "table+filter" if self._pallas_filter_selected()
+                    else "table"
+                )
+            else:
+                out["pallas_kernel"] = "unrolled"
         return out
 
     @staticmethod

@@ -170,12 +170,18 @@ def _make_filter_kernel(K: int, use_fit: bool, with_reps: bool,
     (independent eq chains keep the VPU pipelined), ORs them, and gates the
     group's verify chains behind ONE ``pl.when`` on the reduced flag.
 
-    ``gate`` granularity: ``'group'`` (default) spends one predicated
-    region and one scalar reduce per unroll group — a hot pattern drags its
-    ``unroll``-sized group into verification, which is the price of keeping
-    the branch count at PB/unroll; ``'pattern'`` gates each pattern
-    individually (unroll x more predicated regions + reduces);  ``'none'``
-    verifies unconditionally (the filter cost floor, for measurement)."""
+    ``gate`` modes, MEASURED on the v5e (bench/filter_probe, length-8
+    sets; table kernel = 1.0x): ``'pattern-any'`` (default) gates each
+    pattern behind ``jnp.any`` of its hit mask — 1.5x at 256 patterns,
+    1.6-1.7x at 3072, the only mode whose branches Mosaic actually takes;
+    ``'pattern'`` is the same with a sum-based flag (~3% slower);
+    ``'group'`` and ``'hier'`` wrap bigger regions in the ``pl.when`` and
+    Mosaic executes them regardless (~= unfiltered, both corpora — kept
+    for re-measurement); ``'none'`` verifies unconditionally (the filter
+    cost floor: ~2% overhead).  The ceiling is structural: the per-pattern
+    eq + any-reduce floor is ~2-3 VPU ops against the K=2 verify chain's
+    ~6.5, so ~2x is the best case on 8-byte patterns and it grows with
+    pattern length (the verify chain scales with K, the filter does not)."""
 
     def kernel(words_ref, masks_ref, lens_ref, payload_ref, length_ref,
                out_ref):
@@ -221,13 +227,36 @@ def _make_filter_kernel(K: int, use_fit: bool, with_reps: bool,
                 def _():
                     for t in range(unroll):
                         verify(base + t)
-            elif gate == "pattern":
-                flags = [jnp.sum(h.astype(jnp.int32)) for h in hits]
+            elif gate in ("pattern", "pattern-any"):
+                if gate == "pattern-any":
+                    # Mask OR-reduce: no bool->int32 conversion pass.
+                    flags = [jnp.any(h) for h in hits]
+                else:
+                    flags = [jnp.sum(h.astype(jnp.int32)) > 0 for h in hits]
                 for t in range(unroll):
 
-                    @pl.when(flags[t] > 0)
+                    @pl.when(flags[t])
                     def _(u=base + t):
                         verify(u)
+            elif gate == "hier":
+                # Hierarchical: ONE cheap any-reduce gates the group's
+                # per-pattern reduces+branches, which gate the verifies.
+                # Sound because a pattern's flag can only fire where the
+                # group OR fired.  (Whether Mosaic lowers the outer region
+                # as a real branch is what bench/filter_probe measures.)
+                anyhit = hits[0]
+                for h in hits[1:]:
+                    anyhit |= h
+                gflag = jnp.sum(anyhit.astype(jnp.int32))
+
+                @pl.when(gflag > 0)
+                def _():
+                    for t in range(unroll):
+                        f = jnp.sum(hits[t].astype(jnp.int32))
+
+                        @pl.when(f > 0)
+                        def _(u=base + t):
+                            verify(u)
             else:
                 for t in range(unroll):
                     verify(base + t)
@@ -376,7 +405,7 @@ class PallasTableMatcher(TileCountSurface):
         unroll: int = UNROLL,
         vmem_budget: int = 1_600_000,
         filtered: bool = False,
-        filter_gate: str = "group",
+        filter_gate: str = "pattern-any",
     ):
         self.wp = wp
         self.row_tile = row_tile

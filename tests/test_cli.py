@@ -279,7 +279,10 @@ def test_match_json_execution_blob(reference_dir, capsys):
         ex2 = big.explain()
         assert ex2["total_pattern_words"] > 512
         assert ex2["engine_resolved"] == "pallas"
-        assert ex2["pallas_kernel"] == "table"
+        assert ex2["pallas_kernel"] == "table+filter"  # filter is default-on
+        os.environ["MSM_PALLAS_FILTER"] = "0"
+        assert big.explain()["pallas_kernel"] == "table"
+        del os.environ["MSM_PALLAS_FILTER"]
         small = Matcher([b"http", b"xml"]).explain()
         assert small["pallas_kernel"] == "unrolled"
     finally:

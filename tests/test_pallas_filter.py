@@ -157,6 +157,27 @@ def test_random_differential_vs_window_engine():
     assert (got == want).all()
 
 
+def test_matcher_defaults_filter_on(monkeypatch):
+    """Table-kernel selection turns the filter on by default;
+    MSM_PALLAS_FILTER=0 is the saturated-traffic escape hatch."""
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    from multithreading_string_matching_tpu import Matcher
+
+    m = Matcher([b"abcd", b"bcde"])
+    assert m.pallas.filtered
+    monkeypatch.setenv("MSM_PALLAS_FILTER", "0")
+    m2 = Matcher([b"abcd", b"bcde"])
+    assert not m2.pallas.filtered
+    # counts agree either way (the staged path end to end)
+    rng = np.random.default_rng(40)
+    pay = rng.integers(97, 100, size=(24, 96)).astype(np.uint8)
+    lens = rng.integers(0, 97, size=24).astype(np.int32)
+    cols = np.arange(96)[None, :]
+    pay = np.where(cols < lens[:, None], pay, 0).astype(np.uint8)
+    assert (m.count(pay, lens) == m2.count(pay, lens)).all()
+
+
 def test_summary_surface():
     ptm = _filtered(PATS)
     rng = np.random.default_rng(35)
