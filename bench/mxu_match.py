@@ -209,6 +209,9 @@ def main():
         want = np.asarray(table.count_tiles(prep.tiles,
                                             expand_duplicates=False))
         assert (out / reps == want).all(), "mxu counts != table counts"
+        # Warm the REPEATED executable before timing (count_tiles above
+        # compiles a different one; round-4 first run timed this cold).
+        np.asarray(table.count_tiles_repeated(prep.tiles, reps))
         t0 = time.perf_counter()
         np.asarray(table.count_tiles_repeated(prep.tiles, reps))
         row["table_bytes_per_sec"] = round(nbytes * reps /
