@@ -512,13 +512,46 @@ def _run_match(a, cfg, pcap_paths) -> int:
                          "path reads the capture in one pass)")
     if a.host_workers < 0:
         raise SystemExit("--host-workers must be >= 0")
-    if a.flows and (a.stream or cfg.per_packet or a.offsets or a.dump_matches
-                    or a.sharded):
+    if a.flows and (cfg.per_packet or a.dump_matches or a.sharded):
         raise SystemExit(
-            "--flows is one-shot counts-only: drop --stream/--per-packet/"
-            "--offsets/--dump-matches/--sharded (per-flow attribution is a "
-            "library surface: io.flows + parallel.flow_stream)"
+            "--flows composes with --stream and --offsets only: drop "
+            "--per-packet/--dump-matches/--sharded (per-flow rows ARE the "
+            "packet-free attribution unit)"
         )
+    if a.flows and a.stream:
+        # Bounded-memory flow serving: iter_pcap chunks feed the per-flow
+        # carried-DFA stream matcher; pending bytes bounded by scan_bytes,
+        # one int32 state per idle flow (parallel/flow_stream.py).
+        if a.offsets:
+            raise SystemExit("--flows --stream is counts-only (positions "
+                             "need the reassembled rows: drop --stream)")
+        from multithreading_string_matching_tpu.io.pcap import iter_pcap
+        from multithreading_string_matching_tpu.parallel.flow_stream import (
+            FlowStreamMatcher,
+        )
+
+        fs = FlowStreamMatcher(matcher, cfg.mode)
+        with timer.phase("scan"):
+            for path in pcap_paths:
+                for chunk in iter_pcap(path, batch_packets=8192):
+                    fs.feed_pcap_slice(chunk)
+            fs.flush()
+        counts = fs.counts()
+        if a.json:
+            import json
+
+            print(json.dumps({
+                "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
+                "counts": counts.tolist(),
+                "flows": fs.flows_seen,
+                "flow_packets": fs.packets_seen,
+                "stream_bytes": fs.bytes_seen,
+                "phases": timer.phases,
+                "execution": _execution_blob(matcher, False, actual="ac"),
+            }))
+        else:
+            _report(matcher, _exact_counts(counts), timer.total)
+        return 0
     if a.flows:
         from multithreading_string_matching_tpu.io.flows import extract_flows
         from multithreading_string_matching_tpu.io.pcap import concat_pcaps
@@ -528,7 +561,16 @@ def _run_match(a, cfg, pcap_paths) -> int:
         with timer.phase("extract"):
             fb = extract_flows(pcap, cfg.mode)
         with timer.phase("scan"):
-            counts = matcher.count(fb.payloads, fb.lengths)
+            flow_rows = None
+            if a.offsets:
+                # One find_matches pass serves counts AND positions (the
+                # same one-scan rule as the packet path); positions are
+                # byte offsets INTO THE REASSEMBLED STREAM, with the flow
+                # 5-tuple alongside.
+                flow_rows = matcher.find_matches(fb.payloads, fb.lengths)
+                counts = matcher.counts_from_match_rows(flow_rows)
+            else:
+                counts = matcher.count(fb.payloads, fb.lengths)
         if a.json:
             import json
 
@@ -542,9 +584,24 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 "phases": timer.phases,
                 "execution": _execution_blob(matcher, False),
             }
+            if flow_rows is not None:
+                blob["offsets"] = np.asarray(flow_rows).tolist()
+                blob["flow_keys"] = [
+                    list(fb.key_tuple(f)) for f in range(fb.num_flows)
+                ]
+                blob["unique_patterns"] = [
+                    pt.decode("latin-1")
+                    for pt in matcher.window.unique_patterns
+                ]
             print(json.dumps(blob))
         else:
-            _report(matcher, counts, timer.total)
+            _report(matcher, _exact_counts(counts), timer.total)
+            if flow_rows is not None:
+                uniq = matcher.window.unique_patterns
+                for f, i, u in np.asarray(flow_rows):
+                    src, dst, sp, dp = fb.key_tuple(int(f))
+                    print(f"flow {src}:{sp}->{dst}:{dp} @ {i}: "
+                          f"{uniq[u].decode('latin-1')}")
         return 0
     if a.stream:
         if cfg.per_packet:

@@ -159,7 +159,56 @@ def test_cli_match_flows(split_capture, tmp_path, capsys):
     # incompatible combos error out loudly
     with pytest.raises(SystemExit, match="--flows"):
         main(["match", "--pcap", str(split_capture), "--patterns", str(pats),
-              "--mode", "tcp", "--flows", "--stream"])
+              "--mode", "tcp", "--flows", "--per-packet", "--json"])
+
+
+def test_cli_match_flows_stream(split_capture, tmp_path, capsys):
+    """--flows --stream: the bounded-memory per-flow carried-state path
+    counts identically to one-shot reassembly."""
+    import json
+
+    from multithreading_string_matching_tpu.cli import main
+
+    pats = tmp_path / "p.txt"
+    pats.write_text("SIGNATURE zz pp")
+    code = main([
+        "match", "--pcap", str(split_capture), "--patterns", str(pats),
+        "--mode", "tcp", "--flows", "--stream", "--json",
+    ])
+    out = capsys.readouterr().out
+    assert code == 0
+    blob = json.loads(out)
+    assert blob["counts"] == _want([PAY_A, PAY_B])
+    assert blob["flows"] == 2
+
+
+def test_cli_match_flows_offsets(split_capture, tmp_path, capsys):
+    """--flows --offsets: positions are byte offsets into the reassembled
+    stream with the flow 5-tuple alongside; counts == the offsets rows."""
+    import json
+
+    from multithreading_string_matching_tpu.cli import main
+
+    pats = tmp_path / "p.txt"
+    pats.write_text("SIGNATURE zz pp")
+    code = main([
+        "match", "--pcap", str(split_capture), "--patterns", str(pats),
+        "--mode", "tcp", "--flows", "--offsets", "--json",
+    ])
+    out = capsys.readouterr().out
+    assert code == 0
+    blob = json.loads(out)
+    assert blob["counts"] == _want([PAY_A, PAY_B])
+    uniq = blob["unique_patterns"]
+    keys = {tuple(k): i for i, k in enumerate(blob["flow_keys"])}
+    # every SIGNATURE offset points at a real occurrence in the stream
+    sig_hits = [(f, i) for f, i, u in blob["offsets"]
+                if uniq[u] == "SIGNATURE"]
+    assert len(sig_hits) == 3
+    streams = {keys[("10.0.0.1", "10.0.0.2", 1111, 80)]: PAY_A,
+               keys[("10.0.0.3", "10.0.0.2", 2222, 80)]: PAY_B}
+    for f, i in sig_hits:
+        assert streams[f][i : i + 9] == b"SIGNATURE"
 
 
 class TestFlowStream:
