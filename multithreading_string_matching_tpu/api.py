@@ -370,9 +370,13 @@ class Matcher:
             # gracefully instead.  Decided from the pattern list alone via
             # the same exact word count explain() reports — never build the
             # WindowProgram the decision may route away from (its [U, K]
-            # tables are exactly what is too big here).
+            # tables are exactly what is too big here).  The word threshold
+            # moved 32k -> 50k in round 4: the filter/verify gate is a
+            # measured 1.65-1.67x on the table kernel from 3k to 12k
+            # patterns (DESIGN §1 table), which pushes the extrapolated
+            # window/AC crossover out by the same factor.
             _, max_len, total_words = self._pattern_stats()
-            engine = "ac" if total_words > 32_000 or max_len > 256 else "pallas"
+            engine = "ac" if total_words > 50_000 or max_len > 256 else "pallas"
         if (
             engine == "pallas"
             and jax.default_backend() == "cpu"

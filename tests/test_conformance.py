@@ -116,7 +116,7 @@ def test_engine_auto_selection(reference_dir):
     )
     assert (got == want).all()
 
-    many = [b"zz%08d" % i for i in range(11_000)]  # 11k x 3 words > 32k
+    many = [b"zz%08d" % i for i in range(18_000)]  # 18k x 3 words > 50k
     m_many = Matcher(many, engine="auto")
     assert m_many._resolve_engine(None) == "ac"
 
@@ -137,7 +137,7 @@ def test_engine_auto_exact_words_near_boundary():
     assert m.explain()["total_pattern_words"] == 31_010
 
     # Just past the boundary the same exact count flips both surfaces to AC.
-    many = [b"%05d" % i for i in range(16_010)]  # 16,010 x 2 words = 32,020
+    many = [b"%06d" % i for i in range(25_010)]  # 25,010 x 2 words = 50,020
     m2 = Matcher(many, engine="auto")
     assert m2._resolve_engine(None) == "ac"
     assert m2.explain()["engine_resolved"] == "ac"
