@@ -43,6 +43,8 @@ class FlowStreamMatcher:
         scan_bytes: int = 1 << 20,
         width: int = 2048,
         min_lanes: int = 128,
+        sharded: bool = False,
+        mesh=None,
     ):
         self.matcher = matcher
         if mode not in ("udp", "tcp"):
@@ -51,6 +53,24 @@ class FlowStreamMatcher:
         self.scan_bytes = scan_bytes
         self.width = width
         self.min_lanes = min_lanes
+        if mesh is not None and not sharded:
+            raise ValueError("mesh= is only meaningful with sharded=True")
+        self.sharded = sharded
+        if sharded:
+            # Flow lanes shard over the mesh (pod-scale flow monitoring):
+            # each scan round's tile splits by lane, states stay with their
+            # shard across rounds, one [E]-histogram psum per chunk
+            # (parallel.mesh.count_chunk_sharded).  Lane quantization must
+            # cover the device count so shards are even.
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            self.mesh = mesh if mesh is not None else make_mesh()
+            n_dev = int(np.prod(tuple(self.mesh.shape.values())))
+            self.min_lanes = max(min_lanes, n_dev)
+        else:
+            self.mesh = None
         self._states: dict = {}      # key bytes -> int DFA state
         self._pending: dict = {}     # key bytes -> bytearray (insertion order)
         self._pending_bytes = 0
@@ -102,7 +122,20 @@ class FlowStreamMatcher:
                 seg = b[c : c + self.width]
                 tile[i, : len(seg)] = np.frombuffer(bytes(seg), np.uint8)
                 rel[i] = len(seg)
-            counts, states_v = self.matcher.count_chunk(tile, rel, states_v)
+            if self.sharded:
+                from multithreading_string_matching_tpu.parallel.mesh import (
+                    count_chunk_sharded,
+                )
+
+                counts, states_v = count_chunk_sharded(
+                    self.matcher.cac,
+                    self.matcher._maybe_fold(tile), rel, states_v,
+                    self.mesh, dup_map=self.matcher.ac.dup_map,
+                )
+            else:
+                counts, states_v = self.matcher.count_chunk(
+                    tile, rel, states_v
+                )
             self._counts += np.asarray(counts, dtype=np.int64)
         final = np.asarray(states_v)
         for i, k in enumerate(flows):

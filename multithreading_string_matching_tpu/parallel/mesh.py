@@ -152,6 +152,79 @@ def _sharded_count(
     )(goto_flat, emit_ids, emit_sub, payloads, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("dead", "mesh", "axis"))
+def _sharded_chunk(
+    goto_flat: jax.Array,
+    emit_ids: jax.Array,
+    emit_sub: jax.Array,
+    payloads: jax.Array,    # uint8[F, W] flow-lane chunk, sharded on F
+    lengths: jax.Array,     # int32[F] bytes valid in this chunk
+    states: jax.Array,      # int32[F] carried DFA states, sharded with lanes
+    dead: int,
+    mesh: Mesh,
+    axis: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Carried-state AC chunk scan with FLOW LANES sharded over the mesh —
+    the pod-scale form of parallel/flow_stream's scan round.  States ride
+    with their shard in AND out (``P(axis)`` both ways — a flow never
+    migrates between devices mid-stream), so the only cross-chip traffic
+    is the [E] emit histogram psum per chunk; masked positions HOLD lane
+    state (ops/scan.py), which is what makes the next round's revival of
+    the same flows exact."""
+
+    def local(goto_flat, emit_ids, emit_sub, payloads, lengths, states):
+        from multithreading_string_matching_tpu.ops.scan import (
+            ac_scan_chunk_impl,
+        )
+
+        n = payloads.shape[0]
+        e = emit_ids.shape[0]
+        (init_hist,) = jax.lax.pcast(
+            (jnp.zeros((n, e), jnp.int32),), (axis,), to="varying"
+        )
+        new_states, hist = ac_scan_chunk_impl(
+            goto_flat, emit_ids, payloads, lengths, states, dead,
+            init_hist=init_hist,
+        )
+        local_hist = hist.sum(axis=0)
+        counts = jax.lax.psum(local_hist, axis) @ emit_sub
+        return counts, new_states
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(axis)),
+    )(goto_flat, emit_ids, emit_sub, payloads, lengths, states)
+
+
+def count_chunk_sharded(
+    cac: CompiledAC,
+    payloads,
+    lengths,
+    states,
+    mesh: Mesh,
+    *,
+    dup_map: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, jax.Array]:
+    """Public wrapper over :func:`_sharded_chunk`: returns ``(counts,
+    new_states)`` with counts over unique patterns (or dup-expanded when
+    ``dup_map`` is given).  The lane count must divide evenly over the
+    mesh; flow_stream's pow2 lane quantization guarantees it."""
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+    payloads = jax.device_put(jnp.asarray(payloads, jnp.uint8), sharding)
+    lengths = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+    states = jax.device_put(jnp.asarray(states, jnp.int32), sharding)
+    counts, new_states = _sharded_chunk(
+        cac.goto_flat, cac.emit_ids, cac.emit_sub, payloads, lengths,
+        states, cac.dead, mesh, axis,
+    )
+    if dup_map is not None:
+        counts = jnp.take(counts, jnp.asarray(dup_map, jnp.int32), axis=-1)
+    return counts, new_states
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"))
 def _sharded_count_window(
     pat_words: jax.Array,

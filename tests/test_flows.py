@@ -248,6 +248,28 @@ class TestFlowStream:
         fs.flush()
         assert fs.counts()[0] == 1
 
+    def test_sharded_equals_unsharded(self, split_capture):
+        """Flow lanes sharded over the 8-device mesh: identical counts to
+        the single-device stream, states surviving rounds per shard."""
+        import jax
+
+        from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+        pcap = read_pcap(split_capture)
+        m = Matcher(PATS, engine="ac")
+        mesh = make_mesh(jax.devices("cpu")[:8])
+        fs = FlowStreamMatcher(
+            m, "tcp", scan_bytes=10, width=8, min_lanes=8,
+            sharded=True, mesh=mesh,
+        )
+        self._feed(fs, pcap, 3)
+        assert fs.counts().tolist() == _want([PAY_A, PAY_B])
+
+    def test_sharded_requires_flag(self):
+        m = Matcher(PATS, engine="ac")
+        with pytest.raises(ValueError, match="mesh"):
+            FlowStreamMatcher(m, "tcp", mesh=object())
+
     def test_evict_drops_state(self, tmp_path):
         p1 = tmp_path / "e1.pcap"
         p2 = tmp_path / "e2.pcap"
