@@ -475,6 +475,7 @@ def cmd_match(argv: List[str]) -> int:
     cfg.engine = a.engine or cfg.engine
     cfg.strict = a.strict or cfg.strict
     cfg.per_packet = a.per_packet or cfg.per_packet
+    cfg.flows = a.flows or cfg.flows
     cfg.profile_dir = a.profile or cfg.profile_dir
     cfg.host_workers = a.host_workers or cfg.host_workers
     cfg.validate()
@@ -512,13 +513,13 @@ def _run_match(a, cfg, pcap_paths) -> int:
                          "path reads the capture in one pass)")
     if a.host_workers < 0:
         raise SystemExit("--host-workers must be >= 0")
-    if a.flows and (cfg.per_packet or a.dump_matches or a.sharded):
+    if cfg.flows and (cfg.per_packet or a.dump_matches or a.sharded):
         raise SystemExit(
             "--flows composes with --stream and --offsets only: drop "
             "--per-packet/--dump-matches/--sharded (per-flow rows ARE the "
             "packet-free attribution unit)"
         )
-    if a.flows and a.stream:
+    if cfg.flows and a.stream:
         # Bounded-memory flow serving: iter_pcap chunks feed the per-flow
         # carried-DFA stream matcher; pending bytes bounded by scan_bytes,
         # one int32 state per idle flow (parallel/flow_stream.py).
@@ -552,7 +553,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
         else:
             _report(matcher, _exact_counts(counts), timer.total)
         return 0
-    if a.flows:
+    if cfg.flows:
         from multithreading_string_matching_tpu.io.flows import extract_flows
         from multithreading_string_matching_tpu.io.pcap import concat_pcaps
 

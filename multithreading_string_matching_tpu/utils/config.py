@@ -37,6 +37,8 @@ class MatchConfig:
     stream_tile_rows: int = 1024      # [live] packed-tile rows per dispatch
     host_workers: int = 0             # [match] threaded host stages for --stream
                                       #         (0 = sequential)
+    flows: bool = False               # [match] 5-tuple flow reassembly
+                                      #         (--flows; round-4 surface)
     n_tile: int = 2048                # [match] bucket tile rows
     l_quant: int = 128                # [match] bucket byte-length quantum (lanes)
     row_tile: int = 512               # [lib] Pallas kernel rows per grid step

@@ -162,6 +162,25 @@ def test_cli_match_flows(split_capture, tmp_path, capsys):
               "--mode", "tcp", "--flows", "--per-packet", "--json"])
 
 
+def test_config_file_drives_flows(split_capture, tmp_path, capsys):
+    """The 'config files fully drive match' invariant extends to flows."""
+    import json
+
+    from multithreading_string_matching_tpu.cli import main
+
+    pats = tmp_path / "p.txt"
+    pats.write_text("SIGNATURE zz pp")
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps({
+        "pcap": str(split_capture), "patterns": str(pats),
+        "mode": "tcp", "flows": True,
+    }))
+    code = main(["match", "--config", str(cfgp), "--json"])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert json.loads(out)["counts"] == _want([PAY_A, PAY_B])
+
+
 def test_cli_match_flows_stream(split_capture, tmp_path, capsys):
     """--flows --stream: the bounded-memory per-flow carried-state path
     counts identically to one-shot reassembly."""
