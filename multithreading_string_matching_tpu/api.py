@@ -180,6 +180,14 @@ class Matcher:
     # and the SMEM table-driven kernel takes over (O(1) compile in pattern
     # count, same compare algebra).  MSM_PALLAS_TABLE=1/0 forces either.
     PALLAS_TABLE_WORDS = 512
+    # Sets whose patterns all share ONE word-count class flip earlier: the
+    # round-4 crossover measured the filtered table kernel BEATING the
+    # unrolled kernel on uniform sets from 256 patterns (3.70 vs 3.15 GB/s
+    # at 512 words, at ~6 s compile vs ~50 s) and tying at 128 words —
+    # while MIXED sets (many small classes, e.g. the 97-pattern fixture)
+    # still run 1.8x faster unrolled, which keeps the general threshold
+    # at 512 (DESIGN §1).
+    PALLAS_TABLE_WORDS_UNIFORM = 128
 
     @property
     def pallas(self):
@@ -236,9 +244,14 @@ class Matcher:
         words = sum of ceil(len/4) over unique patterns — both callers'
         computations are equal by construction."""
         force = os.environ.get("MSM_PALLAS_TABLE")
-        if force is None:
-            return total_words > self.PALLAS_TABLE_WORDS
-        return force not in ("0", "")
+        if force is not None:
+            return force not in ("0", "")
+        if total_words > self.PALLAS_TABLE_WORDS:
+            return True
+        kset = {-(-len(p) // 4) for p in dict.fromkeys(self._match_patterns)}
+        return (
+            len(kset) == 1 and total_words > self.PALLAS_TABLE_WORDS_UNIFORM
+        )
 
     def _pallas_filter_selected(self) -> bool:
         """Filter/verify gating for the table kernel: ON by default — the

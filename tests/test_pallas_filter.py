@@ -157,6 +157,24 @@ def test_random_differential_vs_window_engine():
     assert (got == want).all()
 
 
+def test_uniform_sets_flip_to_table_earlier(monkeypatch):
+    """Single word-count-class sets switch to the (filtered) table kernel
+    above 128 words — the regime where the round-4 crossover measured it
+    beating the unrolled kernel; mixed sets keep the 512-word threshold."""
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    from multithreading_string_matching_tpu import Matcher
+
+    uniform = Matcher([b"%08d" % i for i in range(100)])  # 200 words, 1 class
+    assert type(uniform.pallas).__name__ == "PallasTableMatcher"
+    assert uniform.explain()["pallas_kernel"] == "table+filter"
+    # same word count, two classes -> stays unrolled below 512
+    mixed = Matcher([b"%08d" % i for i in range(50)]
+                    + [b"%012d" % i for i in range(34)])  # 202 words
+    assert type(mixed.pallas).__name__ == "PallasWindowMatcher"
+    small_uniform = Matcher([b"%08d" % i for i in range(64)])  # 128 words
+    assert type(small_uniform.pallas).__name__ == "PallasWindowMatcher"
+
+
 def test_matcher_defaults_filter_on(monkeypatch):
     """Table-kernel selection turns the filter on by default;
     MSM_PALLAS_FILTER=0 is the saturated-traffic escape hatch."""
