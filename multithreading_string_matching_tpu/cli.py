@@ -586,7 +586,13 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 "execution": _execution_blob(matcher, False),
             }
             if flow_rows is not None:
-                blob["offsets"] = np.asarray(flow_rows).tolist()
+                # Each offset row carries the CAPTURE PACKET whose segment
+                # holds the match's first byte — attribution back from the
+                # reassembled stream to the wire (FlowBatch.packet_of_offset).
+                blob["offsets"] = [
+                    [int(f), int(i), int(u), fb.packet_of_offset(int(f), int(i))]
+                    for f, i, u in np.asarray(flow_rows)
+                ]
                 blob["flow_keys"] = [
                     list(fb.key_tuple(f)) for f in range(fb.num_flows)
                 ]
@@ -601,8 +607,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 uniq = matcher.window.unique_patterns
                 for f, i, u in np.asarray(flow_rows):
                     src, dst, sp, dp = fb.key_tuple(int(f))
-                    print(f"flow {src}:{sp}->{dst}:{dp} @ {i}: "
-                          f"{uniq[u].decode('latin-1')}")
+                    pkt = fb.packet_of_offset(int(f), int(i))
+                    print(f"flow {src}:{sp}->{dst}:{dp} @ {i} "
+                          f"(packet {pkt}): {uniq[u].decode('latin-1')}")
         return 0
     if a.stream:
         if cfg.per_packet:

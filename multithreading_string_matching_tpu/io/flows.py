@@ -58,6 +58,24 @@ class FlowBatch:
     flow_of_packet: np.ndarray  # int64[N_packets] flow id, -1 for non-flow pkts
     num_packets: int
     num_flows: int              # true flow count (rows past it are padding)
+    # Segment map (flow-major, capture order within each flow): packet index
+    # and stream start offset of every non-empty segment, with seg_bounds[f]
+    # slicing flow f's span — what maps a match's stream offset back to the
+    # capture packet that carried its first byte.
+    seg_packets: np.ndarray     # int64[S]
+    seg_starts: np.ndarray      # int64[S]
+    seg_bounds: np.ndarray      # int64[F+1] flow f's segments = [f, f+1)
+
+    def packet_of_offset(self, f: int, offset: int) -> int:
+        """Capture packet number (0-based) whose segment contains stream
+        byte ``offset`` of flow ``f`` — attribution back from reassembled
+        streams to wire packets."""
+        lo, hi = int(self.seg_bounds[f]), int(self.seg_bounds[f + 1])
+        if lo == hi:
+            raise IndexError(f"flow {f} has no payload segments")
+        starts = self.seg_starts[lo:hi]
+        j = int(np.searchsorted(starts, offset, side="right")) - 1
+        return int(self.seg_packets[lo + max(0, j)])
 
     @property
     def total_payload_bytes(self) -> int:
@@ -137,6 +155,9 @@ def extract_flows(
             flow_of_packet=flow_of_packet,
             num_packets=n,
             num_flows=0,
+            seg_packets=np.zeros(0, np.int64),
+            seg_starts=np.zeros(0, np.int64),
+            seg_bounds=np.zeros(1, np.int64),
         )
     # Distinct keys -> dense flow ids, in FIRST-SEEN order (np.unique sorts
     # by key bytes; remap so flow 0 is the first flow on the wire — stable
@@ -163,6 +184,7 @@ def extract_flows(
     # cursor per flow IS the reassembly.
     cursor = np.zeros(F, np.int64)
     buf = pcap.buf
+    seg_f, seg_pkt, seg_start = [], [], []
     for j, pkt in enumerate(vidx):
         f = fid[j]
         ln_j = int(seg_lens[j])
@@ -171,6 +193,16 @@ def extract_flows(
             c = int(cursor[f])
             payloads[f, c : c + ln_j] = buf[s : s + ln_j]
             cursor[f] = c + ln_j
+            seg_f.append(f)
+            seg_pkt.append(int(pkt))
+            seg_start.append(c)
+    # Flow-major segment map (stable: capture order survives within a flow).
+    seg_f = np.asarray(seg_f, np.int64)
+    order2 = np.argsort(seg_f, kind="stable")
+    seg_packets = np.asarray(seg_pkt, np.int64)[order2]
+    seg_starts = np.asarray(seg_start, np.int64)[order2]
+    seg_bounds = np.zeros(F + 1, np.int64)
+    np.cumsum(np.bincount(seg_f, minlength=F), out=seg_bounds[1:])
 
     lengths = np.zeros(f_q, np.int64)
     lengths[:F] = flow_len
@@ -188,6 +220,9 @@ def extract_flows(
         flow_of_packet=flow_of_packet,
         num_packets=n,
         num_flows=F,
+        seg_packets=seg_packets,
+        seg_starts=seg_starts,
+        seg_bounds=seg_bounds,
     )
 
 

@@ -140,6 +140,81 @@ def test_empty_and_udp_mode(tmp_path):
     assert fb2.total_payload_bytes == 10 * 32
 
 
+def test_randomized_differential_vs_python_oracle(tmp_path):
+    """60 random cases: random flows/keys/segmentation/interleave/noise —
+    reassembly must byte-equal a pure-Python per-key concatenation, counts
+    must equal the oracle, and every offset's packet attribution must point
+    at the segment really holding the match's first byte."""
+    rng = np.random.default_rng(55)
+    m = Matcher([b"SIG", b"ab"], engine="window")
+    for case in range(60):
+        nflows = int(rng.integers(1, 6))
+        flows, expect = [], {}
+        used = set()
+        for fi in range(nflows):
+            while True:
+                key = (f"10.0.{rng.integers(0, 4)}.{rng.integers(1, 5)}",
+                       "192.168.0.1",
+                       int(rng.integers(1024, 1030)), 80)
+                if key not in used:
+                    used.add(key)
+                    break
+            nbytes = int(rng.integers(0, 40))
+            pay = bytes(rng.choice(
+                [ord("a"), ord("b"), ord("S"), ord("I"), ord("G")],
+                size=nbytes).astype(np.uint8).tolist())
+            segs = []
+            left = nbytes
+            while left > 0:
+                s = int(rng.integers(1, left + 1))
+                segs.append(s)
+                left -= s
+            if not segs:
+                segs = [0]
+            flows.append((key, pay, segs))
+            expect[key] = pay
+        p = tmp_path / f"r{case}.pcap"
+        synth_tcp_flows_pcap(
+            p, flows, interleave_seed=int(rng.integers(0, 1000)),
+            noise_packets=int(rng.integers(0, 4)), seed=case,
+        )
+        pcap = read_pcap(p)
+        fb = extract_flows(pcap, "tcp")
+        got = {fb.key_tuple(f): fb.stream(f) for f in range(fb.num_flows)}
+        assert got == expect, (case, got, expect)
+        counts = m.count(fb.payloads, fb.lengths) if fb.num_flows else (
+            np.zeros(2, np.int32))
+        want = [sum(count_overlapping(v, pt) for v in expect.values())
+                for pt in m.patterns]
+        assert counts.tolist() == want, case
+        if fb.num_flows:
+            rows = m.find_matches(fb.payloads, fb.lengths)
+            for f, i, u in np.asarray(rows):
+                pkt = fb.packet_of_offset(int(f), int(i))
+                # the attributed packet's segment really contains byte i
+                lo, hi = int(fb.seg_bounds[f]), int(fb.seg_bounds[f + 1])
+                js = [j for j in range(lo, hi)
+                      if int(fb.seg_packets[j]) == pkt]
+                assert any(
+                    int(fb.seg_starts[j]) <= i
+                    and (j + 1 == hi or i < int(fb.seg_starts[j + 1]))
+                    for j in js
+                ), (case, f, i, pkt)
+
+
+def test_packet_of_offset_split(split_capture):
+    """The match that STARTS in segment 1 attributes to segment 1's packet
+    even though it finishes in segment 2."""
+    pcap = read_pcap(split_capture)
+    fb = extract_flows(pcap, "tcp")
+    m = Matcher(PATS, engine="window")
+    rows = np.asarray(m.find_matches(fb.payloads, fb.lengths))
+    for f, i, u in rows:
+        pkt = fb.packet_of_offset(int(f), int(i))
+        assert 0 <= pkt < fb.num_packets
+        assert fb.flow_of_packet[pkt] == f  # the packet belongs to the flow
+
+
 def test_cli_match_flows(split_capture, tmp_path, capsys):
     import json
 
@@ -220,14 +295,16 @@ def test_cli_match_flows_offsets(split_capture, tmp_path, capsys):
     assert blob["counts"] == _want([PAY_A, PAY_B])
     uniq = blob["unique_patterns"]
     keys = {tuple(k): i for i, k in enumerate(blob["flow_keys"])}
-    # every SIGNATURE offset points at a real occurrence in the stream
-    sig_hits = [(f, i) for f, i, u in blob["offsets"]
+    # every SIGNATURE offset points at a real occurrence in the stream,
+    # and carries the capture packet holding the match's first byte
+    sig_hits = [(f, i, pkt) for f, i, u, pkt in blob["offsets"]
                 if uniq[u] == "SIGNATURE"]
     assert len(sig_hits) == 3
     streams = {keys[("10.0.0.1", "10.0.0.2", 1111, 80)]: PAY_A,
                keys[("10.0.0.3", "10.0.0.2", 2222, 80)]: PAY_B}
-    for f, i in sig_hits:
+    for f, i, pkt in sig_hits:
         assert streams[f][i : i + 9] == b"SIGNATURE"
+        assert 0 <= pkt < blob["packets"]
 
 
 class TestFlowStream:
