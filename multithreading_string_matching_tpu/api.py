@@ -299,6 +299,41 @@ class Matcher:
     def from_file(path: Union[str, os.PathLike], engine: str = "pallas") -> "Matcher":
         return Matcher(load_patterns(path), engine=engine)
 
+    def swap_patterns(self, new_patterns) -> bool:
+        """Replace the pattern set in place — the rule-push path.
+
+        Automata invalidate and rebuild lazily as usual; the win is the
+        Pallas TABLE kernel, whose pattern tables are jit ARGUMENTS: when
+        the new set has the same geometry (same word-count classes and
+        sizes, same NUL/filter configuration), the compiled executables
+        are reused outright (``PallasTableMatcher.swap_tables``) and the
+        swap costs one host table build + a few-KB upload instead of a
+        4-200 s compile.  Returns True when the compiled kernel survived,
+        False when it had to be dropped (different geometry / unrolled
+        kernel — the next count compiles as usual).  Counts are correct
+        either way."""
+        new = [bytes(p) for p in new_patterns]
+        if not new:
+            raise ValueError("patterns must be non-empty")
+        if any(len(p) == 0 for p in new):
+            raise ValueError("empty pattern")
+        old_pallas = self._pallas
+        self.patterns = new
+        self._match_patterns = (
+            [_fold_ascii_bytes(p) for p in new]
+            if self.case_insensitive else new
+        )
+        self._ac = self._cac = self._window = self._kmp = None
+        self._pallas = None
+        if old_pallas is not None and hasattr(old_pallas, "swap_tables"):
+            try:
+                old_pallas.swap_tables(self.window)
+            except ValueError:
+                return False
+            self._pallas = old_pallas
+            return True
+        return False
+
     # -- core counting ----------------------------------------------------
 
     def count(

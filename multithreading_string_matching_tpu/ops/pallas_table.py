@@ -415,39 +415,11 @@ class PallasTableMatcher(TileCountSurface):
         self.num_unique = int(wp.pat_words.shape[0])
         self.pattern_block = pattern_block
         self.filtered = filtered
-        use_fit = (not assume_zero_padded) or any(
-            0 in p for p in wp.unique_patterns
+        self._assume_zero_padded = assume_zero_padded
+        self.classes, self._inv, self.use_fit = self._partition(
+            wp, pattern_block, unroll, filtered, assume_zero_padded
         )
-        self.use_fit = use_fit
-
-        # Partition unique patterns by word count (stable, so the sorted
-        # order is reproducible); remember how to get back to build order.
-        kcounts = np.asarray([-(-int(l) // 4) for l in wp.pat_lens])
-        order = np.argsort(kcounts, kind="stable")
-        inv = np.empty_like(order)
-        inv[order] = np.arange(order.size)
-        self._inv = jnp.asarray(inv.astype(np.int32))
-
-        fwords = fmasks = None
-        if filtered:
-            fwords, fmasks = _filter_words(wp)
-
-        self.classes = []
-        sorted_k = kcounts[order]
-        for K in sorted(set(sorted_k.tolist())):
-            sel = order[sorted_k == K]
-            self.classes.append(
-                _PatternClass(
-                    int(K),
-                    wp.pat_words[sel],
-                    wp.pat_masks[sel],
-                    wp.pat_lens[sel],
-                    pattern_block,
-                    unroll=unroll,
-                    fwords=fwords[sel] if filtered else None,
-                    fmasks=fmasks[sel] if filtered else None,
-                )
-            )
+        use_fit = self.use_fit
         if filtered:
             import functools
 
@@ -473,6 +445,43 @@ class PallasTableMatcher(TileCountSurface):
 
         self._build_tile_jits()
 
+    @staticmethod
+    def _partition(wp: WindowProgram, pattern_block: int, unroll: int,
+                   filtered: bool, assume_zero_padded: bool):
+        """(classes, inv, use_fit): partition unique patterns by word count
+        (stable, so the sorted order is reproducible) and remember how to
+        get back to build order — the ONE table-construction path shared by
+        __init__ and swap_tables (geometry checks compare their outputs)."""
+        use_fit = (not assume_zero_padded) or any(
+            0 in p for p in wp.unique_patterns
+        )
+        kcounts = np.asarray([-(-int(l) // 4) for l in wp.pat_lens])
+        order = np.argsort(kcounts, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+
+        fwords = fmasks = None
+        if filtered:
+            fwords, fmasks = _filter_words(wp)
+
+        classes = []
+        sorted_k = kcounts[order]
+        for K in sorted(set(sorted_k.tolist())):
+            sel = order[sorted_k == K]
+            classes.append(
+                _PatternClass(
+                    int(K),
+                    wp.pat_words[sel],
+                    wp.pat_masks[sel],
+                    wp.pat_lens[sel],
+                    pattern_block,
+                    unroll=unroll,
+                    fwords=fwords[sel] if filtered else None,
+                    fmasks=fmasks[sel] if filtered else None,
+                )
+            )
+        return classes, jnp.asarray(inv.astype(np.int32)), use_fit
+
     def _pad_tile(self, payloads, lengths):
         # Budget swept on v5e: 2.75M (the unrolled kernel's) spills registers
         # with 16 concurrent accumulator chains (0.98 GB/s on the fixture);
@@ -486,8 +495,21 @@ class PallasTableMatcher(TileCountSurface):
             K=self._maxK, vmem_budget=self.vmem_budget,
         )
 
-    def _class_call(self, c: _PatternClass, kernel, payloads, lengths, tn,
-                    reps=None):
+    def _staged_tables(self):
+        """(inv, per-class (words, masks, lens)) as DEVICE arrays — passed
+        to the jitted wrappers as ARGUMENTS (not closure constants), so a
+        same-geometry :meth:`swap_tables` hits the compiled executable."""
+        return (
+            self._inv,
+            tuple(
+                (jnp.asarray(c.words), jnp.asarray(c.masks),
+                 jnp.asarray(c.lens))
+                for c in self.classes
+            ),
+        )
+
+    def _class_call(self, c: _PatternClass, tabs, kernel, payloads, lengths,
+                    tn, reps=None):
         n, L = payloads.shape
         if reps is None:
             grid = (c.nblocks, n // tn)
@@ -512,36 +534,46 @@ class PallasTableMatcher(TileCountSurface):
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, 1), jnp.int32),
             interpret=self.interpret,
-        )(
-            jnp.asarray(c.words), jnp.asarray(c.masks), jnp.asarray(c.lens),
-            payloads, lengths,
-        )
+        )(tabs[0], tabs[1], tabs[2], payloads, lengths)
 
-    def _one_tile(self, payloads, lengths, reps=None):
+    def _resolve_tables(self, tables):
+        return self._tables_dev if tables is None else tables
+
+    def _one_tile(self, payloads, lengths, reps=None, tables=None):
         """Counts in SORTED-unique order, concatenated across classes."""
+        _, class_tabs = self._resolve_tables(tables)
         payloads, lengths, tn = self._pad_tile(payloads, lengths)
         outs = []
-        for c in self.classes:
+        for c, tabs in zip(self.classes, class_tabs):
             kern = self._kernels[c.K] if reps is None else self._kernels_rep[c.K]
-            out = self._class_call(c, kern, payloads, lengths, tn, reps=reps)
+            out = self._class_call(c, tabs, kern, payloads, lengths, tn,
+                                   reps=reps)
             outs.append(out[: c.num, 0])
         return jnp.concatenate(outs)
 
-    def count_tile_unique(self, payloads, lengths):
+    def count_tile_unique(self, payloads, lengths, tables=None):
         """Counts in BUILD (unique-pattern) order for one tile: ``_one_tile``
         concatenates word-count classes in sorted order, so the inverse
         permutation must be applied before any caller mixes these counts
         with build-order data (same contract as PallasWindowMatcher)."""
-        return jnp.take(self._one_tile(payloads, lengths), self._inv)
+        inv, _ = self._resolve_tables(tables)
+        return jnp.take(
+            self._one_tile(payloads, lengths, tables=tables), inv
+        )
 
-    def _tile_repeated_unique(self, payloads, lengths, reps: int):
-        return jnp.take(self._one_tile(payloads, lengths, reps=reps), self._inv)
+    def _tile_repeated_unique(self, payloads, lengths, reps: int,
+                              tables=None):
+        inv, _ = self._resolve_tables(tables)
+        return jnp.take(
+            self._one_tile(payloads, lengths, reps=reps, tables=tables), inv
+        )
 
-    def _one_tile_rows(self, payloads, lengths):
+    def _one_tile_rows(self, payloads, lengths, tables=None):
+        inv, class_tabs = self._resolve_tables(tables)
         payloads, lengths, tn = self._pad_tile(payloads, lengths)
         n, L = payloads.shape
         outs = []
-        for c in self.classes:
+        for c, tabs in zip(self.classes, class_tabs):
             kw = c.words.shape[1]
             out = pl.pallas_call(
                 self._kernels_rows[c.K],
@@ -556,12 +588,40 @@ class PallasTableMatcher(TileCountSurface):
                 out_specs=pl.BlockSpec((c.pb, tn), lambda j, i: (j, i)),
                 out_shape=jax.ShapeDtypeStruct((c.nblocks * c.pb, n), jnp.int32),
                 interpret=self.interpret,
-            )(
-                jnp.asarray(c.words), jnp.asarray(c.masks),
-                jnp.asarray(c.lens), payloads, lengths,
-            )
+            )(tabs[0], tabs[1], tabs[2], payloads, lengths)
             outs.append(out[: c.num])
-        return jnp.take(jnp.concatenate(outs), self._inv, axis=0).T  # [n, U]
+        return jnp.take(jnp.concatenate(outs), inv, axis=0).T  # [n, U]
+
+    def swap_tables(self, wp: WindowProgram) -> None:
+        """Replace the pattern set IN PLACE without recompiling.
+
+        The kernels read pattern tables from SMEM and the jitted wrappers
+        take them as arguments, so a new set with the SAME GEOMETRY (same
+        word-count classes with the same padded sizes, same unique count,
+        same use_fit/filter configuration) reuses every compiled
+        executable — rule-push latency is one host table build plus one
+        h2d upload of a few KB, not a 4-200 s compile.  Raises ValueError
+        when the geometry differs (callers fall back to building a fresh
+        matcher)."""
+        classes, inv, use_fit = self._partition(
+            wp, self.pattern_block, self.unroll, self.filtered,
+            self._assume_zero_padded,
+        )
+        if use_fit != self.use_fit:
+            raise ValueError(
+                "swap_tables: fit-mask mode differs (NUL patterns changed)"
+            )
+        if len(classes) != len(self.classes) or any(
+            (a.K, a.pb, a.nblocks, a.num) != (b.K, b.pb, b.nblocks, b.num)
+            for a, b in zip(classes, self.classes)
+        ):
+            raise ValueError("swap_tables: pattern-set geometry differs")
+        self.wp = wp
+        self.classes = classes
+        self._inv = inv
+        self.num_unique = int(wp.pat_words.shape[0])
+        self._tables_dev = self._staged_tables()
+        self._dup = jnp.asarray(wp.dup_map)
 
     # count_tiles / count_tiles_repeated / count_tiles_per_row /
     # count_tile_summary: inherited from TileCountSurface.

@@ -151,32 +151,53 @@ class TileCountSurface:
 
     Subclass contract:
 
-    - ``count_tile_unique(payloads, lengths)`` — int32[U] counts in BUILD
-      (unique-pattern) order for one tile, safe under jit/shard_map;
-    - ``_tile_repeated_unique(payloads, lengths, r)`` — build-order counts
-      with ``r`` repeats chained inside ONE kernel (repeat axis on the
-      grid, so repeats cannot be elided or deduplicated);
-    - ``_one_tile_rows(payloads, lengths)`` — int32[n_padded, U] build-order
-      per-row counts;
+    - ``count_tile_unique(payloads, lengths, tables=None)`` — int32[U]
+      counts in BUILD (unique-pattern) order for one tile, safe under
+      jit/shard_map;
+    - ``_tile_repeated_unique(payloads, lengths, r, tables=None)`` —
+      build-order counts with ``r`` repeats chained inside ONE kernel
+      (repeat axis on the grid, so repeats cannot be elided or
+      deduplicated);
+    - ``_one_tile_rows(payloads, lengths, tables=None)`` —
+      int32[n_padded, U] build-order per-row counts;
+    - ``_staged_tables()`` — the pattern-table pytree the jitted wrappers
+      pass per call: () for the unrolled kernel (tables are immediates),
+      the device table arrays for the SMEM kernel.  Passing them as jit
+      ARGUMENTS instead of closure constants is what makes a
+      same-geometry pattern swap (``PallasTableMatcher.swap_tables``)
+      reuse the compiled executable with ZERO recompilation — the
+      rule-push latency path;
     - attributes ``wp`` (the WindowProgram) and ``num_unique``;
     - ``_build_tile_jits()`` called at the end of ``__init__``.
     """
 
+    def _staged_tables(self):
+        return ()
+
     def _build_tile_jits(self):
-        def run_tiles(tiles):
-            outs = [self.count_tile_unique(p, l) for p, l in tiles]
+        self._tables_dev = self._staged_tables()
+
+        def run_tiles(tables, tiles):
+            outs = [
+                self.count_tile_unique(p, l, tables=tables) for p, l in tiles
+            ]
             return functools.reduce(jnp.add, outs)
 
         self._jit_tiles = jax.jit(run_tiles)
 
-        def run_repeated(tiles, r):
-            outs = [self._tile_repeated_unique(p, l, r) for p, l in tiles]
+        def run_repeated(tables, tiles, r):
+            outs = [
+                self._tile_repeated_unique(p, l, r, tables=tables)
+                for p, l in tiles
+            ]
             return functools.reduce(jnp.add, outs)
 
         self._jit_repeated = jax.jit(run_repeated, static_argnames=("r",))
 
-        def run_summary(payloads, lengths):
-            rows = self._one_tile_rows(payloads, lengths)[: payloads.shape[0]]
+        def run_summary(tables, payloads, lengths):
+            rows = self._one_tile_rows(
+                payloads, lengths, tables=tables
+            )[: payloads.shape[0]]
             return rows.sum(axis=0), rows.sum(axis=1) > 0
 
         self._jit_summary = jax.jit(run_summary)
@@ -195,7 +216,7 @@ class TileCountSurface:
         tiles = tuple(
             (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
         )
-        out = self._jit_tiles(tiles)
+        out = self._jit_tiles(self._tables_dev, tiles)
         if expand_duplicates:
             out = self._dup_take(out)
         return out
@@ -215,7 +236,7 @@ class TileCountSurface:
         tiles = tuple(
             (jnp.asarray(p, jnp.uint8), jnp.asarray(l, jnp.int32)) for p, l in tiles
         )
-        return self._jit_repeated(tiles, r=repeats)
+        return self._jit_repeated(self._tables_dev, tiles, r=repeats)
 
     def count_tiles_per_row(self, tiles, *, expand_duplicates: bool = True):
         """Per-packet counts, one int32[rows_i, U or P] array per tile (rows
@@ -241,7 +262,8 @@ class TileCountSurface:
         fewer than 2^31 positions (``n*L``): a position starts at most one
         match per pattern (callers slice bigger feeds)."""
         return self._jit_summary(
-            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32)
+            self._tables_dev,
+            jnp.asarray(payloads, jnp.uint8), jnp.asarray(lengths, jnp.int32),
         )
 
 
@@ -322,18 +344,19 @@ class PallasWindowMatcher(TileCountSurface):
             interpret=self.interpret,
         )(payloads, lengths)
 
-    def count_tile_unique(self, payloads, lengths):
+    def count_tile_unique(self, payloads, lengths, tables=None):
         """Counts in BUILD (unique-pattern) order for one tile — the shape
         contract shared with :class:`~.pallas_table.PallasTableMatcher`
         (whose raw ``_one_tile`` is sorted by word-count class).  Safe to
         call inside a jit/shard_map trace; parallel.mesh uses it so sharded
-        runs can never see a kernel-internal permutation."""
+        runs can never see a kernel-internal permutation.  ``tables`` is
+        unused here: the unrolled kernel's patterns are immediates."""
         return self._one_tile(payloads, lengths)
 
-    def _tile_repeated_unique(self, payloads, lengths, reps: int):
+    def _tile_repeated_unique(self, payloads, lengths, reps: int, tables=None):
         return self._one_tile_repeated(payloads, lengths, reps)
 
-    def _one_tile_rows(self, payloads, lengths):
+    def _one_tile_rows(self, payloads, lengths, tables=None):
         """Per-row counts int32[n_padded, U]; each grid step writes its own
         row block (no cross-step state, no zeroing pass)."""
         payloads, lengths, tn = self._pad_tile(payloads, lengths)

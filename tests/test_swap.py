@@ -1,0 +1,123 @@
+"""Zero-recompile pattern swaps: tables-as-arguments contract.
+
+The table kernel's pattern tables are jit ARGUMENTS; a same-geometry
+pattern set must reuse every compiled executable (the rule-push latency
+path) and produce the new set's exact counts.
+"""
+
+import numpy as np
+import pytest
+
+from oracle import count_overlapping
+from multithreading_string_matching_tpu.ops.window import WindowProgram
+from multithreading_string_matching_tpu.ops.pallas_table import (
+    PallasTableMatcher,
+)
+
+
+def _mk(pats, **kw):
+    kw.setdefault("row_tile", 8)
+    kw.setdefault("pattern_block", 4)
+    return PallasTableMatcher(WindowProgram.build(pats), interpret=True, **kw)
+
+
+def _counts(m, payloads, lengths):
+    return np.asarray(m.count_tiles([(payloads, lengths)]))
+
+
+def _oracle(payloads, lengths, pats):
+    texts = [payloads[i, : lengths[i]].tobytes() for i in range(len(lengths))]
+    return [sum(count_overlapping(t, p) for t in texts) for p in pats]
+
+
+@pytest.mark.parametrize("filtered", [False, True])
+def test_swap_same_geometry_reuses_executables(filtered):
+    rng = np.random.default_rng(60)
+    pats_a = [b"ab", b"abc", b"abcdefgh", b"ca"]
+    pats_b = [b"ba", b"cab", b"bacbacba", b"ac"]  # same length multiset
+    m = _mk(pats_a, filtered=filtered)
+    payloads = rng.integers(97, 100, size=(16, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=16).astype(np.int32)
+    assert _counts(m, payloads, lengths).tolist() == _oracle(
+        payloads, lengths, pats_a
+    )
+    sizes = (m._jit_tiles._cache_size(), m._jit_summary._cache_size())
+
+    m.swap_tables(WindowProgram.build(pats_b))
+    assert _counts(m, payloads, lengths).tolist() == _oracle(
+        payloads, lengths, pats_b
+    )
+    # THE contract: no new executable was compiled for the swapped set.
+    assert m._jit_tiles._cache_size() == sizes[0]
+
+    # per-row + summary surfaces swap too
+    tot, hits = m.count_tile_summary(payloads, lengths)
+    (rows,) = m.count_tiles_per_row([(payloads, lengths)],
+                                    expand_duplicates=False)
+    rows = np.asarray(rows)
+    assert (np.asarray(tot) == rows[:16].sum(axis=0)).all()
+
+
+def test_swap_rejects_different_geometry():
+    m = _mk([b"ab", b"abcd"])
+    with pytest.raises(ValueError, match="geometry"):
+        m.swap_tables(WindowProgram.build([b"ab", b"abcdefgh"]))
+    with pytest.raises(ValueError, match="geometry"):
+        m.swap_tables(WindowProgram.build([b"ab"]))
+
+
+def test_swap_rejects_fit_mode_change():
+    m = PallasTableMatcher(
+        WindowProgram.build([b"ab", b"cdef"]), interpret=True,
+        assume_zero_padded=True,
+    )
+    assert not m.use_fit
+    with pytest.raises(ValueError, match="fit"):
+        m.swap_tables(WindowProgram.build([b"a\x00", b"cdef"]))
+
+
+def test_matcher_swap_patterns(monkeypatch):
+    """Matcher.swap_patterns keeps the compiled table kernel for
+    same-geometry sets, drops it otherwise, and every engine sees the new
+    set (automata rebuild lazily)."""
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    from multithreading_string_matching_tpu import Matcher
+
+    rng = np.random.default_rng(61)
+    payloads = rng.integers(97, 100, size=(24, 96)).astype(np.uint8)
+    lengths = rng.integers(0, 97, size=24).astype(np.int32)
+    cols = np.arange(96)[None, :]
+    payloads = np.where(cols < lengths[:, None], payloads, 0).astype(np.uint8)
+
+    m = Matcher([b"ab", b"caca"])
+    kern = m.pallas
+    _ = m.count(payloads, lengths)
+    assert m.swap_patterns([b"ba", b"acbc"]) is True
+    assert m.pallas is kern  # executable survived
+    assert m.count(payloads, lengths).tolist() == _oracle(
+        payloads, lengths, [b"ba", b"acbc"]
+    )
+    assert m.count(payloads, lengths, engine="ac").tolist() == _oracle(
+        payloads, lengths, [b"ba", b"acbc"]
+    )
+    # different geometry: kernel dropped, counts still correct
+    assert m.swap_patterns([b"ba", b"acbcacbc", b"q"]) is False
+    assert m.pallas is not kern
+    assert m.count(payloads, lengths).tolist() == _oracle(
+        payloads, lengths, [b"ba", b"acbcacbc", b"q"]
+    )
+    with pytest.raises(ValueError):
+        m.swap_patterns([])
+
+
+def test_swap_duplicates_and_dupmap():
+    """Duplicate patterns expand through the swapped dup_map."""
+    m = _mk([b"ab", b"ab", b"cd"])
+    rng = np.random.default_rng(62)
+    payloads = rng.integers(97, 101, size=(8, 64)).astype(np.uint8)
+    lengths = np.full(8, 64, np.int32)
+    m.swap_tables(WindowProgram.build([b"cd", b"cd", b"ab"]))
+    got = np.asarray(m.count_tiles([(payloads, lengths)]))
+    want = _oracle(payloads, lengths, [b"cd", b"cd", b"ab"])
+    assert got.tolist() == want
