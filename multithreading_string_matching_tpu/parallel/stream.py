@@ -160,6 +160,28 @@ class StreamMatcher:
         """
         tiles = self._build_tiles(matcher)
         final = self.counts()  # flushes dump scans + the partial tile
+        # Rule-push fast path: when the OLD matcher already compiled a
+        # table kernel and the new set has the same geometry, transplant
+        # the kernel with its tables swapped (PallasTableMatcher.swap_
+        # tables) — the first post-reload dispatch reuses the compiled
+        # executables (~ms) instead of recompiling (~4-200 s).  Safe here:
+        # counts() above drained every in-flight dispatch under the old
+        # tables.  The old matcher must not be used for counting after
+        # reload (its kernel now carries the new tables).
+        old = getattr(self.matcher, "_pallas", None)
+        if (
+            self.matcher is not matcher
+            and old is not None
+            and hasattr(old, "swap_tables")
+            and getattr(matcher, "_pallas", None) is None
+            and matcher.case_insensitive == self.matcher.case_insensitive
+        ):
+            try:
+                old.swap_tables(matcher.window)
+            except ValueError:
+                pass  # geometry differs: compile lazily as before
+            else:
+                matcher._pallas = old
         self.matcher = matcher
         self._tiles = tiles
         self._counts = None

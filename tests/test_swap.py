@@ -111,6 +111,45 @@ def test_matcher_swap_patterns(monkeypatch):
         m.swap_patterns([])
 
 
+def test_stream_reload_transplants_kernel(monkeypatch, reference_dir):
+    """StreamMatcher.reload moves the old matcher's compiled table kernel
+    (tables swapped) onto the new matcher when geometry matches — the live
+    rule-push path — and counts stay exact across the boundary."""
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    from multithreading_string_matching_tpu import Matcher
+    from multithreading_string_matching_tpu.io.decode import extract_payloads
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.parallel.stream import (
+        StreamMatcher,
+    )
+
+    pcap = read_pcap(reference_dir / "udp.pcap")
+    m1 = Matcher([b"http", b"xml!"])
+    kern = m1.pallas  # force-build the table kernel
+    s = StreamMatcher(m1, packed=True, tile_rows=64, pack_width=512)
+    s.feed_pcap_slice(pcap, "udp")
+    m2 = Matcher([b"rpc!", b"xml!"])  # same geometry (4,4)
+    prev = s.reload(m2)
+    batch = extract_payloads(pcap, "udp")
+    want_prev = m1.count_batch(batch, engine="window")
+    # m1's counts under the OLD set returned at the swap point
+    assert prev.tolist() == want_prev.tolist()
+    assert m2._pallas is kern  # transplanted, not recompiled
+    s.feed_pcap_slice(pcap, "udp")
+    s.flush()
+    want_new = Matcher([b"rpc!", b"xml!"], engine="window").count_batch(batch)
+    assert s.counts().tolist() == want_new.tolist()
+    # different geometry: no transplant, still correct
+    m3 = Matcher([b"NOTIFY *", b"id"])
+    s.reload(m3)
+    assert m3._pallas is None or m3._pallas is not kern
+    s.feed_pcap_slice(pcap, "udp")
+    s.flush()
+    want3 = Matcher([b"NOTIFY *", b"id"], engine="window").count_batch(batch)
+    assert s.counts().tolist() == want3.tolist()
+
+
 def test_swap_duplicates_and_dupmap():
     """Duplicate patterns expand through the swapped dup_map."""
     m = _mk([b"ab", b"ab", b"cd"])
