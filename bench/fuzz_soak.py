@@ -84,6 +84,59 @@ def random_case(rng: np.random.Generator):
     return pats, payloads, lengths
 
 
+def _flow_case(pats, texts, crng):
+    """Repackage the case's texts as TCP flows (one text = one stream,
+    random segmentation + cross-flow interleave) and check BOTH flow scan
+    shapes against the concatenated-per-flow oracle.  Returns (ok, detail)."""
+    import tempfile
+
+    from multithreading_string_matching_tpu.io.flows import extract_flows
+    from multithreading_string_matching_tpu.io.pcap import read_pcap, slice_pcap
+    from multithreading_string_matching_tpu.io.synth import (
+        synth_tcp_flows_pcap,
+    )
+    from multithreading_string_matching_tpu.parallel.flow_stream import (
+        FlowStreamMatcher,
+    )
+
+    flows = []
+    for i, t in enumerate(texts[:12]):
+        key = (f"10.9.{i // 200}.{i % 200 + 1}", "10.0.0.1", 1000 + i, 80)
+        segs, left = [], len(t)
+        while left > 0:
+            s = int(crng.integers(1, left + 1))
+            segs.append(s)
+            left -= s
+        flows.append((key, t, segs or [0]))
+    want = list(oracle.oracle_counts([t for _, t, _ in flows], pats))
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "f.pcap"
+        synth_tcp_flows_pcap(
+            p, flows, interleave_seed=int(crng.integers(0, 10_000))
+        )
+        pcap = read_pcap(p)
+        fb = extract_flows(pcap, "tcp")
+        m = Matcher(pats, engine="window")
+        got1 = (
+            m.count(fb.payloads, fb.lengths).tolist()
+            if fb.num_flows else [0] * len(pats)
+        )
+        if got1 != want:
+            return False, f"one-shot got={got1} want={want}"
+        fs = FlowStreamMatcher(
+            Matcher(pats, engine="ac"), "tcp",
+            scan_bytes=int(crng.integers(1, 64)),
+            width=int(crng.choice([8, 32, 128])), min_lanes=8,
+        )
+        step = int(crng.integers(1, 6))
+        for s0 in range(0, pcap.num_packets, step):
+            fs.feed_pcap_slice(slice_pcap(pcap, s0, s0 + step, copy=False))
+        fs.flush()
+        if fs.counts().tolist() != want:
+            return False, f"stream got={fs.counts().tolist()} want={want}"
+    return True, ""
+
+
 def naive_rows(texts, uniq):
     """Position oracle: every (packet, start, unique_pattern) triple, with
     overlapping starts, sorted — the find_matches contract."""
@@ -310,6 +363,20 @@ def run(minutes: float, seed: int) -> int:
                 print(
                     f"DIVERGENCE streamed dump {shape} nocase={nocase} "
                     f"case_seed={case_seed}\n pats={pats}"
+                )
+                return 1
+        if crng.random() < 0.15:
+            # Flow-aware differential (round 4): repackage the case's
+            # texts as TCP segments of random flows with random
+            # segmentation/interleave, and require BOTH the one-shot
+            # reassembly scan and the carried-state flow stream (random
+            # scan_bytes/width so splits land on round/chunk boundaries)
+            # to equal the concatenated-per-flow oracle.
+            ok, detail = _flow_case(pats, texts, crng)
+            if not ok:
+                print(
+                    f"DIVERGENCE flows case_seed={case_seed}\n"
+                    f" pats={pats}\n {detail}"
                 )
                 return 1
         cases += 1
