@@ -74,6 +74,8 @@ def _make_kernel(
     use_fit: bool,
     grid_dims: int = 1,
     per_row: bool = False,
+    fwords: "np.ndarray | None" = None,
+    fmasks: "np.ndarray | None" = None,
 ):
     """``use_fit=False`` is the NUL-free fast path: payload rows are zero-
     padded past their true length (io/decode + api.prepare guarantee it), so
@@ -81,7 +83,16 @@ def _make_kernel(
     contains a 0x00 byte and cannot equal a NUL-free pattern — the
     per-pattern (pos + m <= len) mask (2 ops x U per position) collapses
     into ~5 shared window-sanitizing ops.  Any pattern containing NUL forces
-    ``use_fit=True`` (exact mask per pattern)."""
+    ``use_fit=True`` (exact mask per pattern).
+
+    ``fwords``/``fmasks`` (counts path only): per-pattern filter words as
+    IMMEDIATES — one eq + any-reduce gates each pattern's compare chain
+    behind ``pl.when``, exactly the table kernel's round-4 filter/verify
+    design (same no-false-negative argument: a match at i puts the filter
+    word at absolute i+4k on view w[0]).  Patterns ABSENT from the row
+    block cost ~2 ops/position instead of the full chain — on real
+    corpora most of a rule set never fires (25/97 fixture entries match
+    very_big_udp), which is where the win lives."""
     U, K = pat_words.shape
     pw = [[int(pat_words[u, k]) for k in range(K)] for u in range(U)]
     pm = [[int(pat_masks[u, k]) for k in range(K)] for u in range(U)]
@@ -101,7 +112,8 @@ def _make_kernel(
         w, pos = window_views(payload_ref, K, use_fit)
 
         lens = length_ref[:]                            # [TN, 1] int32
-        for u in range(U):
+
+        def chain(u):
             acc = (w[0] & jnp.uint32(pm[u][0])) == jnp.uint32(pw[u][0])
             for k in range(1, K):
                 if pm[u][k]:
@@ -116,6 +128,20 @@ def _make_kernel(
                 out_ref[:, u] = jnp.sum(acc.astype(jnp.int32), axis=1)
             else:
                 out_ref[u] += jnp.sum(acc.astype(jnp.int32))
+
+        for u in range(U):
+            if fwords is None or per_row:
+                chain(u)
+            else:
+                fm, fw = int(fmasks[u]), int(fwords[u])
+                if fm == 0xFFFFFFFF:
+                    hit = w[0] == jnp.uint32(fw)
+                else:
+                    hit = (w[0] & jnp.uint32(fm)) == jnp.uint32(fw)
+
+                @pl.when(jnp.any(hit))
+                def _(u=u):
+                    chain(u)
 
     return kernel
 
@@ -276,21 +302,36 @@ class PallasWindowMatcher(TileCountSurface):
         row_tile: int = 512,
         interpret: bool = False,
         assume_zero_padded: bool = False,
+        filtered: bool = False,
     ):
         """``assume_zero_padded=True``: caller guarantees every row's bytes at
         positions >= lengths[i] are zero (io/decode.extract_payloads and
         api.Matcher.prepare both produce exactly that) — enables the no-fit
         fast path for NUL-free pattern sets.  With arbitrary payload buffers
-        leave it False."""
+        leave it False.  ``filtered=True`` gates each pattern's compare
+        chain behind an immediate filter-word test (counts path; per-row
+        attribution stays unfiltered)."""
         self.wp = wp
         self.row_tile = row_tile
         self.interpret = interpret
+        self.filtered = filtered
         self.num_unique = int(wp.pat_words.shape[0])
         # NUL-containing patterns can match zero padding -> need exact fit.
         use_fit = (not assume_zero_padded) or any(0 in p for p in wp.unique_patterns)
-        self._kernel = _make_kernel(wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit)
+        fwords = fmasks = None
+        if filtered:
+            from multithreading_string_matching_tpu.ops.pallas_table import (
+                _filter_words,
+            )
+
+            fwords, fmasks = _filter_words(wp)
+        self._kernel = _make_kernel(
+            wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit,
+            fwords=fwords, fmasks=fmasks,
+        )
         self._kernel2 = _make_kernel(
-            wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, grid_dims=2
+            wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, grid_dims=2,
+            fwords=fwords, fmasks=fmasks,
         )
         self._kernel_rows = _make_kernel(
             wp.pat_words, wp.pat_masks, wp.pat_lens, use_fit, per_row=True
