@@ -590,6 +590,15 @@ class Matcher:
                 "per-packet counts are unavailable for packed batches "
                 "(prepare(packed=False) for per-packet attribution)"
             )
+        if prep.packed and any(0 in p for p in self.window.unique_patterns):
+            # prepare() rejects packing for NUL sets at staging time, but a
+            # batch packed under an earlier set can outlive a
+            # swap_patterns() that introduced a NUL pattern — which would
+            # silently match across the 0x00 pack separators.
+            raise ValueError(
+                "packed batch is inexact for NUL-containing patterns "
+                "(re-prepare after the pattern swap)"
+            )
         if engine == "pallas" and per_packet:
             outs = self.pallas.count_tiles_per_row(prep.tiles)
             merged = np.zeros((prep.num_rows, len(self.patterns)), dtype=np.int32)

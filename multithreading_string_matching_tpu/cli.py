@@ -519,6 +519,10 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "--per-packet/--dump-matches/--sharded (per-flow rows ARE the "
             "packet-free attribution unit)"
         )
+    if cfg.flows and (a.vlan or a.ipv6):
+        # The flow parser has no VLAN/IPv6 key support (io/flows.py); a
+        # silent accept would DROP the exact traffic the user opted into.
+        raise SystemExit("--flows does not support --vlan/--ipv6 yet")
     if cfg.flows and a.stream:
         # Bounded-memory flow serving: iter_pcap chunks feed the per-flow
         # carried-DFA stream matcher; pending bytes bounded by scan_bytes,

@@ -25,23 +25,26 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from multithreading_string_matching_tpu.io.decode import decode_headers
+from multithreading_string_matching_tpu.io.decode import (
+    LINKTYPE_NULL,
+    LINKTYPE_SLL,
+    RAW_IP_LINKTYPES,
+    decode_headers,
+)
 from multithreading_string_matching_tpu.io.pcap import PcapFile
-
-# Link-layer header sizes by linktype (mirrors decode_headers' map; VLAN
-# tagging is not supported on the flow path — keys would need per-packet
-# l2 shifts).
-_LINKTYPE_SLL = 113
-_LINKTYPE_NULL = 0
-_RAW_IP = (101, 12)
 
 
 def _l2_base(linktype: int) -> int:
-    if linktype == _LINKTYPE_SLL:
+    """Link-layer header size — the SAME constants decode_headers uses
+    (importing them prevents the maps from drifting; a hand-copied raw-IP
+    tuple once missed linktype 14, reading flow keys at Ethernet offsets).
+    VLAN tagging is not supported on the flow path — keys would need
+    per-packet l2 shifts."""
+    if linktype == LINKTYPE_SLL:
         return 16
-    if linktype in _RAW_IP:
+    if linktype in RAW_IP_LINKTYPES:
         return 0
-    if linktype == _LINKTYPE_NULL:
+    if linktype == LINKTYPE_NULL:
         return 4
     return 14  # Ethernet, and the unknown-linktype fallback
 

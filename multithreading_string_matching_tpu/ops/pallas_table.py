@@ -421,8 +421,6 @@ class PallasTableMatcher(TileCountSurface):
         )
         use_fit = self.use_fit
         if filtered:
-            import functools
-
             mk = functools.partial(_make_filter_kernel, gate=filter_gate)
             mk_rows = functools.partial(
                 _make_filter_kernel_rows, gate=filter_gate
@@ -622,6 +620,17 @@ class PallasTableMatcher(TileCountSurface):
         self.num_unique = int(wp.pat_words.shape[0])
         self._tables_dev = self._staged_tables()
         self._dup = jnp.asarray(wp.dup_map)
+        # The SHARDED wrappers (parallel/mesh.py) trace count_tile_unique
+        # with tables=None, baking the tables as constants into jitted
+        # shard_maps cached ON this object — drop those caches (and the
+        # interpret-flag sibling built from the old tables) so the next
+        # sharded call re-traces against the new set.  Sharded paths thus
+        # pay a re-trace/compile on swap; the single-device serving path
+        # keeps the zero-recompile guarantee.
+        for attr in ("_sharded_jit_cache", "_sharded_rows_jit_cache",
+                     "_sharded_summary_jit_cache", "_alt_interpret"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     # count_tiles / count_tiles_repeated / count_tiles_per_row /
     # count_tile_summary: inherited from TileCountSurface.

@@ -67,10 +67,11 @@ class FlowStreamMatcher:
             )
 
             self.mesh = mesh if mesh is not None else make_mesh()
-            n_dev = int(np.prod(tuple(self.mesh.shape.values())))
-            self.min_lanes = max(min_lanes, n_dev)
+            self._n_dev = int(np.prod(tuple(self.mesh.shape.values())))
+            self.min_lanes = max(min_lanes, self._n_dev)
         else:
             self.mesh = None
+            self._n_dev = 1
         self._states: dict = {}      # key bytes -> int DFA state
         self._pending: dict = {}     # key bytes -> bytearray (insertion order)
         self._pending_bytes = 0
@@ -108,6 +109,10 @@ class FlowStreamMatcher:
             return
         flows = [k for k, b in self._pending.items() if b]
         F = _pow2(len(flows), self.min_lanes)
+        # The sharded scan splits the lane axis over the mesh: round lanes
+        # up to a device-count multiple (a non-pow2 min_lanes or device
+        # count would otherwise leave shard_map an uneven split).
+        F = -(-F // self._n_dev) * self._n_dev
         states = np.zeros(F, np.int32)
         for i, k in enumerate(flows):
             states[i] = self._states.get(k, 0)

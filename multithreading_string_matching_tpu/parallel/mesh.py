@@ -83,7 +83,13 @@ def pallas_for_mesh(matcher, mesh: Mesh):
         return pm
     alt = getattr(pm, "_alt_interpret", None)
     if alt is None or alt.interpret != interpret:
-        alt = type(pm)(matcher.window, interpret=interpret, assume_zero_padded=True)
+        kw = {}
+        if hasattr(pm, "filtered"):  # both kernel classes carry the flag
+            kw["filtered"] = pm.filtered
+        alt = type(pm)(
+            matcher.window, interpret=interpret, assume_zero_padded=True,
+            **kw,
+        )
         pm._alt_interpret = alt
     return alt
 

@@ -150,6 +150,86 @@ def test_stream_reload_transplants_kernel(monkeypatch, reference_dir):
     assert s.counts().tolist() == want3.tolist()
 
 
+def test_swap_invalidates_sharded_caches(monkeypatch):
+    """The sharded wrappers bake tables as constants into jitted
+    shard_maps cached on the kernel object — a swap must drop them or
+    every sharded path keeps counting with the OLD set (review finding)."""
+    import jax
+
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    from multithreading_string_matching_tpu import Matcher
+    from multithreading_string_matching_tpu.parallel.mesh import (
+        count_matches_sharded,
+        make_mesh,
+    )
+
+    mesh = make_mesh(jax.devices("cpu")[:4])
+    m = Matcher([b"aaaa", b"bbbb"])
+    payloads = np.zeros((8, 64), np.uint8)
+    payloads[0, 4:8] = np.frombuffer(b"cccc", np.uint8)
+    lengths = np.full(8, 64, np.int32)
+    got1 = count_matches_sharded(
+        m.cac, payloads, lengths, mesh,
+        dup_map=m.window.dup_map, engine="pallas", pallas_matcher=m.pallas,
+    )
+    assert np.asarray(got1).tolist() == [0, 0]
+    assert m.swap_patterns([b"cccc", b"dddd"]) is True
+    got2 = count_matches_sharded(
+        m.cac, payloads, lengths, mesh,
+        dup_map=m.window.dup_map, engine="pallas", pallas_matcher=m.pallas,
+    )
+    assert np.asarray(got2).tolist() == [1, 0], "sharded path served stale tables"
+
+
+def test_count_prepared_rejects_stale_packed_prep(monkeypatch):
+    """A batch packed under a NUL-free set must be refused after a swap
+    introduces a NUL pattern (matches across pack separators otherwise)."""
+    monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSM_PALLAS_TABLE", "1")
+    from multithreading_string_matching_tpu import Matcher
+
+    m = Matcher([b"ab"])
+    payloads = np.array([[ord("a"), 0], [ord("b"), 0]], np.uint8)
+    lengths = np.array([1, 1], np.int32)
+    prep = m.prepare(payloads, lengths, packed=True, pack_width=128)
+    m.swap_patterns([b"b\x00a"])
+    with pytest.raises(ValueError, match="packed batch is inexact"):
+        m.count_prepared(prep)
+
+
+def test_sharded_flow_lanes_divide_odd_mesh():
+    """Lane quantization must cover non-pow2 device counts (review
+    finding: 128 lanes over 6 devices split unevenly and crashed)."""
+    import jax
+
+    from multithreading_string_matching_tpu import Matcher
+    from multithreading_string_matching_tpu.parallel.flow_stream import (
+        FlowStreamMatcher,
+    )
+    from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices("cpu")[:6])
+    fs = FlowStreamMatcher(
+        Matcher([b"sig"], engine="ac"), "tcp",
+        scan_bytes=1, width=8, min_lanes=7, sharded=True, mesh=mesh,
+    )
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+    from multithreading_string_matching_tpu.io.synth import (
+        synth_tcp_flows_pcap,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/f.pcap"
+        synth_tcp_flows_pcap(
+            p, [(("1.1.1.1", "2.2.2.2", 5, 6), b"xsigy", [3, 2])]
+        )
+        fs.feed_pcap_slice(read_pcap(p))
+        fs.flush()
+    assert fs.counts().tolist() == [1]
+
+
 def test_swap_duplicates_and_dupmap():
     """Duplicate patterns expand through the swapped dup_map."""
     m = _mk([b"ab", b"ab", b"cd"])
