@@ -197,7 +197,20 @@ def main() -> int:
         assert out.shape == (n, 128)
         if n:
             native.pack(out, lens, 256)
-    print("decode/fill/pack fuzz clean under ASan", flush=True)
+        # scatter_segments (the flow fill): contract-valid random geometry
+        # (src/len within buf, row/off within out) — ASan checks the copies.
+        rows_n = int(rng.integers(1, 8))
+        stride = int(rng.integers(1, 300))
+        out2 = np.zeros((rows_n, stride), np.uint8)
+        s_len = np.minimum(lens, stride).astype(np.int64)
+        s_src = np.minimum(offsets, max(0, nbytes - 1)).astype(np.int64)
+        s_len = np.minimum(s_len, np.maximum(nbytes - s_src, 0))
+        s_row = rng.integers(0, rows_n, n).astype(np.int64) if n else z
+        s_off = (rng.integers(0, stride, n).astype(np.int64) if n else z)
+        s_off = np.minimum(s_off, stride - s_len)
+        if n:
+            native.scatter_segments(buf, s_src, s_len, s_row, s_off, out2)
+    print("decode/fill/pack/scatter fuzz clean under ASan", flush=True)
     print("ASAN AUDIT CLEAN")
     return 0
 

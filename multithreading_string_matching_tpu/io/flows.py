@@ -182,30 +182,44 @@ def extract_flows(
     lmax_q = max(pad_len_to, -(-lmax // pad_len_to) * pad_len_to)
     f_q = max(pad_flows_to, -(-F // pad_flows_to) * pad_flows_to)
     payloads = np.zeros((f_q, lmax_q), np.uint8)
-    # Per-segment slice copies in capture order (fancy-indexed scatter is
-    # ~40x slower for contiguous byte runs — DESIGN §6); the running write
-    # cursor per flow IS the reassembly.
-    cursor = np.zeros(F, np.int64)
     buf = pcap.buf
-    seg_f, seg_pkt, seg_start = [], [], []
-    for j, pkt in enumerate(vidx):
-        f = fid[j]
-        ln_j = int(seg_lens[j])
-        if ln_j:
-            s = int(pcap.offsets[pkt] + off[pkt])
-            c = int(cursor[f])
-            payloads[f, c : c + ln_j] = buf[s : s + ln_j]
-            cursor[f] = c + ln_j
-            seg_f.append(f)
-            seg_pkt.append(int(pkt))
-            seg_start.append(c)
-    # Flow-major segment map (stable: capture order survives within a flow).
-    seg_f = np.asarray(seg_f, np.int64)
-    order2 = np.argsort(seg_f, kind="stable")
-    seg_packets = np.asarray(seg_pkt, np.int64)[order2]
-    seg_starts = np.asarray(seg_start, np.int64)[order2]
+    # Vectorized reassembly plan: sort non-empty segments flow-major
+    # (stable, so capture order survives within each flow); the write
+    # cursor per segment is the within-flow exclusive prefix sum of
+    # lengths.  The plan doubles as the segment map packet_of_offset uses.
+    nz = seg_lens > 0
+    pkt_nz = vidx[nz]
+    f_nz = fid[nz]
+    len_nz = seg_lens[nz]
+    src_nz = pcap.offsets[pkt_nz] + off[pkt_nz]
+    order2 = np.argsort(f_nz, kind="stable")
+    f_s = f_nz[order2]
+    len_s = len_nz[order2].astype(np.int64)
+    src_s = src_nz[order2].astype(np.int64)
+    seg_packets = pkt_nz[order2].astype(np.int64)
+    cums = np.cumsum(len_s) - len_s
+    cnt = np.bincount(f_s, minlength=F)
+    span_first = np.cumsum(cnt) - cnt  # first sorted index of each flow
+    seg_starts = cums - (
+        np.repeat(cums[span_first[cnt > 0]], cnt[cnt > 0])
+        if len_s.size else np.zeros(0, np.int64)
+    )
     seg_bounds = np.zeros(F + 1, np.int64)
-    np.cumsum(np.bincount(seg_f, minlength=F), out=seg_bounds[1:])
+    np.cumsum(cnt, out=seg_bounds[1:])
+    from multithreading_string_matching_tpu.io import native
+
+    if native.available() and len_s.size:
+        # One C call copies every segment (per-segment memcpy — the same
+        # contiguous-run rule as DESIGN §6's materialization lesson).
+        native.scatter_segments(
+            buf, src_s, len_s, f_s.astype(np.int64), seg_starts, payloads
+        )
+    else:
+        for s in range(len_s.size):
+            c = int(seg_starts[s])
+            payloads[f_s[s], c : c + int(len_s[s])] = (
+                buf[src_s[s] : src_s[s] + len_s[s]]
+            )
 
     lengths = np.zeros(f_q, np.int64)
     lengths[:F] = flow_len

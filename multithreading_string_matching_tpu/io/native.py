@@ -147,6 +147,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.msm_fill_padded.argtypes = [
         u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
     ]
+    lib.msm_scatter_segments.restype = None
+    lib.msm_scatter_segments.argtypes = [
+        u8p, i64p, i64p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+    ]
     lib.msm_pack_fill.restype = None
     lib.msm_pack_fill.argtypes = [
         u8p, ctypes.c_int64, i64p, i64p, i64p,
@@ -324,6 +328,23 @@ def pack(payloads, lengths, width: int):
         n_rows, width, _u8(out),
     )
     return out, fills[:n_rows].astype(np.int32)
+
+
+def scatter_segments(buf, src, lens, rows, offs, out) -> None:
+    """Copy segment slices buf[src[s]:src[s]+lens[s]] into
+    out[rows[s], offs[s]:...] — the flow-reassembly fill.  ``out`` must be
+    a C-contiguous uint8 2-D array; geometry must be in-bounds (io/flows
+    derives it from the same decode that sized ``out``)."""
+    lib = get_lib()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    lib.msm_scatter_segments(
+        _u8(buf), _i64(np.ascontiguousarray(src, np.int64)),
+        _i64(np.ascontiguousarray(lens, np.int64)),
+        _i64(np.ascontiguousarray(rows, np.int64)),
+        _i64(np.ascontiguousarray(offs, np.int64)),
+        len(src), _u8(out), out.shape[1],
+    )
 
 
 def fill_padded(buf, starts, lens, lmax: int) -> np.ndarray:

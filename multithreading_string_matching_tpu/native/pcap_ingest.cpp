@@ -307,6 +307,24 @@ void msm_fill_padded(const uint8_t *buf, const int64_t *starts,
   }
 }
 
+// Scatter segment slices to arbitrary (row, offset) destinations in a
+// zero-initialized [*, stride] tensor — the flow-reassembly fill
+// (io/flows.py): segment s copies buf[src[s] .. src[s]+len[s]) to
+// out[rows[s]*stride + offs[s]].  The caller guarantees in-bounds
+// geometry (offsets/lengths derive from the same decode that sized the
+// output); zero-length segments are skipped.
+void msm_scatter_segments(const uint8_t *buf, const int64_t *src,
+                          const int64_t *lens, const int64_t *rows,
+                          const int64_t *offs, int64_t n, uint8_t *out,
+                          int64_t stride) {
+  for (int64_t s = 0; s < n; s++) {
+    const int64_t len = lens[s];
+    if (len > 0)
+      std::memcpy(out + rows[s] * stride + offs[s], buf + src[s],
+                  (size_t)len);
+  }
+}
+
 // Two-pointer packing plan over length-sorted segments (the exact
 // ops/bucketing.pack_plan algorithm): each row starts with the largest
 // remaining segment, then fills with the smallest that still fit (+1 for
