@@ -338,6 +338,13 @@ def scatter_segments(buf, src, lens, rows, offs, out) -> None:
     lib = get_lib()
     assert lib is not None
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    # The WRITE target cannot be defensively copied (the caller reads the
+    # result from its own array), so validate instead: a float64 or
+    # non-contiguous `out` would make the C row stride wrong and corrupt
+    # memory silently.
+    assert out.dtype == np.uint8 and out.flags.c_contiguous, (
+        "scatter_segments: out must be C-contiguous uint8"
+    )
     lib.msm_scatter_segments(
         _u8(buf), _i64(np.ascontiguousarray(src, np.int64)),
         _i64(np.ascontiguousarray(lens, np.int64)),
