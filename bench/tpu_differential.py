@@ -60,10 +60,16 @@ def main():
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     rng = np.random.default_rng(seed)
 
-    # Fixed geometry: pattern lengths (mixed word-count classes including
-    # sub-word), payload tile shape.  Content re-rolls per case.
-    PAT_LENS = [2, 3, 4, 4, 5, 7, 8, 8, 8, 9, 11, 12] * 4  # 48 patterns
-    N, L = 64, 384
+    # Fixed geometry per run: pattern lengths (mixed word-count classes
+    # including sub-word), payload tile shape.  Content re-rolls per case;
+    # ODD seeds pick an alternate geometry (uniform-length + wide tile) so
+    # different runs witness different Mosaic specializations.
+    if seed % 2:
+        PAT_LENS = [8] * 64 + [4] * 16
+        N, L = 32, 640
+    else:
+        PAT_LENS = [2, 3, 4, 4, 5, 7, 8, 8, 8, 9, 11, 12] * 4  # 48 patterns
+        N, L = 64, 384
     t0 = time.time()
     ok = 0
     for case in range(cases):
