@@ -117,16 +117,32 @@ class FlowStreamMatcher:
         for i, k in enumerate(flows):
             states[i] = self._states.get(k, 0)
         states_v = self.matcher.streaming_state(F) + states
-        longest = max(len(self._pending[k]) for k in flows)
-        tile = np.zeros((F, self.width), np.uint8)
-        rel = np.zeros(F, np.int32)
-        for c in range(0, longest, self.width):
-            tile[:] = 0
+        lens_arr = np.array([len(self._pending[k]) for k in flows], np.int64)
+        longest = int(lens_arr.max())
+        long_q = -(-longest // self.width) * self.width
+        rel_all = np.zeros(F, np.int64)
+        rel_all[: len(flows)] = lens_arr
+        # ONE padded round buffer, chunked by column slices: one host copy
+        # per flow per round instead of one per flow per CHUNK (the old
+        # inner loop dominated sustained rate).  Guard against pathological
+        # skew (one huge flow padding every lane): past the budget, fall
+        # back to the per-chunk build with bounded memory.
+        padded = None
+        if F * long_q <= max(64 << 20, F * self.width):
+            padded = np.zeros((F, long_q), np.uint8)
             for i, k in enumerate(flows):
                 b = self._pending[k]
-                seg = b[c : c + self.width]
-                tile[i, : len(seg)] = np.frombuffer(bytes(seg), np.uint8)
-                rel[i] = len(seg)
+                padded[i, : len(b)] = np.frombuffer(bytes(b), np.uint8)
+        tile = np.zeros((F, self.width), np.uint8)
+        for c in range(0, longest, self.width):
+            if padded is not None:
+                tile = padded[:, c : c + self.width]
+            else:
+                tile[:] = 0
+                for i, k in enumerate(flows):
+                    seg = self._pending[k][c : c + self.width]
+                    tile[i, : len(seg)] = np.frombuffer(bytes(seg), np.uint8)
+            rel = np.clip(rel_all - c, 0, self.width).astype(np.int32)
             if self.sharded:
                 from multithreading_string_matching_tpu.parallel.mesh import (
                     count_chunk_sharded,
