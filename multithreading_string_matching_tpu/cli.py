@@ -535,7 +535,13 @@ def _run_match(a, cfg, pcap_paths) -> int:
             FlowStreamMatcher,
         )
 
-        fs = FlowStreamMatcher(matcher, cfg.mode)
+        # Engine by platform economics (measured): the window halo-chunk
+        # form beats the gather-bound AC scan ~4x on the TPU; AC wins on
+        # CPU hosts (compare chains are expensive there, DFA state is one
+        # int).  The matcher's resolved engine encodes exactly that split.
+        fse = ("window" if matcher._resolve_engine(None)
+               in ("pallas", "window") else "ac")
+        fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse)
         with timer.phase("scan"):
             for path in pcap_paths:
                 for chunk in iter_pcap(path, batch_packets=8192):

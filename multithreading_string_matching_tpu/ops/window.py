@@ -260,10 +260,14 @@ def find_matches(wp: WindowProgram, payloads, lengths, *, group: int = GROUP):
 class StreamHalo(NamedTuple):
     """Carried streaming state: the previous chunk's tail bytes plus how
     many of them are REAL stream bytes (the rest are the fabricated zeros
-    the stream started with — matches must never begin inside those)."""
+    the stream started with — matches must never begin inside those).
+    ``fill`` is a scalar when every lane shares one stream position (the
+    long-payload chunking shape) or an int32[N] vector when lanes carry
+    independent histories (the per-FLOW streaming shape, where a revived
+    flow sits next to a brand-new one in the same round)."""
 
     data: jax.Array  # uint8[N, H]
-    fill: jax.Array  # int32 scalar, 0 <= fill <= H
+    fill: jax.Array  # int32 scalar or int32[N], 0 <= fill <= H
 
 
 @jax.jit
@@ -277,10 +281,15 @@ def _window_chunk(pat_words, pat_masks, pat_lens, chunk, rel_len, halo, fill):
     # The first H - fill halo columns are fabricated zeros (shrinks to none
     # once H real bytes have streamed) — a NUL-containing pattern must not
     # start inside them, on ANY chunk.  Traced, so chunk 1..k share one
-    # executable instead of recompiling per offset.
+    # executable instead of recompiling per offset.  A VECTOR fill reshapes
+    # to broadcast against the [g, n, L] position grid (per-lane zeros
+    # boundary — the flow-stream case).
+    ms = H - fill
+    if getattr(ms, "ndim", 0):
+        ms = ms.reshape(1, -1, 1)
     counts = _window_one(
         pat_words, pat_masks, pat_lens, x, eff_len,
-        per_packet=False, min_end=H, min_start=H - fill,
+        per_packet=False, min_end=H, min_start=ms,
     )
     return counts, x[:, -H:], jnp.minimum(fill + C, H)
 

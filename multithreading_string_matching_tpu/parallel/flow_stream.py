@@ -40,6 +40,7 @@ class FlowStreamMatcher:
         matcher,
         mode: str = "tcp",
         *,
+        engine: str = "ac",
         scan_bytes: int = 1 << 20,
         width: int = 2048,
         min_lanes: int = 128,
@@ -49,6 +50,17 @@ class FlowStreamMatcher:
         self.matcher = matcher
         if mode not in ("udp", "tcp"):
             raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
+        if engine not in ("ac", "window"):
+            # Only these two have carried-state forms: the AC DFA carries
+            # one int per flow; the window engine carries an (max_len - 1)-
+            # byte halo per flow and scans at compare-chain rate (~30-100x
+            # the gather-bound DFA — the high-rate flow-serving path).
+            raise ValueError(
+                f"unknown flow-stream engine {engine!r}: expected ac or window"
+            )
+        if sharded and engine != "ac":
+            raise ValueError("sharded flow streaming is AC-only for now")
+        self.engine = engine
         self.mode = mode
         self.scan_bytes = scan_bytes
         self.width = width
@@ -72,7 +84,8 @@ class FlowStreamMatcher:
         else:
             self.mesh = None
             self._n_dev = 1
-        self._states: dict = {}      # key bytes -> int DFA state
+        self._states: dict = {}      # ac: key -> int DFA state;
+                                     # window: key -> (tail bytes, fill int)
         self._pending: dict = {}     # key bytes -> bytearray (insertion order)
         self._pending_bytes = 0
         self._counts = np.zeros(len(matcher.patterns), np.int64)
@@ -113,10 +126,31 @@ class FlowStreamMatcher:
         # up to a device-count multiple (a non-pow2 min_lanes or device
         # count would otherwise leave shard_map an uneven split).
         F = -(-F // self._n_dev) * self._n_dev
-        states = np.zeros(F, np.int32)
-        for i, k in enumerate(flows):
-            states[i] = self._states.get(k, 0)
-        states_v = self.matcher.streaming_state(F) + states
+        if self.engine == "window":
+            import jax.numpy as jnp
+
+            from multithreading_string_matching_tpu.ops.window import (
+                StreamHalo,
+            )
+
+            wp = self.matcher.window
+            H = max(int(wp.max_len) - 1, 1)
+            halo_b = np.zeros((F, H), np.uint8)
+            fill_v = np.zeros(F, np.int32)
+            for i, k in enumerate(flows):
+                tail, fl = self._states.get(k, (b"", 0))
+                if fl:
+                    # Real tail bytes sit RIGHT-ALIGNED in the halo buffer
+                    # (the fabricated-zero columns shrink from the front) —
+                    # the same layout _window_chunk's x[:, -H:] carry uses.
+                    halo_b[i, H - fl:] = np.frombuffer(tail, np.uint8)
+                    fill_v[i] = fl
+            halo = StreamHalo(jnp.asarray(halo_b), jnp.asarray(fill_v))
+        else:
+            states = np.zeros(F, np.int32)
+            for i, k in enumerate(flows):
+                states[i] = self._states.get(k, 0)
+            states_v = self.matcher.streaming_state(F) + states
         lens_arr = np.array([len(self._pending[k]) for k in flows], np.int64)
         longest = int(lens_arr.max())
         long_q = -(-longest // self.width) * self.width
@@ -134,6 +168,12 @@ class FlowStreamMatcher:
                 b = self._pending[k]
                 padded[i, : len(b)] = np.frombuffer(bytes(b), np.uint8)
         tile = np.zeros((F, self.width), np.uint8)
+        round_counts = None  # device-resident; ONE fetch per round (the
+        # per-chunk np.asarray fetch paid a full tunnel round-trip per
+        # chunk and dominated the streamed rate — same lesson as the
+        # packed-tile serving path's device accumulation).  int32-safe:
+        # a round scans at most F x long_q < 2^31 positions (the 64 MB
+        # padded-buffer budget bounds it).
         for c in range(0, longest, self.width):
             if padded is not None:
                 tile = padded[:, c : c + self.width]
@@ -142,25 +182,61 @@ class FlowStreamMatcher:
                 for i, k in enumerate(flows):
                     seg = self._pending[k][c : c + self.width]
                     tile[i, : len(seg)] = np.frombuffer(bytes(seg), np.uint8)
-            rel = np.clip(rel_all - c, 0, self.width).astype(np.int32)
-            if self.sharded:
+            if self.engine == "window":
+                from multithreading_string_matching_tpu.ops.window import (
+                    window_stream_chunk,
+                )
+
+                counts, halo = window_stream_chunk(
+                    self.matcher.window, self.matcher._maybe_fold(tile),
+                    (rel_all - c).astype(np.int32), halo,
+                )
+            elif self.sharded:
                 from multithreading_string_matching_tpu.parallel.mesh import (
                     count_chunk_sharded,
                 )
 
+                rel = np.clip(rel_all - c, 0, self.width).astype(np.int32)
                 counts, states_v = count_chunk_sharded(
                     self.matcher.cac,
                     self.matcher._maybe_fold(tile), rel, states_v,
                     self.mesh, dup_map=self.matcher.ac.dup_map,
                 )
             else:
-                counts, states_v = self.matcher.count_chunk(
-                    tile, rel, states_v
+                from multithreading_string_matching_tpu.ops.scan import (
+                    count_matches_ac,
                 )
-            self._counts += np.asarray(counts, dtype=np.int64)
-        final = np.asarray(states_v)
-        for i, k in enumerate(flows):
-            self._states[k] = int(final[i])
+
+                # Direct lazy scan (Matcher.count_chunk fetches its counts
+                # eagerly — that round-trip per chunk is what the device
+                # accumulator exists to avoid).
+                rel = np.clip(rel_all - c, 0, self.width).astype(np.int32)
+                counts, states_v = count_matches_ac(
+                    self.matcher.cac, self.matcher._maybe_fold(tile), rel,
+                    initial_states=states_v,
+                    dup_map=self.matcher.ac.dup_map, return_states=True,
+                )
+            round_counts = (
+                counts if round_counts is None else round_counts + counts
+            )
+        if round_counts is not None:
+            self._counts += np.asarray(round_counts, dtype=np.int64)
+        if self.engine == "window":
+            # Store each flow's tail from the HOST bytes, not the device
+            # carry: a lane whose pending ends mid-chunk gets zero PADDING
+            # bytes in the returned halo (harmless within the round —
+            # min_end masks them — but fatal for revival).  The real tail
+            # is simply the last H bytes the flow has ever streamed.
+            for i, k in enumerate(flows):
+                prev_tail, prev_fill = self._states.get(k, (b"", 0))
+                combined = prev_tail + bytes(self._pending[k])
+                self._states[k] = (
+                    combined[-H:], min(H, prev_fill + len(self._pending[k]))
+                )
+        else:
+            final = np.asarray(states_v)
+            for i, k in enumerate(flows):
+                self._states[k] = int(final[i])
         self._pending.clear()
         self._pending_bytes = 0
 

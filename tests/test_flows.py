@@ -313,20 +313,43 @@ class TestFlowStream:
             fs.feed_pcap_slice(slice_pcap(pcap, s, s + step, copy=False))
         fs.flush()
 
+    @pytest.mark.parametrize("engine", ["ac", "window"])
     @pytest.mark.parametrize("step,scan_bytes,width", [
         (1, 1, 8),        # scan round per packet, multi-chunk widths
         (3, 10, 8),       # splits land across feeds AND rounds
         (100, 1 << 20, 2048),  # everything in one round
     ])
-    def test_stream_equals_oracle(self, split_capture, step, scan_bytes, width):
+    def test_stream_equals_oracle(self, split_capture, step, scan_bytes,
+                                  width, engine):
         pcap = read_pcap(split_capture)
         m = Matcher(PATS, engine="ac")
         fs = FlowStreamMatcher(
-            m, "tcp", scan_bytes=scan_bytes, width=width, min_lanes=8
+            m, "tcp", engine=engine, scan_bytes=scan_bytes, width=width,
+            min_lanes=8,
         )
         self._feed(fs, pcap, step)
         assert fs.counts().tolist() == _want([PAY_A, PAY_B])
         assert fs.flows_seen == 2
+
+    def test_window_engine_nul_pattern_revival(self, tmp_path):
+        """Window halo path: a NUL-containing pattern split across feeds
+        counts once (per-lane fill keeps fabricated zeros unmatched) and
+        revival restores the real tail bytes, not chunk padding."""
+        p1, p2 = tmp_path / "n1.pcap", tmp_path / "n2.pcap"
+        synth_tcp_flows_pcap(p1, [(KEY_A, b"xxE\x00", [4])])
+        synth_tcp_flows_pcap(p2, [(KEY_A, b"Fyy", [3]), (KEY_B, b"qq", [2])])
+        m = Matcher([b"E\x00F", b"qq"], engine="window")
+        fs = FlowStreamMatcher(m, "tcp", engine="window", scan_bytes=1,
+                               width=4, min_lanes=8)
+        fs.feed_pcap_slice(read_pcap(p1))
+        fs.flush()
+        fs.feed_pcap_slice(read_pcap(p2))
+        fs.flush()
+        assert fs.counts().tolist() == [1, 1]
+
+    def test_unknown_engine_rejected(self):
+        with pytest.raises(ValueError, match="engine"):
+            FlowStreamMatcher(Matcher(PATS), "tcp", engine="pallas")
 
     def test_state_survives_across_rounds(self, tmp_path):
         """The half-fed signature's DFA state must survive a scan round in
