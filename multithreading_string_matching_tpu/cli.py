@@ -538,9 +538,20 @@ def _run_match(a, cfg, pcap_paths) -> int:
         # Engine by platform economics (measured): the window halo-chunk
         # form beats the gather-bound AC scan ~4x on the TPU; AC wins on
         # CPU hosts (compare chains are expensive there, DFA state is one
-        # int).  The matcher's resolved engine encodes exactly that split.
-        fse = ("window" if matcher._resolve_engine(None)
-               in ("pallas", "window") else "ac")
+        # int).  Decided from the REQUESTED engine (the resolver's CPU
+        # pallas->window degradation must not read as a window request):
+        # an explicit 'window' is honored anywhere; pallas/auto pick
+        # window only on an accelerator; ac/kmp stream via the DFA.
+        import jax
+
+        if cfg.engine == "window":
+            fse = "window"
+        elif (cfg.engine in ("pallas", "auto")
+              and jax.default_backend() != "cpu"
+              and matcher._resolve_engine(None) in ("pallas", "window")):
+            fse = "window"
+        else:
+            fse = "ac"
         fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse)
         with timer.phase("scan"):
             for path in pcap_paths:
@@ -558,7 +569,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 "flow_packets": fs.packets_seen,
                 "stream_bytes": fs.bytes_seen,
                 "phases": timer.phases,
-                "execution": _execution_blob(matcher, False, actual="ac"),
+                "execution": _execution_blob(matcher, False, actual=fse),
             }))
         else:
             _report(matcher, _exact_counts(counts), timer.total)

@@ -342,9 +342,10 @@ def scatter_segments(buf, src, lens, rows, offs, out) -> None:
     # result from its own array), so validate instead: a float64 or
     # non-contiguous `out` would make the C row stride wrong and corrupt
     # memory silently.
-    assert out.dtype == np.uint8 and out.flags.c_contiguous, (
-        "scatter_segments: out must be C-contiguous uint8"
-    )
+    if out.dtype != np.uint8 or not out.flags.c_contiguous:
+        # A raise, not an assert: python -O must not re-enable the silent
+        # corruption this check exists to prevent.
+        raise ValueError("scatter_segments: out must be C-contiguous uint8")
     lib.msm_scatter_segments(
         _u8(buf), _i64(np.ascontiguousarray(src, np.int64)),
         _i64(np.ascontiguousarray(lens, np.int64)),

@@ -145,7 +145,13 @@ class FlowStreamMatcher:
                     # the same layout _window_chunk's x[:, -H:] carry uses.
                     halo_b[i, H - fl:] = np.frombuffer(tail, np.uint8)
                     fill_v[i] = fl
-            halo = StreamHalo(jnp.asarray(halo_b), jnp.asarray(fill_v))
+            # Stored tails are RAW capture bytes; fold here so nocase
+            # matchers see folded halos next to folded chunks (folding is
+            # idempotent, so the tile's own fold cannot double-apply).
+            halo = StreamHalo(
+                jnp.asarray(self.matcher._maybe_fold(halo_b)),
+                jnp.asarray(fill_v),
+            )
         else:
             states = np.zeros(F, np.int32)
             for i, k in enumerate(flows):
@@ -167,18 +173,21 @@ class FlowStreamMatcher:
             for i, k in enumerate(flows):
                 b = self._pending[k]
                 padded[i, : len(b)] = np.frombuffer(bytes(b), np.uint8)
-        tile = np.zeros((F, self.width), np.uint8)
-        round_counts = None  # device-resident; ONE fetch per round (the
+        # Device-resident count accumulation, ONE fetch per round: the old
         # per-chunk np.asarray fetch paid a full tunnel round-trip per
-        # chunk and dominated the streamed rate — same lesson as the
-        # packed-tile serving path's device accumulation).  int32-safe:
-        # a round scans at most F x long_q < 2^31 positions (the 64 MB
-        # padded-buffer budget bounds it).
+        # chunk and dominated the streamed rate (same lesson as the
+        # packed-tile serving path).  Only safe on the padded path AND
+        # under the int32 position bound: the fallback path reuses a
+        # mutable tile (async dispatch would read the next chunk's bytes —
+        # the CLAUDE.md aliasing trap) and can scan unbounded positions, so
+        # it drains to host int64 per chunk instead.
+        device_acc = padded is not None and F * long_q < 2**31
+        round_counts = None
         for c in range(0, longest, self.width):
             if padded is not None:
                 tile = padded[:, c : c + self.width]
             else:
-                tile[:] = 0
+                tile = np.zeros((F, self.width), np.uint8)  # FRESH per chunk
                 for i, k in enumerate(flows):
                     seg = self._pending[k][c : c + self.width]
                     tile[i, : len(seg)] = np.frombuffer(bytes(seg), np.uint8)
@@ -216,9 +225,12 @@ class FlowStreamMatcher:
                     initial_states=states_v,
                     dup_map=self.matcher.ac.dup_map, return_states=True,
                 )
-            round_counts = (
-                counts if round_counts is None else round_counts + counts
-            )
+            if device_acc:
+                round_counts = (
+                    counts if round_counts is None else round_counts + counts
+                )
+            else:
+                self._counts += np.asarray(counts, dtype=np.int64)
         if round_counts is not None:
             self._counts += np.asarray(round_counts, dtype=np.int64)
         if self.engine == "window":

@@ -347,6 +347,24 @@ class TestFlowStream:
         fs.flush()
         assert fs.counts().tolist() == [1, 1]
 
+    def test_window_engine_nocase_across_rounds(self, tmp_path):
+        """Stored halos are raw capture bytes; the restore must fold them
+        for case-insensitive matchers or a match spanning a scan-round
+        boundary silently misses (review finding — AC counted it, window
+        did not: an engine-equivalence violation)."""
+        p1, p2 = tmp_path / "c1.pcap", tmp_path / "c2.pcap"
+        synth_tcp_flows_pcap(p1, [(KEY_A, b"xA", [2])])
+        synth_tcp_flows_pcap(p2, [(KEY_A, b"b", [1])])
+        for engine in ("ac", "window"):
+            m = Matcher([b"ab"], engine="window", case_insensitive=True)
+            fs = FlowStreamMatcher(m, "tcp", engine=engine, scan_bytes=1,
+                                   width=4, min_lanes=8)
+            fs.feed_pcap_slice(read_pcap(p1))
+            fs.flush()
+            fs.feed_pcap_slice(read_pcap(p2))
+            fs.flush()
+            assert fs.counts().tolist() == [1], engine
+
     def test_unknown_engine_rejected(self):
         with pytest.raises(ValueError, match="engine"):
             FlowStreamMatcher(Matcher(PATS), "tcp", engine="pallas")
