@@ -225,14 +225,44 @@ def main():
     # re-runs with per-tile blocking — the async/sync ratio is the measured
     # producer/consumer overlap gain of asynchronous dispatch.
     e2e_bps = e2e_sync_bps = link_bps = host_bps = host_workers_bps = None
+    link_pre = link_post = None
     e2e_src = None
     if engine == "pallas" and not os.environ.get("MSM_BENCH_NO_E2E"):
         from multithreading_string_matching_tpu.parallel.pipeline import (
             count_pcap_streamed,
         )
 
+        def probe_link(seed: int) -> float:
+            # Raw host->device link rate, measured NOW: the streamed path is
+            # transfer-bound on this remote-attached device, and the link
+            # rate VARIES between sessions (16-60 MB/s on different days at
+            # identical code) — AND within one (BENCH_r04 shipped a probe
+            # 1.8x below the e2e it was meant to attribute).  So the probe
+            # runs immediately BEFORE and AFTER the e2e window and the
+            # artifact reports the band.  Distinct random buffers per
+            # transfer — identical-argument transfers can be deduplicated
+            # (CLAUDE.md) — and a fresh seed per probe so the second probe
+            # cannot hit transfer caches the first populated.
+            rng = np.random.default_rng(seed)
+            bufs = [
+                rng.integers(0, 255, size=(4096, 2048), dtype=np.uint8)
+                for _ in range(5)
+            ]
+            # Warm with a buffer NOT in the timed set (re-transferring the
+            # warm-up buffer could be deduplicated out of the timed window).
+            np.asarray(jnp.asarray(bufs.pop())[:1, :1])
+            t0 = time.perf_counter()
+            # PIPELINED, like the streamed path uses the link: enqueue every
+            # transfer asynchronously, then sync — a per-transfer sync would
+            # serialize round-trips into the measurement.
+            staged = [jnp.asarray(b) for b in bufs]
+            for d in staged:
+                np.asarray(d[:1, :1])
+            return sum(b.nbytes for b in bufs) / (time.perf_counter() - t0)
+
         e2e_src = mega if mega_bps else PCAP
         count_pcap_streamed(matcher, e2e_src, "udp")  # warm/compile
+        link_pre = probe_link(7)
         e2e_stats = {}
         t0 = time.perf_counter()
         e2e_counts = count_pcap_streamed(matcher, e2e_src, "udp", stats=e2e_stats)
@@ -241,34 +271,17 @@ def main():
         t0 = time.perf_counter()
         e2e_sync = count_pcap_streamed(matcher, e2e_src, "udp", sync_dispatch=True)
         e2e_sync_bps = e2e_stats["payload_bytes"] / (time.perf_counter() - t0)
+        link_post = probe_link(11)
         assert (np.asarray(e2e_counts) == np.asarray(e2e_sync)).all()
         if e2e_src == PCAP:
             assert (np.asarray(e2e_counts) == np.asarray(counts)).all()
-
-        # Context probes: the streamed path is transfer-bound on this
-        # remote-attached device, and the link rate VARIES between sessions
-        # (measured 16-60 MB/s on different days at identical code).  Report
-        # the raw host->device link rate measured NOW, plus the host-only
-        # pipeline rate (ingest -> extract -> pack, no device), so the e2e
-        # number is attributable: e2e ~= min(link, host) when asynchronous
-        # dispatch overlaps them.  Distinct random buffers per transfer —
-        # identical-argument transfers can be deduplicated (CLAUDE.md).
-        rng = np.random.default_rng(7)
-        bufs = [
-            rng.integers(0, 255, size=(4096, 2048), dtype=np.uint8)
-            for _ in range(5)
-        ]
-        # Warm with a buffer NOT in the timed set (re-transferring the
-        # warm-up buffer could be deduplicated out of the timed window).
-        np.asarray(jnp.asarray(bufs.pop())[:1, :1])
-        t0 = time.perf_counter()
-        # PIPELINED, like the streamed path uses the link: enqueue every
-        # transfer asynchronously, then sync — a per-transfer sync would
-        # serialize round-trips into the measurement.
-        staged = [jnp.asarray(b) for b in bufs]
-        for d in staged:
-            np.asarray(d[:1, :1])
-        link_bps = sum(b.nbytes for b in bufs) / (time.perf_counter() - t0)
+        # The bracketing band is the attribution: e2e is expected ~0.9-1.0x
+        # the same-session link rate (ledger).  Report the midpoint as the
+        # headline link number for continuity, the band itself, and whether
+        # the e2e/link fraction is outside a plausible [0.5, 1.3] window
+        # (out-of-band means the link moved mid-run — re-probe before
+        # reading the e2e delta as a code change).
+        link_bps = (link_pre + link_post) / 2.0
 
         from multithreading_string_matching_tpu.ops.bucketing import pack_rows
         from multithreading_string_matching_tpu.parallel.pipeline import (
@@ -344,6 +357,16 @@ def main():
                 ),
                 "h2d_link_bytes_per_sec": (
                     round(link_bps, 1) if link_bps else None
+                ),
+                "h2d_link_band_bytes_per_sec": (
+                    [round(min(link_pre, link_post), 1),
+                     round(max(link_pre, link_post), 1)]
+                    if link_pre else None
+                ),
+                "e2e_link_attribution_ok": (
+                    (0.5 <= e2e_bps / max(link_pre, link_post)
+                     and e2e_bps / min(link_pre, link_post) <= 1.3)
+                    if link_pre and e2e_bps else None
                 ),
                 "host_pipeline_bytes_per_sec": (
                     round(host_bps, 1) if host_bps else None

@@ -253,6 +253,27 @@ class Matcher:
             len(kset) == 1 and total_words > self.PALLAS_TABLE_WORDS_UNIFORM
         )
 
+    # AC goto tables past this many bytes are treated as uncompilable by
+    # engine='auto' (the compile wall: the remote tunnel 413-rejects the
+    # ~100 MB HLO of a 12k-pattern goto constant while the ~25 MB
+    # 3072-pattern one compiles — DESIGN §1; 48 MB splits the measured
+    # points conservatively).  MSM_AC_GOTO_WALL overrides (bytes; 0 = off).
+    AC_GOTO_WALL_BYTES = 48 << 20
+
+    def _ac_goto_too_big(self) -> bool:
+        """Would compiling the AC engine's goto table exceed the compile
+        wall?  Estimated from the pattern list alone (states <= total
+        pattern bytes + 1; the table is [states, 256] int32) — never builds
+        the automaton it may route away from."""
+        wall = self.AC_GOTO_WALL_BYTES
+        env = os.environ.get("MSM_AC_GOTO_WALL")
+        if env is not None:
+            wall = int(env)
+        if wall <= 0:
+            return False
+        est_states = sum(len(p) for p in dict.fromkeys(self._match_patterns)) + 1
+        return est_states * 256 * 4 > wall
+
     def _pallas_filter_selected(self) -> bool:
         """Filter/verify gating for the table kernel: ON by default — the
         measured win is 1.5-1.7x on pattern sets mostly ABSENT from the
@@ -285,6 +306,18 @@ class Matcher:
             "bucketed": self.bucketed,
             "nul_patterns": any(0 in p for p in unique),
         }
+        if self.engine == "auto" and (
+            total_words > 50_000 and max_len <= 256 and self._ac_goto_too_big()
+        ):
+            # auto's size rule wanted AC, but its goto table would exceed
+            # the compile wall (observability for weak #5's fix: the
+            # artifact must say WHY a 60k-word set runs the table kernel).
+            out["auto_note"] = (
+                "ac goto table exceeds the compile wall "
+                f"(~{(sum(len(p) for p in unique) + 1) * 1024} bytes > "
+                f"{self.AC_GOTO_WALL_BYTES}); falling back to the filtered "
+                "table kernel"
+            )
         if eng == "pallas":
             if self._pallas_table_selected(total_words):
                 out["pallas_kernel"] = (
@@ -425,6 +458,17 @@ class Matcher:
             # window/AC crossover out by the same factor.
             _, max_len, total_words = self._pattern_stats()
             engine = "ac" if total_words > 50_000 or max_len > 256 else "pallas"
+            if engine == "ac" and max_len <= 256 and self._ac_goto_too_big():
+                # Round 5: AC's goto table is a [states, 256] int32 jit
+                # constant; past ~10k short patterns the compile rejects the
+                # HLO outright (remote tunnel HTTP 413 at the ~100 MB
+                # 12288-pattern point; measured fine at the ~25 MB
+                # 3072-pattern point — DESIGN §1).  When auto reached AC on
+                # SIZE alone, fall back to the filtered table kernel, which
+                # measurably runs at 12k+ patterns.  max_len > 256 keeps AC:
+                # there the window formulation's K views blow VMEM, and long
+                # patterns mean few of them (small goto tables).
+                engine = "pallas"
         if (
             engine == "pallas"
             and jax.default_backend() == "cpu"
