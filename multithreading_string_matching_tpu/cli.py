@@ -67,7 +67,7 @@ def _build(
 
 def _execution_blob(
     matcher, sharded: bool, attribution: bool = False,
-    actual: "str | None" = None,
+    actual: "str | None" = None, shard_axis: "str | None" = None,
 ) -> dict:
     """matcher.explain(), corrected for CLI-level remaps.
 
@@ -75,9 +75,10 @@ def _execution_blob(
     via its stats dict) is authoritative — no rule re-derivation.  Without
     it, mirror the pipeline rules: the sharded counts paths have no
     per-pattern-DFA reducer and run kmp rule sets through AC; sharded
-    ATTRIBUTION (per-row) is window-family only, so ac/kmp remap to window
-    there (identical counts either way)."""
+    ATTRIBUTION (per-row) and PATTERN-axis sharding are window-family
+    only, so ac/kmp remap to window there (identical counts either way)."""
     ex = matcher.explain()
+    pattern_axis = shard_axis in ("patterns", "both")
     if actual is not None:
         if actual != ex["engine_resolved"]:
             ex["sharded_remap" if sharded else "streamed_remap"] = (
@@ -87,7 +88,10 @@ def _execution_blob(
         if actual != "pallas":
             ex.pop("pallas_kernel", None)
         return ex
-    if sharded and attribution and ex["engine_resolved"] in ("ac", "kmp"):
+    if (
+        sharded and (attribution or pattern_axis)
+        and ex["engine_resolved"] in ("ac", "kmp")
+    ):
         ex["sharded_remap"] = f"{ex['engine_resolved']}->window"
         ex["engine_resolved"] = "window"
     elif sharded and ex["engine_resolved"] == "kmp":
@@ -438,6 +442,15 @@ def cmd_match(argv: List[str]) -> int:
     )
     p.add_argument("--sharded", action="store_true", help="use every device via the mesh")
     p.add_argument(
+        "--shard-axis", choices=["auto", "packets", "patterns", "both"],
+        default="auto",
+        help="with --sharded: which axis to shard over the mesh — packets "
+             "(classic data parallel), patterns (each device carries 1/N of "
+             "the rule set; the large-rule-set form, ~N-fold on the ~1/U "
+             "wall), both (2-D mesh), or auto (patterns when the rule set "
+             "is in the table-kernel regime)",
+    )
+    p.add_argument(
         "--distributed", action="store_true",
         help="with --stream: multi-host streamed counting "
              "(count_pcap_streamed_distributed; set MSM_COORDINATOR etc. "
@@ -505,6 +518,18 @@ def _run_match(a, cfg, pcap_paths) -> int:
         syntax=a.pattern_syntax, bucketed=cfg.bucketed,
     )
     timer = PhaseTimer()
+    shard_axis = a.shard_axis
+    if a.sharded:
+        if shard_axis == "auto":
+            import jax
+
+            from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                choose_shard_axis,
+            )
+
+            shard_axis = choose_shard_axis(matcher, len(jax.devices()))
+    elif a.shard_axis != "auto":
+        raise SystemExit("--shard-axis requires --sharded")
     if a.distributed and not a.stream:
         raise SystemExit("--distributed requires --stream (the one-shot "
                          "multi-host path is the `mesh` subcommand)")
@@ -676,6 +701,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     dump_path=a.dump_matches, offsets=a.offsets,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     stats=stream_stats, sharded=a.sharded,
+                    shard_axis=shard_axis if a.sharded else "packets",
                     host_workers=cfg.host_workers,
                 )
                 counts, stream_offsets = res if a.offsets else (res, None)
@@ -684,7 +710,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     matcher, pcap_paths, cfg.mode,
                     strict=cfg.strict, vlan=a.vlan, ipv6=a.ipv6,
                     engine=cfg.engine, stats=stream_stats,
-                    sharded=a.sharded, host_workers=cfg.host_workers,
+                    sharded=a.sharded,
+                    shard_axis=shard_axis if a.sharded else "packets",
+                    host_workers=cfg.host_workers,
                 )
         # The pipeline reports the engine it ACTUALLY resolved through the
         # stats dict — authoritative over the blob's re-derived rules.
@@ -703,6 +731,8 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 attribution=bool(a.dump_matches or a.offsets),
                 actual=actual_engine,
             )
+            if a.sharded:
+                blob["execution"]["shard_axis"] = shard_axis
             if a.dump_matches:
                 blob["dump_path"] = a.dump_matches
             if stream_offsets is not None:
@@ -740,21 +770,35 @@ def _run_match(a, cfg, pcap_paths) -> int:
             cfg.per_packet or a.dump_matches or a.offsets
         )
         if a.sharded and not sharded_attr:
-            from multithreading_string_matching_tpu.parallel.mesh import (
-                make_mesh,
-                count_matches_sharded,
-            )
+            if shard_axis in ("patterns", "both"):
+                # Pattern-axis sharding: each device scans all packets with
+                # 1/N of the rule set (parallel.pattern_shard) — the
+                # large-rule-set form the ~1/U law rewards ~N-fold.
+                from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                    count_matches_pattern_sharded,
+                    resolve_shard_mesh,
+                )
 
-            eng = matcher._resolve_engine(cfg.engine)  # pallas degrades on CPU
-            if eng == "kmp":
-                eng = "ac"
-            counts = count_matches_sharded(
-                matcher.cac, matcher._maybe_fold(batch.payloads),
-                batch.lengths, make_mesh(),
-                dup_map=matcher.ac.dup_map if eng == "ac" else matcher.window.dup_map,
-                engine=eng, window=matcher.window,
-                pallas_matcher=matcher.pallas if eng == "pallas" else None,
-            )
+                counts = count_matches_pattern_sharded(
+                    matcher, batch.payloads, batch.lengths,
+                    resolve_shard_mesh(shard_axis), engine=cfg.engine,
+                )
+            else:
+                from multithreading_string_matching_tpu.parallel.mesh import (
+                    make_mesh,
+                    count_matches_sharded,
+                )
+
+                eng = matcher._resolve_engine(cfg.engine)  # pallas degrades on CPU
+                if eng == "kmp":
+                    eng = "ac"
+                counts = count_matches_sharded(
+                    matcher.cac, matcher._maybe_fold(batch.payloads),
+                    batch.lengths, make_mesh(),
+                    dup_map=matcher.ac.dup_map if eng == "ac" else matcher.window.dup_map,
+                    engine=eng, window=matcher.window,
+                    pallas_matcher=matcher.pallas if eng == "pallas" else None,
+                )
         elif sharded_attr:
             # Attribution under the mesh: ONE sharded per-row pass serves
             # --per-packet / --dump-matches / --offsets (rows keep their
@@ -762,29 +806,52 @@ def _run_match(a, cfg, pcap_paths) -> int:
             # never leaves the devices (count_rows_summary); positions are
             # then extracted from the sparse HIT rows only, so --sharded
             # never degrades to an unsharded full-corpus re-scan.
-            from multithreading_string_matching_tpu.parallel.mesh import (
-                count_rows_sharded,
-                count_rows_summary,
-                make_mesh,
-            )
-
             eng = matcher._resolve_engine(cfg.engine)
             row_eng = "pallas" if eng == "pallas" else "window"
-            mesh = make_mesh()
-            if cfg.per_packet:
-                per_row = count_rows_sharded(
-                    matcher, batch.payloads, batch.lengths, mesh,
-                    engine=row_eng,
+            if shard_axis in ("patterns", "both"):
+                from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                    count_rows_pattern_sharded,
+                    count_rows_summary_pattern_sharded,
+                    resolve_shard_mesh,
                 )
-                counts = per_row
-                hit_rows = np.flatnonzero(per_row.sum(axis=1) > 0)
+
+                mesh = resolve_shard_mesh(shard_axis)
+                if cfg.per_packet:
+                    per_row = count_rows_pattern_sharded(
+                        matcher, batch.payloads, batch.lengths, mesh,
+                        engine=row_eng,
+                    )
+                    counts = per_row
+                    hit_rows = np.flatnonzero(per_row.sum(axis=1) > 0)
+                else:
+                    tot, hits = count_rows_summary_pattern_sharded(
+                        matcher, batch.payloads, batch.lengths, mesh,
+                        engine=row_eng,
+                    )
+                    counts = _exact_counts(tot[matcher.window.dup_map])
+                    hit_rows = np.flatnonzero(hits)
             else:
-                tot, hits = count_rows_summary(
-                    matcher, batch.payloads, batch.lengths, mesh,
-                    engine=row_eng,
+                from multithreading_string_matching_tpu.parallel.mesh import (
+                    count_rows_sharded,
+                    count_rows_summary,
+                    make_mesh,
                 )
-                counts = _exact_counts(tot[matcher.window.dup_map])
-                hit_rows = np.flatnonzero(hits)
+
+                mesh = make_mesh()
+                if cfg.per_packet:
+                    per_row = count_rows_sharded(
+                        matcher, batch.payloads, batch.lengths, mesh,
+                        engine=row_eng,
+                    )
+                    counts = per_row
+                    hit_rows = np.flatnonzero(per_row.sum(axis=1) > 0)
+                else:
+                    tot, hits = count_rows_summary(
+                        matcher, batch.payloads, batch.lengths, mesh,
+                        engine=row_eng,
+                    )
+                    counts = _exact_counts(tot[matcher.window.dup_map])
+                    hit_rows = np.flatnonzero(hits)
             # Padding rows (length 0) cannot hit, but keep the row->packet
             # map defensive: only rows that correspond to valid packets.
             hit_rows = hit_rows[hit_rows < int(batch.valid.sum())]
@@ -865,9 +932,12 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "payload_bytes": batch.total_payload_bytes,
             "phases": timer.phases,
             "execution": _execution_blob(
-                matcher, a.sharded, attribution=sharded_attr
+                matcher, a.sharded, attribution=sharded_attr,
+                shard_axis=shard_axis if a.sharded else None,
             ),
         }
+        if a.sharded:
+            blob["execution"]["shard_axis"] = shard_axis
         if offsets is not None:
             blob["offsets"] = offsets.tolist()  # (packet, start, unique_pattern)
             blob["unique_patterns"] = [

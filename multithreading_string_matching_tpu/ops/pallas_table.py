@@ -390,6 +390,141 @@ class _PatternClass:
             )
 
 
+def plan_shard_geometry(C: int, unroll: int = UNROLL,
+                        block: int = PATTERN_BLOCK):
+    """(S, pb, nblocks) for a pattern shard of C real patterns: the padded
+    shard size S = nblocks*pb every device's table must share (pattern-
+    parallel shards run ONE SPMD program, so geometry is uniform by
+    construction — parallel/pattern_shard.py).  Same padding algebra as
+    _PatternClass (pb a multiple of lcm(unroll, 8), capped at the SMEM
+    block)."""
+    import math
+
+    q = math.lcm(unroll, 8)
+    block = -(-block // q) * q
+    pb = min(block, -(-max(C, 1) // q) * q)
+    nblocks = -(-max(C, 1) // pb)
+    return nblocks * pb, pb, nblocks
+
+
+class ShardTableKernel:
+    """Fixed-geometry single-class table kernel for PATTERN-parallel
+    execution (parallel/pattern_shard.py): every mesh shard passes its own
+    ``[S, K(+1)]`` table block as DATA through one shared SPMD program, so
+    — unlike PallasTableMatcher's per-word-count-class specialization —
+    all patterns run the full K-word chain (mask-0 words past a pattern's
+    end compare trivially true, exactly ops/window.WindowProgram's own
+    padding).  That uniformity is the price of sharding the pattern axis;
+    the ~1/U throughput law (DESIGN §1) means dividing U by N devices
+    repays it ~N-fold on exactly the large sets this path exists for.
+
+    Padded shard slots: with ``use_fit`` they carry a never-fitting length
+    (counted 0); in no-fit mode they count garbage the host slices off
+    (PatternShardPlan.gather slices per-shard valid ranges either way);
+    with ``filtered`` their (fword=1, fmask=0) sentinel never fires."""
+
+    def __init__(self, K: int, S: int, use_fit: bool, filtered: bool,
+                 interpret: bool, row_tile: int = 512, unroll: int = UNROLL,
+                 vmem_budget: int = 1_600_000,
+                 pattern_block: int = PATTERN_BLOCK,
+                 filter_gate: str = "pattern-any"):
+        import math
+
+        q = math.lcm(unroll, 8)
+        if S % q:
+            raise ValueError(f"shard size {S} must be a multiple of {q}")
+        block = -(-pattern_block // q) * q
+        self.pb = min(block, S)
+        if S % self.pb:
+            raise ValueError(
+                f"shard size {S} must be a whole number of {self.pb}-blocks"
+            )
+        self.nblocks = S // self.pb
+        self.K = K
+        self.S = S
+        self.use_fit = use_fit
+        self.filtered = filtered
+        self.interpret = interpret
+        self.row_tile = row_tile
+        self.vmem_budget = vmem_budget
+        if filtered:
+            self._kernel = _make_filter_kernel(
+                K, use_fit, with_reps=False, unroll=unroll, gate=filter_gate
+            )
+            self._kernel_rows = _make_filter_kernel_rows(
+                K, use_fit, unroll=unroll, gate=filter_gate
+            )
+        else:
+            self._kernel = _make_table_kernel(
+                K, use_fit, with_reps=False, unroll=unroll
+            )
+            self._kernel_rows = _make_table_kernel_rows(K, use_fit,
+                                                        unroll=unroll)
+
+    def _pad(self, payloads, lengths):
+        from multithreading_string_matching_tpu.ops.pallas_window import (
+            pad_tile,
+        )
+
+        return pad_tile(
+            payloads, lengths, row_tile=self.row_tile, K=self.K,
+            vmem_budget=self.vmem_budget,
+        )
+
+    def counts(self, words, masks, lens, payloads, lengths):
+        """int32[S] totals for this shard's table block (jit/shard_map-safe;
+        build order within the shard — no class permutation exists here)."""
+        payloads, lengths, tn = self._pad(payloads, lengths)
+        n, L = payloads.shape
+        kw = self.K + (1 if self.filtered else 0)
+        return pl.pallas_call(
+            self._kernel,
+            grid=(self.nblocks, n // tn),
+            in_specs=[
+                pl.BlockSpec((self.pb, kw), lambda j, i: (j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.pb, kw), lambda j, i: (j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.pb, 1), lambda j, i: (j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tn, L), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((self.pb, 1), lambda *ix: (ix[0], 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((self.S, 1), jnp.int32),
+            interpret=self.interpret,
+        )(words, masks, lens, payloads, lengths)[:, 0]
+
+    def rows(self, words, masks, lens, payloads, lengths):
+        """Per-row counts int32[n_padded, S] for this shard's block."""
+        payloads, lengths, tn = self._pad(payloads, lengths)
+        n, L = payloads.shape
+        kw = self.K + (1 if self.filtered else 0)
+        out = pl.pallas_call(
+            self._kernel_rows,
+            grid=(self.nblocks, n // tn),
+            in_specs=[
+                pl.BlockSpec((self.pb, kw), lambda j, i: (j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.pb, kw), lambda j, i: (j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.pb, 1), lambda j, i: (j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tn, L), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((self.pb, tn), lambda j, i: (j, i)),
+            out_shape=jax.ShapeDtypeStruct((self.S, n), jnp.int32),
+            interpret=self.interpret,
+        )(words, masks, lens, payloads, lengths)
+        return out.T  # [n, S]
+
+
 class PallasTableMatcher(TileCountSurface):
     """Drop-in alternative to PallasWindowMatcher for large pattern sets:
     same count/repeat/per-row surface (TileCountSurface), pattern tables in

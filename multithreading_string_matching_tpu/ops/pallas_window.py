@@ -67,6 +67,56 @@ def window_views(payload_ref, K: int, use_fit: bool):
     return w, pos
 
 
+def _make_halo_kernel(
+    pat_words: np.ndarray,
+    pat_masks: np.ndarray,
+    pat_lens: np.ndarray,
+    use_fit: bool,
+    min_end: int,
+):
+    """Flow-halo totals kernel: the carried-byte-halo chunk scan
+    (ops/window._window_chunk's algebra) as a VMEM kernel.  Each lane's
+    row is [H | chunk bytes] with H = min_end halo columns; a match is
+    counted ONLY when its END index lands at/after the halo (>= min_end —
+    assigns every straddling match to exactly one round) and its START at
+    or after the lane's ``ms`` bound (the fabricated-zeros boundary: a
+    revived flow's halo is right-aligned real tail bytes, and NUL patterns
+    must not match into the zeros in front — ms = H - fill).  For NUL-free
+    sets the zero bytes can never equal a pattern and ``ms`` is redundant,
+    but it rides anyway: one [TN, 1] operand and one compare, far below
+    measurement noise, one code path for both modes."""
+    U, K = pat_words.shape
+    pw = [[int(pat_words[u, k]) for k in range(K)] for u in range(U)]
+    pm = [[int(pat_masks[u, k]) for k in range(K)] for u in range(U)]
+    plens = [int(x) for x in pat_lens]
+
+    def kernel(payload_ref, length_ref, ms_ref, out_ref):
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            for u in range(U):
+                out_ref[u] = 0
+
+        w, pos = window_views(payload_ref, K, use_fit)
+        lens = length_ref[:]                            # [TN, 1] int32
+        ms = ms_ref[:]                                  # [TN, 1] int32
+
+        for u in range(U):
+            acc = (w[0] & jnp.uint32(pm[u][0])) == jnp.uint32(pw[u][0])
+            for k in range(1, K):
+                if pm[u][k]:
+                    acc &= (w[k] & jnp.uint32(pm[u][k])) == jnp.uint32(pw[u][k])
+            if use_fit:
+                acc &= (pos + plens[u]) <= lens
+            # end index pos + m - 1 must land at/after the halo width.
+            acc &= (pos + plens[u]) > min_end
+            acc &= pos >= ms
+            out_ref[u] += jnp.sum(acc.astype(jnp.int32))
+
+    return kernel
+
+
 def _make_kernel(
     pat_words: np.ndarray,
     pat_masks: np.ndarray,
@@ -413,6 +463,68 @@ class PallasWindowMatcher(TileCountSurface):
             out_shape=jax.ShapeDtypeStruct((n, self.num_unique), jnp.int32),
             interpret=self.interpret,
         )(payloads, lengths)
+
+    # -- flow-halo rounds (round 5) ----------------------------------------
+
+    @property
+    def halo_width(self) -> int:
+        return max(int(self.wp.max_len) - 1, 1)
+
+    def _halo_run(self, payloads, lengths, ms):
+        """Traceable core of :meth:`count_tile_halo` — also called inside
+        the sharded flow-round shard_map (parallel.mesh), so it must stay
+        jit-safe and kernel-cached on self."""
+        kern = getattr(self, "_halo_kernel", None)
+        if kern is None:
+            kern = self._halo_kernel = _make_halo_kernel(
+                self.wp.pat_words, self.wp.pat_masks, self.wp.pat_lens,
+                # use_fit mirrors the counts kernel: NUL patterns need the
+                # exact per-pattern fit masks, NUL-free rides the zero-
+                # padding argument (fresh zeroed round buffers).
+                any(0 in p for p in self.wp.unique_patterns),
+                min_end=self.halo_width,
+            )
+        payloads, lengths2, tn = self._pad_tile(payloads, lengths)
+        n, L = payloads.shape
+        ms = jnp.pad(
+            jnp.asarray(ms, jnp.int32).reshape(-1, 1),
+            ((0, n - np.shape(ms)[0]), (0, 0)),
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(n // tn,),
+            in_specs=[
+                pl.BlockSpec((tn, L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((self.num_unique,), jnp.int32),
+            interpret=self.interpret,
+        )(payloads, lengths2, ms)
+
+    def count_tile_halo(self, x, eff_len, min_start):
+        """Build-order unique totals int32[U] for ONE flow-round tile
+        ``x = [halo | round bytes]`` (halo = ``halo_width`` columns): the
+        carried-halo chunk scan (ops/window.window_stream_chunk's algebra)
+        at VMEM kernel rate — what lets a streamed flow round run at the
+        one-shot kernel's speed instead of the XLA window engine's.
+
+        ``eff_len[i]``: valid bytes of row i INCLUDING the halo columns
+        (min(pending + H, H + C) — _window_chunk's rule); bytes past it
+        must be ZERO (the flow stream builds fresh zeroed round buffers).
+        ``min_start[i]``: first column a match may START at (H - real halo
+        fill — the fabricated-zeros boundary; NUL-pattern exactness)."""
+        if getattr(self, "_jit_halo", None) is None:
+            self._jit_halo = jax.jit(self._halo_run)
+        return self._jit_halo(
+            jnp.asarray(x, jnp.uint8),
+            jnp.asarray(eff_len, jnp.int32),
+            jnp.asarray(min_start, jnp.int32),
+        )
 
     # count_tiles / count_tiles_repeated / count_tiles_per_row /
     # count_tile_summary: inherited from TileCountSurface.

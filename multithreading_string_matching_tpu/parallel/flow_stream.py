@@ -35,6 +35,12 @@ def _pow2(x: int, floor: int) -> int:
 
 
 class FlowStreamMatcher:
+    # One scan round's padded host buffer budget; past it the round
+    # falls back to bounded per-chunk tiles (pathological skew: one
+    # huge flow padding every lane).  Class-level so tests can lower
+    # it without streaming 64 MB.
+    ROUND_BUDGET_BYTES = 64 << 20
+
     def __init__(
         self,
         matcher,
@@ -55,11 +61,12 @@ class FlowStreamMatcher:
             # one int per flow; the window engine carries an (max_len - 1)-
             # byte halo per flow and scans at compare-chain rate (~30-100x
             # the gather-bound DFA — the high-rate flow-serving path).
+            # Both shard (round 5): AC lanes carry device state with their
+            # shard; window lanes carry HOST tail bytes, so sharded rounds
+            # are stateless on device (mesh.count_flow_round_sharded).
             raise ValueError(
                 f"unknown flow-stream engine {engine!r}: expected ac or window"
             )
-        if sharded and engine != "ac":
-            raise ValueError("sharded flow streaming is AC-only for now")
         self.engine = engine
         self.mode = mode
         self.scan_bytes = scan_bytes
@@ -89,6 +96,14 @@ class FlowStreamMatcher:
         self._pending: dict = {}     # key bytes -> bytearray (insertion order)
         self._pending_bytes = 0
         self._counts = np.zeros(len(matcher.patterns), np.int64)
+        # Round-5 device accumulator: single-dispatch window rounds leave
+        # their [U] unique counts ON DEVICE across rounds (dispatch stays
+        # async; the old per-round fetch paid a full tunnel round-trip per
+        # scan_bytes of stream) and drain to host int64 before the int32
+        # can wrap (< 2^30 scanned positions between drains).
+        self._dev_counts = None
+        self._dev_expanded = False   # False: unique order, dup-expand at drain
+        self._dev_pos = 0
         self.packets_seen = 0        # valid flow segments fed
         self.bytes_seen = 0
 
@@ -162,13 +177,48 @@ class FlowStreamMatcher:
         long_q = -(-longest // self.width) * self.width
         rel_all = np.zeros(F, np.int64)
         rel_all[: len(flows)] = lens_arr
+        if self.engine == "window":
+            # Round 5: the whole round in ONE dispatch.  The chunk loop
+            # below exists to bound per-dispatch width, but each of its
+            # iterations pays a full dispatch round-trip (~30 ms through
+            # the tunnel) — for the common case (round buffer under the
+            # memory budget) scan the padded [F, long_q] buffer in one
+            # halo-masked pass instead: Pallas halo kernel on accelerators,
+            # the XLA window form elsewhere, lane-sharded over the mesh
+            # when asked.  Widths quantize to powers of two so a long
+            # stream reuses O(log) compiled shapes.
+            round_q = max(
+                self.width, 1 << max(0, (longest - 1).bit_length())
+            )
+            if F * round_q <= max(self.ROUND_BUDGET_BYTES, F * self.width):
+                buf = np.zeros((F, round_q), np.uint8)
+                for i, k in enumerate(flows):
+                    b = self._pending[k]
+                    buf[i, : len(b)] = np.frombuffer(bytes(b), np.uint8)
+                counts_u = self._window_round(
+                    buf, rel_all.astype(np.int32), halo_b, fill_v
+                )
+                self._acc_device(
+                    counts_u, expanded=False,
+                    positions=F * (round_q + H),
+                )
+                for i, k in enumerate(flows):
+                    prev_tail, prev_fill = self._states.get(k, (b"", 0))
+                    combined = prev_tail + bytes(self._pending[k])
+                    self._states[k] = (
+                        combined[-H:],
+                        min(H, prev_fill + len(self._pending[k])),
+                    )
+                self._pending.clear()
+                self._pending_bytes = 0
+                return
         # ONE padded round buffer, chunked by column slices: one host copy
         # per flow per round instead of one per flow per CHUNK (the old
         # inner loop dominated sustained rate).  Guard against pathological
         # skew (one huge flow padding every lane): past the budget, fall
         # back to the per-chunk build with bounded memory.
         padded = None
-        if F * long_q <= max(64 << 20, F * self.width):
+        if F * long_q <= max(self.ROUND_BUDGET_BYTES, F * self.width):
             padded = np.zeros((F, long_q), np.uint8)
             for i, k in enumerate(flows):
                 b = self._pending[k]
@@ -252,6 +302,72 @@ class FlowStreamMatcher:
         self._pending.clear()
         self._pending_bytes = 0
 
+    def _window_round(self, buf, rel, halo_b, fill_v):
+        """ONE device dispatch for a whole window-engine scan round:
+        returns DEVICE counts in build-order UNIQUE layout (dup expansion
+        happens at drain).  Kernel choice: the Pallas halo kernel when the
+        matcher resolves to the unrolled kernel on an accelerator (the
+        flow-serving roofline), the XLA window form otherwise (CPU hosts,
+        table-kernel pattern sets — no halo variant there yet); lane-
+        sharded over the mesh when ``sharded=True``."""
+        fold = self.matcher._maybe_fold
+        if self.sharded:
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                count_flow_round_sharded,
+            )
+
+            eng = (
+                "pallas"
+                if self.matcher._resolve_engine(None) == "pallas"
+                else "window"
+            )
+            return count_flow_round_sharded(
+                self.matcher, fold(buf), rel, fold(halo_b), fill_v,
+                self.mesh, engine=eng,
+            )
+        if self.matcher._resolve_engine(None) == "pallas" and hasattr(
+            self.matcher.pallas, "count_tile_halo"
+        ):
+            pm = self.matcher.pallas
+            H = pm.halo_width
+            x = np.concatenate([fold(halo_b), fold(buf)], axis=1)
+            eff = np.minimum(
+                np.clip(rel, 0, None).astype(np.int64) + H, x.shape[1]
+            ).astype(np.int32)
+            return pm.count_tile_halo(x, eff, H - fill_v)
+        from multithreading_string_matching_tpu.ops.window import (
+            StreamHalo,
+            window_stream_chunk,
+        )
+
+        import jax.numpy as jnp
+
+        counts, _ = window_stream_chunk(
+            self.matcher.window, fold(buf), rel,
+            StreamHalo(jnp.asarray(fold(halo_b)), jnp.asarray(fill_v)),
+            expand_duplicates=False,
+        )
+        return counts
+
+    def _acc_device(self, counts, *, expanded: bool, positions: int) -> None:
+        self._dev_counts = (
+            counts if self._dev_counts is None else self._dev_counts + counts
+        )
+        self._dev_expanded = expanded
+        self._dev_pos += positions
+        if self._dev_pos >= 2**30:
+            self._drain_device()  # int32 wrap impossible between drains
+
+    def _drain_device(self) -> None:
+        if self._dev_counts is None:
+            return
+        c = np.asarray(self._dev_counts).astype(np.int64)
+        if not self._dev_expanded:
+            c = c[self.matcher.window.dup_map]
+        self._counts += c
+        self._dev_counts = None
+        self._dev_pos = 0
+
     def flush(self) -> None:
         """Scan whatever is pending (end-of-capture / timer tick)."""
         self._scan()
@@ -259,6 +375,7 @@ class FlowStreamMatcher:
     def counts(self) -> np.ndarray:
         """Totals over the ORIGINAL pattern list (duplicates expanded),
         int64, NOT including unflushed pending bytes."""
+        self._drain_device()
         return self._counts.copy()
 
     def evict(self, keys) -> None:

@@ -140,6 +140,7 @@ def count_pcap_streamed(
     stats: Optional[dict] = None,
     sharded: bool = False,
     mesh=None,
+    shard_axis: str = "packets",
     sync_dispatch: bool = False,
     host_workers: int = 0,
 ) -> np.ndarray:
@@ -177,9 +178,17 @@ def count_pcap_streamed(
     — streamed ingest feeding every chip of a slice through one fixed
     executable.  (NUL-pattern sets can't pack and route through the
     per-row scanner instead — sharded over the same mesh.)
+
+    ``shard_axis`` picks WHICH axis shards (with ``sharded=True``):
+    ``'packets'`` (default — the classic data-parallel form),
+    ``'patterns'`` (each device scans every tile with 1/N of the rule set —
+    the large-rule-set form, parallel.pattern_shard), or ``'both'`` (2-D
+    mesh).  Counts are bit-identical in every case.
     """
     if mesh is not None and not sharded:
         raise ValueError("mesh= is only meaningful with sharded=True")
+    if shard_axis not in ("packets", "patterns", "both"):
+        raise ValueError(f"unknown shard_axis {shard_axis!r}")
     if any(0 in p for p in matcher.window.unique_patterns):
         if sync_dispatch:
             # The blocking-schedule measurement mode only exists on the
@@ -198,11 +207,13 @@ def count_pcap_streamed(
             matcher, pcap_path, mode,
             batch_packets=batch_packets,
             strict=strict, vlan=vlan, ipv6=ipv6, stats=stats,
-            sharded=sharded, mesh=mesh, host_workers=host_workers,
+            sharded=sharded, mesh=mesh, shard_axis=shard_axis,
+            host_workers=host_workers,
         )
     counter = PackedTileCounter(
         matcher, engine=engine, tile_rows=tile_rows, pack_width=pack_width,
-        sharded=sharded, mesh=mesh, sync_dispatch=sync_dispatch,
+        sharded=sharded, mesh=mesh, shard_axis=shard_axis,
+        sync_dispatch=sync_dispatch,
     )
     if stats is not None:
         # Observability: report the engine the counter ACTUALLY resolved
@@ -259,6 +270,7 @@ class PackedTileCounter:
         pack_width: int = 2048,
         sharded: bool = False,
         mesh=None,
+        shard_axis: str = "packets",
         sync_dispatch: bool = False,
     ):
         # sync_dispatch=True blocks on every tile's counts before packing
@@ -277,7 +289,29 @@ class PackedTileCounter:
         self._use_pallas = engine == "pallas"
         self._engine_fn = None if self._use_pallas else matcher._engine_fn(engine)
         self._shard_fn = None
-        if sharded:
+        self._pattern_plan = None
+        if sharded and (
+            shard_axis in ("patterns", "both")
+            or (mesh is not None and "patterns" in mesh.axis_names)
+        ):
+            # PATTERN-axis sharding (parallel.pattern_shard): every device
+            # scans the full packed tile with 1/N of the rule set; the
+            # device accumulator stays in the sharded [n_sh*S] layout and
+            # the drain's gather maps it back to build-order uniques.
+            from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                make_tile_counter,
+                resolve_shard_mesh,
+            )
+
+            mesh = mesh if mesh is not None else resolve_shard_mesh(shard_axis)
+            if "packets" in mesh.axis_names:
+                n_pkt = mesh.shape["packets"]
+                tile_rows = -(-tile_rows // n_pkt) * n_pkt
+            self._shard_fn, self._pattern_plan, self.engine = (
+                make_tile_counter(matcher, mesh, engine)
+            )
+            engine = self.engine
+        elif sharded:
             # Pod-scale serving: every packed tile's rows shard over the
             # device mesh, counts merge with one psum per tile and accumulate
             # device-side (UNIQUE-pattern counts; dup expansion happens after
@@ -447,14 +481,21 @@ class PackedTileCounter:
             else np.zeros(len(self.matcher.patterns), dtype=np.int64)
         )
         if self.sharded and self._host_total is not None:
-            # The sharded per-tile reducers return UNIQUE-pattern counts
-            # (the collective payload stays minimal); expand here.
-            dup = (
-                self.matcher.ac.dup_map
-                if self.engine == "ac"
-                else self.matcher.window.dup_map
-            )
-            counts = counts[dup]
+            if self._pattern_plan is not None:
+                # Pattern-sharded accumulators live in the [n_sh*S] shard
+                # layout; gather to build-order uniques, then dup-expand.
+                counts = self._pattern_plan.gather(counts)[
+                    self.matcher.window.dup_map
+                ]
+            else:
+                # The sharded per-tile reducers return UNIQUE-pattern counts
+                # (the collective payload stays minimal); expand here.
+                dup = (
+                    self.matcher.ac.dup_map
+                    if self.engine == "ac"
+                    else self.matcher.window.dup_map
+                )
+                counts = counts[dup]
         if self._over_total is not None:
             counts = counts + np.asarray(self._over_total).astype(np.int64)
         return counts
@@ -474,6 +515,7 @@ def scan_pcap_streamed(
     stats: Optional[dict] = None,
     sharded: bool = False,
     mesh=None,
+    shard_axis: str = "packets",
     host_workers: int = 0,
 ):
     """Bounded-memory scan with per-packet attribution: counts, plus
@@ -518,10 +560,23 @@ def scan_pcap_streamed(
     # requesting positions/dumps never demotes the heavy full-corpus pass.
     row_fn = None
     row_engine = None
+    pattern_sharded = sharded and (
+        shard_axis in ("patterns", "both")
+        or (mesh is not None and "patterns" in mesh.axis_names)
+    )
     if sharded:
-        from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+        if pattern_sharded:
+            from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                resolve_shard_mesh,
+            )
 
-        mesh = mesh or make_mesh()
+            mesh = mesh if mesh is not None else resolve_shard_mesh(shard_axis)
+        else:
+            from multithreading_string_matching_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            mesh = mesh or make_mesh()
         row_engine = (
             "pallas" if matcher._resolve_engine(None) == "pallas" else "window"
         )
@@ -532,7 +587,16 @@ def scan_pcap_streamed(
             count_rows_summary,
         )
 
-        n_dev = mesh.devices.size if sharded else 1
+        if not sharded:
+            n_dev = 1
+        elif pattern_sharded:
+            # Rows only need padding to the PACKET axis of the mesh (a
+            # pattern-only mesh replicates payloads — no row constraint).
+            n_dev = (
+                mesh.shape["packets"] if "packets" in mesh.axis_names else 1
+            )
+        else:
+            n_dev = mesh.devices.size
         if stats is not None:
             stats["engine_resolved"] = row_engine
 
@@ -555,6 +619,15 @@ def scan_pcap_streamed(
             nq = -(-max(n_dev, _next_pow2(n)) // n_dev) * n_dev
             payloads = np.pad(payloads, ((0, nq - n), (0, lq - L)))
             lengths = np.pad(lengths, (0, nq - n))
+            if pattern_sharded:
+                from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                    count_rows_summary_pattern_sharded,
+                )
+
+                tot, hits = count_rows_summary_pattern_sharded(
+                    matcher, payloads, lengths, mesh, engine=row_engine
+                )
+                return tot, np.asarray(hits)[:n]
             if sharded:
                 # count_rows_summary slices internally for the device
                 # int32 bound.

@@ -420,3 +420,131 @@ class TestFlowStream:
         fs.feed_pcap_slice(read_pcap(p2))
         fs.flush()
         assert fs.counts()[0] == 0  # the join was forgotten, by request
+
+
+class TestFlowRound5:
+    """Round-5 flow serving: single-dispatch window rounds (Pallas halo
+    kernel / XLA), sharded window streaming, skew fallback."""
+
+    def _feed(self, fs, pcap, step):
+        for s in range(0, pcap.num_packets, step):
+            fs.feed_pcap_slice(slice_pcap(pcap, s, s + step, copy=False))
+        fs.flush()
+
+    def test_sharded_window_equals_unsharded(self, split_capture):
+        import jax
+
+        from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+        pcap = read_pcap(split_capture)
+        m = Matcher(PATS, engine="window")
+        mesh = make_mesh(jax.devices("cpu")[:8])
+        fs = FlowStreamMatcher(
+            m, "tcp", engine="window", scan_bytes=10, width=8, min_lanes=8,
+            sharded=True, mesh=mesh,
+        )
+        self._feed(fs, pcap, 3)
+        assert fs.counts().tolist() == _want([PAY_A, PAY_B])
+
+    def test_sharded_window_nul_and_nocase(self, tmp_path):
+        """The sharded window round keeps the fabricated-zeros boundary and
+        the fold-idempotence contract."""
+        import jax
+
+        from multithreading_string_matching_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices("cpu")[:4])
+        p1, p2 = tmp_path / "s1.pcap", tmp_path / "s2.pcap"
+        synth_tcp_flows_pcap(p1, [(KEY_A, b"xxE\x00", [4])])
+        synth_tcp_flows_pcap(p2, [(KEY_A, b"Fyy", [3]), (KEY_B, b"qAb", [3])])
+        m = Matcher([b"E\x00F", b"ab"], engine="window",
+                    case_insensitive=True)
+        for sharded in (False, True):
+            fs = FlowStreamMatcher(
+                m, "tcp", engine="window", scan_bytes=1, width=4,
+                min_lanes=4, sharded=sharded,
+                mesh=mesh if sharded else None,
+            )
+            fs.feed_pcap_slice(read_pcap(p1))
+            fs.flush()
+            fs.feed_pcap_slice(read_pcap(p2))
+            fs.flush()
+            assert fs.counts().tolist() == [1, 1], f"sharded={sharded}"
+
+    def test_skew_fallback_equals_oracle(self, split_capture, monkeypatch):
+        """A round buffer past ROUND_BUDGET_BYTES falls back to the bounded
+        per-chunk loop; counts unchanged."""
+        monkeypatch.setattr(FlowStreamMatcher, "ROUND_BUDGET_BYTES", 1)
+        pcap = read_pcap(split_capture)
+        m = Matcher(PATS, engine="window")
+        fs = FlowStreamMatcher(
+            m, "tcp", engine="window", scan_bytes=10, width=8, min_lanes=8
+        )
+        self._feed(fs, pcap, 3)
+        assert fs.counts().tolist() == _want([PAY_A, PAY_B])
+
+    def test_pallas_halo_kernel_differential(self):
+        """The VMEM halo kernel == window_stream_chunk on random lanes with
+        random halo fills and pending lengths (incl. NUL patterns forcing
+        fit masks), interpret mode."""
+        import jax.numpy as jnp
+
+        from multithreading_string_matching_tpu.ops.pallas_window import (
+            PallasWindowMatcher,
+        )
+        from multithreading_string_matching_tpu.ops.window import (
+            StreamHalo,
+            WindowProgram,
+            window_stream_chunk,
+        )
+
+        rng = np.random.default_rng(44)
+        for pats in (
+            [b"ab", b"bca", b"aaaa", b"abcab"],
+            [b"a\x00b", b"\x00c", b"ca"],
+        ):
+            wp = WindowProgram.build(pats)
+            pm = PallasWindowMatcher(wp, row_tile=8, interpret=True,
+                                     assume_zero_padded=True)
+            H = pm.halo_width
+            F, C = 16, 64
+            for _ in range(5):
+                rel = rng.integers(0, C + 1, size=F).astype(np.int32)
+                fill = rng.integers(0, H + 1, size=F).astype(np.int32)
+                buf = rng.integers(0x60, 0x64, size=(F, C)).astype(np.uint8)
+                buf[rng.random(size=buf.shape) < 0.1] = 0
+                cols = np.arange(C)[None, :]
+                buf = np.where(cols < rel[:, None], buf, 0).astype(np.uint8)
+                halo = np.zeros((F, H), np.uint8)
+                for i in range(F):
+                    if fill[i]:
+                        halo[i, H - fill[i]:] = rng.integers(
+                            0x60, 0x64, size=fill[i]
+                        )
+                want, _ = window_stream_chunk(
+                    wp, buf, rel,
+                    StreamHalo(jnp.asarray(halo), jnp.asarray(fill)),
+                    expand_duplicates=False,
+                )
+                x = np.concatenate([halo, buf], axis=1)
+                eff = np.minimum(rel.astype(np.int64) + H,
+                                 x.shape[1]).astype(np.int32)
+                got = pm.count_tile_halo(x, eff, H - fill)
+                assert (np.asarray(got) == np.asarray(want)).all(), pats
+
+    def test_device_accumulator_drains(self, split_capture, monkeypatch):
+        """Counts survive a forced mid-stream drain (int32 wrap guard)."""
+        pcap = read_pcap(split_capture)
+        m = Matcher(PATS, engine="window")
+        fs = FlowStreamMatcher(
+            m, "tcp", engine="window", scan_bytes=10, width=8, min_lanes=8
+        )
+        orig = fs._acc_device
+
+        def acc(counts, *, expanded, positions):
+            orig(counts, expanded=expanded, positions=positions)
+            fs._drain_device()  # force per-round drain
+
+        monkeypatch.setattr(fs, "_acc_device", acc)
+        self._feed(fs, pcap, 3)
+        assert fs.counts().tolist() == _want([PAY_A, PAY_B])
