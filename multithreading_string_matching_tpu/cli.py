@@ -428,6 +428,13 @@ def cmd_match(argv: List[str]) -> int:
              "counts only; the reference's per-packet model misses these)",
     )
     p.add_argument(
+        "--reorder", action="store_true",
+        help="with --flows: order each TCP flow's segments by sequence "
+             "number and drop retransmitted/overlapping bytes (first bytes "
+             "win) before scanning — required for captures from real "
+             "networks, which reorder and retransmit",
+    )
+    p.add_argument(
         "--offsets", action="store_true",
         help="also emit (packet, start, pattern) match positions",
     )
@@ -489,6 +496,7 @@ def cmd_match(argv: List[str]) -> int:
     cfg.strict = a.strict or cfg.strict
     cfg.per_packet = a.per_packet or cfg.per_packet
     cfg.flows = a.flows or cfg.flows
+    cfg.reorder = a.reorder or cfg.reorder
     cfg.profile_dir = a.profile or cfg.profile_dir
     cfg.host_workers = a.host_workers or cfg.host_workers
     cfg.validate()
@@ -544,6 +552,10 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "--per-packet/--dump-matches/--sharded (per-flow rows ARE the "
             "packet-free attribution unit)"
         )
+    if cfg.reorder and not cfg.flows:
+        raise SystemExit("--reorder requires --flows")
+    if cfg.reorder and cfg.mode != "tcp":
+        raise SystemExit("--reorder applies to TCP flows only")
     if cfg.flows and (a.vlan or a.ipv6):
         # The flow parser has no VLAN/IPv6 key support (io/flows.py); a
         # silent accept would DROP the exact traffic the user opted into.
@@ -577,7 +589,8 @@ def _run_match(a, cfg, pcap_paths) -> int:
             fse = "window"
         else:
             fse = "ac"
-        fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse)
+        fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse,
+                               reorder=cfg.reorder)
         with timer.phase("scan"):
             for path in pcap_paths:
                 for chunk in iter_pcap(path, batch_packets=8192):
@@ -606,7 +619,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
         with timer.phase("ingest"):
             pcap = concat_pcaps([read_pcap(p_) for p_ in pcap_paths])
         with timer.phase("extract"):
-            fb = extract_flows(pcap, cfg.mode)
+            fb = extract_flows(pcap, cfg.mode, reorder=cfg.reorder)
         with timer.phase("scan"):
             flow_rows = None
             if a.offsets:

@@ -77,6 +77,9 @@ def synth_tcp_flows_pcap(
     interleave_seed: Optional[int] = None,
     noise_packets: int = 0,
     seed: int = 0,
+    reorder_seed: Optional[int] = None,
+    retransmit_rate: float = 0.0,
+    overlap_rate: float = 0.0,
 ) -> int:
     """Write a capture of TCP flows with controlled segmentation.
 
@@ -87,7 +90,21 @@ def synth_tcp_flows_pcap(
     segments ACROSS flows (the split-signature test shape: another flow's
     packet lands between two halves of a signature).  ``noise_packets``
     appends undecodable/UDP frames to exercise the non-flow path.  Returns
-    total stream bytes."""
+    total stream bytes.
+
+    Pathological-wire knobs (round 5 — what sequence-aware reassembly
+    exists to survive; seq numbers stay TRUE to each byte's stream
+    position throughout):
+
+    - ``reorder_seed``: shuffle each flow's segment EMISSION order (the
+      capture-order concatenation then sees scrambled bytes; seq-ordered
+      reassembly recovers the stream);
+    - ``retransmit_rate``: after a segment, re-emit a random earlier
+      segment of the same flow verbatim (pure retransmission — dropped by
+      first-bytes-win trimming);
+    - ``overlap_rate``: emit a segment with a tail of its predecessor
+      prepended and seq rewound by that much (overlapping retransmit —
+      trimmed to its new bytes)."""
     from multithreading_string_matching_tpu.io.pcap import classic_global_header
 
     rng = np.random.default_rng(seed)
@@ -102,12 +119,36 @@ def synth_tcp_flows_pcap(
             seglens = [step] * (-(-len(payload) // step)) if payload else [0]
         pos = 0
         seq = 1000 * (fi + 1)
+        segs = []  # (seq, bytes) in stream order, pre-knobs
         for sl in seglens:
             seg = payload[pos : pos + sl]
             pos += sl
-            frames.append((fi, _eth_ipv4_tcp(seg, key, seq)))
+            segs.append((seq, seg))
             seq += len(seg)
         assert pos >= len(payload), "segment_lens shorter than payload"
+        if overlap_rate > 0:
+            out = []
+            for si, (sq, seg) in enumerate(segs):
+                if si and out and rng.random() < overlap_rate:
+                    prev_seg = segs[si - 1][1]
+                    ov = int(rng.integers(1, len(prev_seg) + 1)) if prev_seg else 0
+                    if ov:
+                        seg = prev_seg[len(prev_seg) - ov :] + seg
+                        sq -= ov
+                out.append((sq, seg))
+            segs = out
+        emit = list(segs)
+        if retransmit_rate > 0:
+            out = []
+            for si, s in enumerate(emit):
+                out.append(s)
+                if rng.random() < retransmit_rate:
+                    out.append(emit[int(rng.integers(0, si + 1))])
+            emit = out
+        if reorder_seed is not None:
+            np.random.default_rng(reorder_seed + fi).shuffle(emit)
+        for sq, seg in emit:
+            frames.append((fi, _eth_ipv4_tcp(seg, key, sq)))
     if interleave_seed is not None:
         # Shuffle WHICH flow emits at each slot, then emit each flow's
         # segments in order — random cross-flow interleaving that preserves

@@ -52,10 +52,22 @@ class FlowStreamMatcher:
         min_lanes: int = 128,
         sharded: bool = False,
         mesh=None,
+        reorder: bool = False,
     ):
         self.matcher = matcher
         if mode not in ("udp", "tcp"):
             raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
+        if reorder and mode != "tcp":
+            raise ValueError("reorder=True applies to TCP flows only")
+        # reorder=True: pending segments carry their TCP seq and each scan
+        # round materializes them in SEQUENCE order with first-bytes-win
+        # trimming (io.flows.reorder_plan's rule).  BOUND, documented: the
+        # reorder window is ONE scan round (~scan_bytes of stream) — a
+        # segment whose bytes were already scanned in an earlier round is
+        # trimmed to its new bytes (dropped if pure retransmission), it
+        # cannot be re-inserted before bytes the DFA already consumed.
+        self.reorder = reorder
+        self._flow_reorder: dict = {}  # key -> (seq_base int, covered int)
         if engine not in ("ac", "window"):
             # Only these two have carried-state forms: the AC DFA carries
             # one int per flow; the window engine carries an (max_len - 1)-
@@ -115,8 +127,15 @@ class FlowStreamMatcher:
 
     def feed_pcap_slice(self, pcap) -> None:
         """Append each valid segment's payload to its flow's pending buffer
-        (capture order — the same reassembly contract as io.flows)."""
+        (capture order — the same reassembly contract as io.flows; with
+        ``reorder`` the segment's TCP seq rides along and ordering happens
+        at scan time)."""
         valid, keys, off, ln = flow_keys(pcap, self.mode)
+        seqs = None
+        if self.reorder:
+            from multithreading_string_matching_tpu.io.flows import tcp_seqs
+
+            seqs = tcp_seqs(pcap, valid)
         buf = pcap.buf
         for pkt in np.flatnonzero(valid):
             n = int(ln[pkt])
@@ -125,16 +144,61 @@ class FlowStreamMatcher:
                 continue
             k = keys[pkt].tobytes()
             s = int(pcap.offsets[pkt] + off[pkt])
-            self._pending.setdefault(k, bytearray()).extend(buf[s : s + n])
+            if seqs is not None:
+                self._pending.setdefault(k, []).append(
+                    (int(seqs[pkt]), bytes(buf[s : s + n]))
+                )
+            else:
+                self._pending.setdefault(k, bytearray()).extend(buf[s : s + n])
             self._pending_bytes += n
             self.bytes_seen += n
         if self._pending_bytes >= self.scan_bytes:
             self._scan()
 
+    def _materialize_reorder(self) -> None:
+        """Convert each flow's pending (seq, bytes) segments to the flat
+        byte form the scan lanes consume: sequence order, first-bytes-win
+        trimming against this flow's carried coverage (the same rule as
+        io.flows.reorder_plan, applied within the round window)."""
+        for k, segs in list(self._pending.items()):
+            if not isinstance(segs, list):
+                continue
+            raw = sum(len(b) for _, b in segs)
+            st = self._flow_reorder.get(k)
+            if st is None:
+                s0 = segs[0][0]
+                rels = [((sq - s0 + 2**31) % 2**32 - 2**31) for sq, _ in segs]
+                base = s0 + min(rels)
+            else:
+                base, covered = st
+            if st is None:
+                covered = 0
+            rels = [((sq - base + 2**31) % 2**32 - 2**31) for sq, _ in segs]
+            order = sorted(range(len(segs)), key=lambda i: (rels[i], i))
+            out = bytearray()
+            for i in order:
+                r, b = rels[i], segs[i][1]
+                end = r + len(b)  # BEFORE trimming — the trim shortens b,
+                # and coverage must advance to the segment's true end
+                if end <= covered:
+                    continue  # pure retransmission of scanned bytes
+                if r < covered:
+                    b = b[covered - r :]  # overlap: first bytes won
+                out += b
+                covered = max(covered, end)
+            self._flow_reorder[k] = (base, covered)
+            self._pending_bytes += len(out) - raw
+            self._pending[k] = out
+
     def _scan(self) -> None:
         if not self._pending_bytes:
             self._pending.clear()
             return
+        if self.reorder:
+            self._materialize_reorder()
+            if not self._pending_bytes:  # everything was retransmission
+                self._pending.clear()
+                return
         flows = [k for k, b in self._pending.items() if b]
         F = _pow2(len(flows), self.min_lanes)
         # The sharded scan splits the lane axis over the mesh: round lanes
@@ -383,6 +447,9 @@ class FlowStreamMatcher:
         (12-byte ``bytes`` values) — the hook for idle/FIN eviction."""
         for k in keys:
             self._states.pop(k, None)
+            self._flow_reorder.pop(k, None)
             b = self._pending.pop(k, None)
             if b:
-                self._pending_bytes -= len(b)
+                self._pending_bytes -= (
+                    sum(len(s) for _, s in b) if isinstance(b, list) else len(b)
+                )

@@ -39,6 +39,8 @@ class MatchConfig:
                                       #         (0 = sequential)
     flows: bool = False               # [match] 5-tuple flow reassembly
                                       #         (--flows; round-4 surface)
+    reorder: bool = False             # [match] seq-aware TCP reassembly
+                                      #         (--flows --reorder; round 5)
     n_tile: int = 2048                # [match] bucket tile rows
     l_quant: int = 128                # [match] bucket byte-length quantum (lanes)
     row_tile: int = 512               # [lib] Pallas kernel rows per grid step
