@@ -99,9 +99,18 @@ def _flow_case(pats, texts, crng):
         FlowStreamMatcher,
     )
 
+    # Round-5 axes fuzzed here too: v6 keys (mixed with v4 in one capture),
+    # pathological wires (reorder/retransmit/overlap knobs + reorder=True
+    # reassembly), the window flow engine's single-dispatch rounds, and
+    # mid-stream checkpoint/resume.
+    ipv6 = bool(crng.random() < 0.3)
+    pathological = bool(crng.random() < 0.5)
     flows = []
     for i, t in enumerate(texts[:12]):
-        key = (f"10.9.{i // 200}.{i % 200 + 1}", "10.0.0.1", 1000 + i, 80)
+        if ipv6 and crng.random() < 0.5:
+            key = (f"2001:db8::{i + 1:x}", "2001:db8::ffff", 1000 + i, 80)
+        else:
+            key = (f"10.9.{i // 200}.{i % 200 + 1}", "10.0.0.1", 1000 + i, 80)
         segs, left = [], len(t)
         while left > 0:
             s = int(crng.integers(1, left + 1))
@@ -109,31 +118,61 @@ def _flow_case(pats, texts, crng):
             left -= s
         flows.append((key, t, segs or [0]))
     want = list(oracle.oracle_counts([t for _, t, _ in flows], pats))
+    knobs = {}
+    if pathological:
+        knobs = dict(
+            reorder_seed=int(crng.integers(0, 10_000)),
+            retransmit_rate=float(crng.random() * 0.5),
+            overlap_rate=float(crng.random() * 0.5),
+        )
     with tempfile.TemporaryDirectory() as d:
         p = pathlib.Path(d) / "f.pcap"
         synth_tcp_flows_pcap(
-            p, flows, interleave_seed=int(crng.integers(0, 10_000))
+            p, flows, interleave_seed=int(crng.integers(0, 10_000)),
+            seed=int(crng.integers(0, 10_000)), **knobs,
         )
         pcap = read_pcap(p)
-        fb = extract_flows(pcap, "tcp")
+        fb = extract_flows(pcap, "tcp", ipv6=ipv6, reorder=pathological)
         m = Matcher(pats, engine="window")
         got1 = (
             m.count(fb.payloads, fb.lengths).tolist()
             if fb.num_flows else [0] * len(pats)
         )
         if got1 != want:
-            return False, f"one-shot got={got1} want={want}"
-        fs = FlowStreamMatcher(
-            Matcher(pats, engine="ac"), "tcp",
-            scan_bytes=int(crng.integers(1, 64)),
+            return False, (
+                f"one-shot got={got1} want={want} "
+                f"(ipv6={ipv6} pathological={pathological})"
+            )
+        fse = "window" if crng.random() < 0.4 else "ac"
+        mk_fs = lambda: FlowStreamMatcher(
+            Matcher(pats, engine="ac"), "tcp", engine=fse,
+            # Pathological captures need the whole capture in ONE scan
+            # round (the documented streaming reorder window); in-order
+            # captures fuzz small rounds.
+            scan_bytes=(1 << 30) if pathological
+            else int(crng.integers(1, 64)),
             width=int(crng.choice([8, 32, 128])), min_lanes=8,
+            reorder=pathological, ipv6=ipv6,
         )
+        fs = mk_fs()
         step = int(crng.integers(1, 6))
+        ckpt_at = (
+            int(crng.integers(0, pcap.num_packets + 1))
+            if crng.random() < 0.3 else None
+        )
         for s0 in range(0, pcap.num_packets, step):
+            if ckpt_at is not None and s0 >= ckpt_at:
+                ck = fs.save(pathlib.Path(d) / "ck")
+                fs = mk_fs()
+                fs.load(ck)
+                ckpt_at = None
             fs.feed_pcap_slice(slice_pcap(pcap, s0, s0 + step, copy=False))
         fs.flush()
         if fs.counts().tolist() != want:
-            return False, f"stream got={fs.counts().tolist()} want={want}"
+            return False, (
+                f"stream got={fs.counts().tolist()} want={want} "
+                f"(ipv6={ipv6} pathological={pathological} engine={fse})"
+            )
     return True, ""
 
 

@@ -88,8 +88,28 @@ class FlowBatch:
         return self.payloads[f, : int(self.lengths[f])].tobytes()
 
     def key_tuple(self, f: int):
-        """(src_ip, dst_ip, sport, dport) as dotted-quad strings + ints."""
+        """(src_ip, dst_ip, sport, dport) as address strings + ints —
+        dotted-quad for v4, RFC-5952-ish colon-hex for v6 (37-byte
+        version-tagged keys from ``flow_keys(ipv6=True)``)."""
         k = self.keys[f]
+        if k.shape[0] == V6_KEY_BYTES:
+            ver = int(k[0])
+            if ver == 6:
+                def v6s(a):
+                    return ":".join(
+                        f"{int(a[i]) << 8 | int(a[i + 1]):x}"
+                        for i in range(0, 16, 2)
+                    )
+
+                src, dst = v6s(k[1:17]), v6s(k[17:33])
+            else:
+                src = ".".join(str(int(b)) for b in k[1:5])
+                dst = ".".join(str(int(b)) for b in k[17:21])
+            return (
+                src, dst,
+                int(k[33]) << 8 | int(k[34]),
+                int(k[35]) << 8 | int(k[36]),
+            )
         return (
             ".".join(str(int(b)) for b in k[0:4]),
             ".".join(str(int(b)) for b in k[4:8]),
@@ -98,11 +118,14 @@ class FlowBatch:
         )
 
 
-def flow_keys(pcap: PcapFile, mode: str = "tcp"):
-    """(valid bool[N], keys uint8[N, 12], payload_off, payload_len) for the
-    honest (strict) decode — the key is readable only when the capture
-    actually holds the IP addresses and transport ports."""
-    valid, off, ln = decode_headers(pcap, mode, strict=True)
+V4_KEY_BYTES = 12   # src4 | dst4 | sport | dport (the compat key)
+V6_KEY_BYTES = 37   # version | src16 | dst16 | sport | dport
+
+
+def _ip_geometry(pcap: PcapFile, ipv6: bool):
+    """(is6 bool[N], iplen int64[N]): per-packet IP version and L3 header
+    length (IHL for v4; the fixed 40-byte base header for v6 — extension-
+    header chains are out of scope, matching io.decode's v6 contract)."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
     l2 = _l2_base(pcap.linktype)
     n = base.shape[0]
@@ -113,26 +136,69 @@ def flow_keys(pcap: PcapFile, mode: str = "tcp"):
             vhl, buf[np.minimum(base + l2, len(buf) - 1)],
             where=ok_vhl, casting="unsafe",
         )
-    iplen = (vhl & 0x0F) * 4
-    # Key bytes: IPs at l2+12..20, ports at l2+iplen..+4 — all must be
-    # within the CAPTURED bytes (origlen-valid but caplen-truncated packets
-    # have no recoverable key).
-    valid = valid & (cap >= l2 + 20) & (cap >= l2 + iplen + 4)
-    keys = np.zeros((n, 12), np.uint8)
+    is6 = ((vhl >> 4) == 6) if ipv6 else np.zeros(n, bool)
+    iplen = np.where(is6, 40, (vhl & 0x0F) * 4)
+    return is6, iplen
+
+
+def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False):
+    """(valid bool[N], keys uint8[N, KW], payload_off, payload_len) for the
+    honest (strict) decode — the key is readable only when the capture
+    actually holds the IP addresses and transport ports.
+
+    ``ipv6=False`` (compat default): 12-byte v4 keys
+    ``src4|dst4|sport|dport``.  ``ipv6=True``: 37-byte version-tagged keys
+    ``ver|src16|dst16|sport|dport`` covering BOTH families in one key space
+    (v4 addresses left-aligned in the 16-byte fields, remainder zero; the
+    version byte keeps a v4 flow from ever colliding with a v6 flow whose
+    address happens to embed it)."""
+    valid, off, ln = decode_headers(pcap, mode, strict=True, ipv6=ipv6)
+    buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
+    l2 = _l2_base(pcap.linktype)
+    n = base.shape[0]
+    is6, iplen = _ip_geometry(pcap, ipv6)
+    # Key bytes must be within the CAPTURED bytes (origlen-valid but
+    # caplen-truncated packets have no recoverable key): addresses end at
+    # l2+20 (v4) / l2+40 (v6), ports at l2+iplen+4.
+    addr_end = np.where(is6, 40, 20)
+    valid = valid & (cap >= l2 + addr_end) & (cap >= l2 + iplen + 4)
+    if not ipv6:
+        keys = np.zeros((n, V4_KEY_BYTES), np.uint8)
+        if len(buf):
+            ipidx = base[:, None] + l2 + 12 + np.arange(8)[None, :]
+            pidx = (base + l2 + iplen)[:, None] + np.arange(4)[None, :]
+            idx = np.concatenate([ipidx, pidx], axis=1)
+            np.copyto(
+                keys, buf[np.minimum(idx, len(buf) - 1)],
+                where=valid[:, None], casting="unsafe",
+            )
+        avail = np.clip(cap - off, 0, ln)
+        return valid, keys, off, np.where(valid, avail, 0)
+    keys = np.zeros((n, V6_KEY_BYTES), np.uint8)
     if len(buf):
-        ipidx = base[:, None] + l2 + 12 + np.arange(8)[None, :]
+        keys[:, 0] = np.where(valid, np.where(is6, 6, 4), 0)
+        cols16 = np.arange(16)[None, :]
+        alen = np.where(is6, 16, 4)[:, None]
+        src_off = np.where(is6, l2 + 8, l2 + 12)
+        dst_off = np.where(is6, l2 + 24, l2 + 16)
+        for out_base, offv in ((1, src_off), (17, dst_off)):
+            g = buf[np.minimum((base + offv)[:, None] + cols16, len(buf) - 1)]
+            np.copyto(
+                keys[:, out_base : out_base + 16],
+                np.where(cols16 < alen, g, 0),
+                where=valid[:, None], casting="unsafe",
+            )
         pidx = (base + l2 + iplen)[:, None] + np.arange(4)[None, :]
-        idx = np.concatenate([ipidx, pidx], axis=1)
         np.copyto(
-            keys, buf[np.minimum(idx, len(buf) - 1)],
+            keys[:, 33:37], buf[np.minimum(pidx, len(buf) - 1)],
             where=valid[:, None], casting="unsafe",
         )
-    # Captured payload bytes only (truncation-safe).
     avail = np.clip(cap - off, 0, ln)
     return valid, keys, off, np.where(valid, avail, 0)
 
 
-def tcp_seqs(pcap: PcapFile, valid: np.ndarray) -> np.ndarray:
+def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
+             ipv6: bool = False) -> np.ndarray:
     """int64[N] TCP sequence numbers (network order) for the valid rows.
 
     Raises when a VALID segment's capture is too short to hold the 4 seq
@@ -142,14 +208,7 @@ def tcp_seqs(pcap: PcapFile, valid: np.ndarray) -> np.ndarray:
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
     l2 = _l2_base(pcap.linktype)
     n = base.shape[0]
-    vhl = np.zeros(n, np.int64)
-    ok_vhl = cap >= l2 + 1
-    if len(buf):
-        np.copyto(
-            vhl, buf[np.minimum(base + l2, len(buf) - 1)],
-            where=ok_vhl, casting="unsafe",
-        )
-    iplen = (vhl & 0x0F) * 4
+    _, iplen = _ip_geometry(pcap, ipv6)
     readable = cap >= l2 + iplen + 8
     if bool((valid & ~readable).any()):
         raise ValueError(
@@ -163,6 +222,27 @@ def tcp_seqs(pcap: PcapFile, valid: np.ndarray) -> np.ndarray:
         vals = (raw[:, 0] << 24) | (raw[:, 1] << 16) | (raw[:, 2] << 8) | raw[:, 3]
         np.copyto(seqs, vals, where=valid & readable)
     return seqs
+
+
+def tcp_flags(pcap: PcapFile, *, ipv6: bool = False) -> np.ndarray:
+    """uint8[N] TCP flag bytes (FIN=0x01, SYN=0x02, RST=0x04, ...) where
+    readable, else 0 — the FIN/RST observation hook for flow-stream
+    eviction.  Best-effort by design: a capture too shallow to show the
+    flags byte simply reports 0 (no flags seen), it does not raise —
+    eviction is a resource policy, not a correctness input."""
+    buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
+    l2 = _l2_base(pcap.linktype)
+    n = base.shape[0]
+    _, iplen = _ip_geometry(pcap, ipv6)
+    readable = cap >= l2 + iplen + 14
+    flags = np.zeros(n, np.uint8)
+    if len(buf):
+        idx = base + l2 + iplen + 13
+        np.copyto(
+            flags, buf[np.minimum(idx, len(buf) - 1)],
+            where=readable, casting="unsafe",
+        )
+    return flags
 
 
 def reorder_plan(f_nz, seq_nz, len_nz):
@@ -216,6 +296,7 @@ def extract_flows(
     pad_len_to: int = 128,
     pad_flows_to: int = 8,
     reorder: bool = False,
+    ipv6: bool = False,
 ) -> FlowBatch:
     """Group packets into flows and concatenate payloads in capture order.
 
@@ -225,7 +306,7 @@ def extract_flows(
     and count zero)."""
     if reorder and mode != "tcp":
         raise ValueError("reorder=True applies to TCP flows only")
-    valid, keys, off, ln = flow_keys(pcap, mode)
+    valid, keys, off, ln = flow_keys(pcap, mode, ipv6=ipv6)
     n = valid.shape[0]
     flow_of_packet = np.full(n, -1, np.int64)
     vidx = np.flatnonzero(valid)
@@ -233,7 +314,7 @@ def extract_flows(
         return FlowBatch(
             payloads=np.zeros((0, 0), np.uint8),
             lengths=np.zeros(0, np.int64),
-            keys=np.zeros((0, 12), np.uint8),
+            keys=np.zeros((0, keys.shape[1]), np.uint8),
             segments=np.zeros(0, np.int64),
             flow_of_packet=flow_of_packet,
             num_packets=n,
@@ -247,7 +328,8 @@ def extract_flows(
     # output for humans and tests).
     kv = keys[vidx]
     _, first_idx, inv = np.unique(
-        kv.view([("k", "V12")]).ravel(), return_index=True, return_inverse=True
+        kv.view([("k", f"V{kv.shape[1]}")]).ravel(),
+        return_index=True, return_inverse=True
     )
     order_of_first = np.argsort(np.argsort(first_idx))
     fid = order_of_first[inv]
@@ -272,7 +354,7 @@ def extract_flows(
         # trim retransmitted/overlapping bytes (first bytes win) — the
         # capture-order default silently produces wrong stream bytes on
         # real captures that reorder or retransmit (VERDICT r4 weak #3).
-        seqs = tcp_seqs(pcap, valid)
+        seqs = tcp_seqs(pcap, valid, ipv6=ipv6)
         order2, trim, keep = reorder_plan(f_nz, seqs[pkt_nz], len_nz)
         f_s = f_nz[order2]
         len_s = keep
@@ -316,7 +398,7 @@ def extract_flows(
 
     lengths = np.zeros(f_q, np.int64)
     lengths[:F] = flow_len
-    keys_out = np.zeros((f_q, 12), np.uint8)
+    keys_out = np.zeros((f_q, kv.shape[1]), np.uint8)
     # Flow f's key = the f-th DISTINCT key on the wire; sorting the
     # first-occurrence indices recovers exactly that order.
     keys_out[:F] = kv[np.sort(first_idx)]

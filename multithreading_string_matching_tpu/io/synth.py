@@ -147,8 +147,9 @@ def synth_tcp_flows_pcap(
             emit = out
         if reorder_seed is not None:
             np.random.default_rng(reorder_seed + fi).shuffle(emit)
+        mk = _eth_ipv6_tcp if ":" in str(key[0]) else _eth_ipv4_tcp
         for sq, seg in emit:
-            frames.append((fi, _eth_ipv4_tcp(seg, key, sq)))
+            frames.append((fi, mk(seg, key, sq)))
     if interleave_seed is not None:
         # Shuffle WHICH flow emits at each slot, then emit each flow's
         # segments in order — random cross-flow interleaving that preserves
@@ -196,6 +197,26 @@ def _eth_ipv4_tcp(payload: bytes, key, seq: int) -> bytes:
     tcp = struct.pack(">HHIIHHHH", sport, dport, seq, 0,
                       (5 << 12) | 0x18, 65535, 0, 0)  # doff=5, PSH|ACK
     return b"\x00" * 12 + b"\x08\x00" + bytes(ip) + tcp + payload
+
+
+def _eth_ipv6_tcp(payload: bytes, key, seq: int) -> bytes:
+    """Ethernet + IPv6 (fixed 40-byte header, next-header TCP) + TCP frame —
+    flow keys with ':' in the source address route here (synth knob for the
+    round-5 v6 flow-key support).  Addresses parse via inet_pton (full or
+    '::' shorthand)."""
+    import socket
+
+    src, dst, sport, dport = key
+    ip6 = bytearray(40)
+    ip6[0] = 6 << 4
+    ip6[4:6] = (20 + len(payload)).to_bytes(2, "big")
+    ip6[6] = 6      # next header: TCP
+    ip6[7] = 64     # hop limit
+    ip6[8:24] = socket.inet_pton(socket.AF_INET6, str(src))
+    ip6[24:40] = socket.inet_pton(socket.AF_INET6, str(dst))
+    tcp = struct.pack(">HHIIHHHH", sport, dport, seq, 0,
+                      (5 << 12) | 0x18, 65535, 0, 0)
+    return b"\x00" * 12 + b"\x86\xdd" + bytes(ip6) + tcp + payload
 
 
 def _eth_ipv4(payload: bytes, proto: int = 17, ihl: int = 5) -> bytes:

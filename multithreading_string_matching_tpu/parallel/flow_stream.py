@@ -53,6 +53,10 @@ class FlowStreamMatcher:
         sharded: bool = False,
         mesh=None,
         reorder: bool = False,
+        ipv6: bool = False,
+        max_flows: Optional[int] = None,
+        idle_rounds: Optional[int] = None,
+        fin_evict: bool = False,
     ):
         self.matcher = matcher
         if mode not in ("udp", "tcp"):
@@ -68,6 +72,10 @@ class FlowStreamMatcher:
         # cannot be re-inserted before bytes the DFA already consumed.
         self.reorder = reorder
         self._flow_reorder: dict = {}  # key -> (seq_base int, covered int)
+        # ipv6=True switches to the 37-byte version-tagged key space
+        # (io.flows.flow_keys) so v4 and v6 conversations stream side by
+        # side; evict()/save()/load() keys are in the same space.
+        self.ipv6 = ipv6
         if engine not in ("ac", "window"):
             # Only these two have carried-state forms: the AC DFA carries
             # one int per flow; the window engine carries an (max_len - 1)-
@@ -118,6 +126,23 @@ class FlowStreamMatcher:
         self._dev_pos = 0
         self.packets_seen = 0        # valid flow segments fed
         self.bytes_seen = 0
+        # Built-in eviction policy (round 5): ``max_flows`` caps tracked
+        # flows (oldest-activity first past the cap), ``idle_rounds`` drops
+        # flows with no new bytes for that many scan rounds, ``fin_evict``
+        # drops a flow after a FIN or RST is observed on it (and its bytes
+        # scanned).  All run AFTER each scan round — pending bytes are
+        # always scanned before their flow's state is dropped, so eviction
+        # only ever FORGETS carried state (exactly evict()'s semantics),
+        # it never loses counted bytes.
+        if max_flows is not None and max_flows < 1:
+            raise ValueError("max_flows must be >= 1")
+        self.max_flows = max_flows
+        self.idle_rounds = idle_rounds
+        self.fin_evict = fin_evict
+        self._round = 0              # scan rounds completed
+        self._last_active: dict = {} # key -> round index of last fed bytes
+        self._closing: set = set()   # FIN/RST-observed keys
+        self.flows_evicted = 0
 
     @property
     def flows_seen(self) -> int:
@@ -130,19 +155,31 @@ class FlowStreamMatcher:
         (capture order — the same reassembly contract as io.flows; with
         ``reorder`` the segment's TCP seq rides along and ordering happens
         at scan time)."""
-        valid, keys, off, ln = flow_keys(pcap, self.mode)
-        seqs = None
+        valid, keys, off, ln = flow_keys(pcap, self.mode, ipv6=self.ipv6)
+        seqs = flags = None
         if self.reorder:
             from multithreading_string_matching_tpu.io.flows import tcp_seqs
 
-            seqs = tcp_seqs(pcap, valid)
+            seqs = tcp_seqs(pcap, valid, ipv6=self.ipv6)
+        if self.fin_evict:
+            from multithreading_string_matching_tpu.io.flows import tcp_flags
+
+            flags = tcp_flags(pcap, ipv6=self.ipv6)
         buf = pcap.buf
         for pkt in np.flatnonzero(valid):
             n = int(ln[pkt])
             self.packets_seen += 1
+            k = None
+            if flags is not None and flags[pkt] & 0x05:  # FIN | RST
+                # Flag observation happens even on empty segments (a bare
+                # FIN/ACK carries no payload) — the flow closes after its
+                # pending bytes are scanned.
+                k = keys[pkt].tobytes()
+                self._closing.add(k)
             if not n:
                 continue
-            k = keys[pkt].tobytes()
+            if k is None:
+                k = keys[pkt].tobytes()
             s = int(pcap.offsets[pkt] + off[pkt])
             if seqs is not None:
                 self._pending.setdefault(k, []).append(
@@ -152,6 +189,7 @@ class FlowStreamMatcher:
                 self._pending.setdefault(k, bytearray()).extend(buf[s : s + n])
             self._pending_bytes += n
             self.bytes_seen += n
+            self._last_active[k] = self._round
         if self._pending_bytes >= self.scan_bytes:
             self._scan()
 
@@ -191,6 +229,38 @@ class FlowStreamMatcher:
             self._pending[k] = out
 
     def _scan(self) -> None:
+        had_bytes = self._pending_bytes > 0
+        self._scan_impl()
+        if had_bytes:
+            self._round += 1
+            self._apply_eviction()
+
+    def _apply_eviction(self) -> None:
+        """Post-round policy: FIN/RST closes, idle-age expiry, max-flows
+        cap — all on flows whose pending bytes were just scanned."""
+        if self._closing:
+            doomed = [k for k in self._closing if k not in self._pending]
+            self.evict(doomed)
+            self.flows_evicted += len(doomed)
+            self._closing.difference_update(doomed)
+        if self.idle_rounds is not None:
+            doomed = [
+                k for k, r in self._last_active.items()
+                if self._round - r >= self.idle_rounds
+                and k not in self._pending
+            ]
+            self.evict(doomed)
+            self.flows_evicted += len(doomed)
+        if self.max_flows is not None and len(self._states) > self.max_flows:
+            by_age = sorted(
+                self._states,
+                key=lambda k: self._last_active.get(k, -1),
+            )
+            doomed = by_age[: len(self._states) - self.max_flows]
+            self.evict(doomed)
+            self.flows_evicted += len(doomed)
+
+    def _scan_impl(self) -> None:
         if not self._pending_bytes:
             self._pending.clear()
             return
@@ -442,12 +512,183 @@ class FlowStreamMatcher:
         self._drain_device()
         return self._counts.copy()
 
+    # -- checkpoint / resume (round 5) -------------------------------------
+
+    def _key_width(self) -> int:
+        from multithreading_string_matching_tpu.io.flows import (
+            V4_KEY_BYTES,
+            V6_KEY_BYTES,
+        )
+
+        return V6_KEY_BYTES if self.ipv6 else V4_KEY_BYTES
+
+    def save(self, path) -> str:
+        """Checkpoint EVERYTHING the stream carries — counts, per-flow
+        engine state (DFA ints / window tails), pending bytes (reorder
+        segment lists included), reorder coverage, eviction bookkeeping —
+        so a killed process resumes to counts identical to the
+        uninterrupted run (full-rollback semantics, the flow flavor of
+        StreamMatcher.save).  allow_pickle=False-safe layout: keys as
+        fixed-width uint8 rows, variable-length byte payloads as one blob
+        plus offset/length columns."""
+        self._drain_device()
+        kw = self._key_width()
+
+        def key_rows(ks):
+            out = np.zeros((len(ks), kw), np.uint8)
+            for i, k in enumerate(ks):
+                out[i] = np.frombuffer(k, np.uint8)
+            return out
+
+        state_keys = list(self._states)
+        pat_blob = b"".join(self.matcher.patterns)
+        data = {
+            # Patterns as a byte blob + lengths: a numpy unicode array
+            # silently STRIPS trailing NULs, so a b"ab\x00" pattern would
+            # fail the load-time identity check it should pass.
+            "pattern_blob": np.frombuffer(pat_blob, np.uint8),
+            "pattern_lens": np.array(
+                [len(p) for p in self.matcher.patterns], np.int64
+            ),
+            "engine": np.array(self.engine),
+            "mode": np.array(self.mode),
+            "flags": np.array(
+                [int(self.reorder), int(self.ipv6)], np.int64
+            ),
+            "counts": self._counts,
+            "counters": np.array(
+                [self.packets_seen, self.bytes_seen, self._round,
+                 self.flows_evicted, self._pending_bytes], np.int64
+            ),
+            "state_keys": key_rows(state_keys),
+        }
+        if self.engine == "ac":
+            data["state_vals"] = np.array(
+                [self._states[k] for k in state_keys], np.int32
+            )
+        else:
+            H = max(int(self.matcher.window.max_len) - 1, 1)
+            tails = np.zeros((len(state_keys), H), np.uint8)
+            fills = np.zeros(len(state_keys), np.int32)
+            for i, k in enumerate(state_keys):
+                tail, fl = self._states[k]
+                if tail:
+                    tails[i, : len(tail)] = np.frombuffer(tail, np.uint8)
+                fills[i] = fl
+                # invariant: len(tail) == fill (both min(H, total streamed))
+            data["state_tails"] = tails
+            data["state_fills"] = fills
+        # Pending bytes as segments: flat flows contribute ONE segment with
+        # seq 0; reorder flows one per held segment with its real seq.
+        pend_keys = list(self._pending)
+        blob = bytearray()
+        seg_flow, seg_seq, seg_off, seg_len = [], [], [], []
+        for i, k in enumerate(pend_keys):
+            v = self._pending[k]
+            segs = v if isinstance(v, list) else [(0, bytes(v))]
+            for sq, b in segs:
+                seg_flow.append(i)
+                seg_seq.append(sq)
+                seg_off.append(len(blob))
+                seg_len.append(len(b))
+                blob += b
+        data["pend_keys"] = key_rows(pend_keys)
+        data["pend_blob"] = np.frombuffer(bytes(blob), np.uint8)
+        data["seg_flow"] = np.array(seg_flow, np.int64)
+        data["seg_seq"] = np.array(seg_seq, np.int64)
+        data["seg_off"] = np.array(seg_off, np.int64)
+        data["seg_len"] = np.array(seg_len, np.int64)
+        rkeys = list(self._flow_reorder)
+        data["reorder_keys"] = key_rows(rkeys)
+        data["reorder_vals"] = np.array(
+            [self._flow_reorder[k] for k in rkeys], np.int64
+        ).reshape(-1, 2)
+        la = list(self._last_active.items())
+        data["active_keys"] = key_rows([k for k, _ in la])
+        data["active_rounds"] = np.array([r for _, r in la], np.int64)
+        data["closing_keys"] = key_rows(sorted(self._closing))
+        np.savez(path, **data)
+        path = str(path)
+        return path if path.endswith(".npz") else path + ".npz"
+
+    def load(self, path) -> None:
+        """Full rollback to a checkpoint: every accumulator and per-flow
+        state REPLACED (resuming onto a used instance must not
+        double-count).  The checkpoint must match this instance's
+        patterns, engine, mode, and reorder/ipv6 configuration."""
+        import os
+
+        path = str(path)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"
+        data = np.load(path, allow_pickle=False)
+        blob = data["pattern_blob"].tobytes()
+        pats, pos = [], 0
+        for ln in data["pattern_lens"]:
+            pats.append(blob[pos : pos + int(ln)])
+            pos += int(ln)
+        if pats != self.matcher.patterns:
+            raise ValueError("checkpoint pattern list does not match matcher")
+        if str(data["engine"]) != self.engine or str(data["mode"]) != self.mode:
+            raise ValueError(
+                "checkpoint engine/mode does not match this stream "
+                f"({data['engine']}/{data['mode']} vs "
+                f"{self.engine}/{self.mode})"
+            )
+        fl = data["flags"].tolist()
+        if fl != [int(self.reorder), int(self.ipv6)]:
+            raise ValueError(
+                "checkpoint reorder/ipv6 configuration does not match"
+            )
+        self._dev_counts = None
+        self._dev_pos = 0
+        self._counts = np.asarray(data["counts"]).astype(np.int64)
+        (self.packets_seen, self.bytes_seen, self._round,
+         self.flows_evicted, self._pending_bytes) = (
+            int(x) for x in data["counters"]
+        )
+        skeys = [bytes(r) for r in data["state_keys"]]
+        if self.engine == "ac":
+            self._states = {
+                k: int(v) for k, v in zip(skeys, data["state_vals"])
+            }
+        else:
+            self._states = {
+                k: (bytes(t[: int(f)]), int(f))
+                for k, t, f in zip(
+                    skeys, data["state_tails"], data["state_fills"]
+                )
+            }
+        blob = data["pend_blob"].tobytes()
+        pkeys = [bytes(r) for r in data["pend_keys"]]
+        self._pending = {}
+        for fi, sq, off, ln in zip(
+            data["seg_flow"], data["seg_seq"], data["seg_off"],
+            data["seg_len"],
+        ):
+            k = pkeys[int(fi)]
+            b = blob[int(off) : int(off) + int(ln)]
+            if self.reorder:
+                self._pending.setdefault(k, []).append((int(sq), b))
+            else:
+                self._pending.setdefault(k, bytearray()).extend(b)
+        self._flow_reorder = {
+            bytes(r): (int(v[0]), int(v[1]))
+            for r, v in zip(data["reorder_keys"], data["reorder_vals"])
+        }
+        self._last_active = {
+            bytes(r): int(v)
+            for r, v in zip(data["active_keys"], data["active_rounds"])
+        }
+        self._closing = {bytes(r) for r in data["closing_keys"]}
+
     def evict(self, keys) -> None:
         """Drop carried state (and pending bytes) for the given flow keys
         (12-byte ``bytes`` values) — the hook for idle/FIN eviction."""
         for k in keys:
             self._states.pop(k, None)
             self._flow_reorder.pop(k, None)
+            self._last_active.pop(k, None)
             b = self._pending.pop(k, None)
             if b:
                 self._pending_bytes -= (

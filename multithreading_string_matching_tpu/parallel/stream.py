@@ -396,7 +396,15 @@ class StreamMatcher:
             path,
             counts=self.counts(),
             packets_seen=np.int64(self.packets_seen),
-            patterns=np.array([p.decode("latin-1") for p in self.matcher.patterns]),
+            # Byte blob + lengths, NOT a unicode array: numpy 'U' arrays
+            # silently strip trailing NULs, which would fail the identity
+            # check for a b"ab\x00" pattern (same fix as FlowStreamMatcher).
+            pattern_blob=np.frombuffer(
+                b"".join(self.matcher.patterns), np.uint8
+            ),
+            pattern_lens=np.array(
+                [len(p) for p in self.matcher.patterns], np.int64
+            ),
         )
         # np.savez appends .npz to extension-less paths; return the real one.
         path = str(path)
@@ -407,7 +415,14 @@ class StreamMatcher:
         if not os.path.exists(path) and os.path.exists(path + ".npz"):
             path += ".npz"  # accept the same path save() was called with
         data = np.load(path, allow_pickle=False)
-        pats = [p.encode("latin-1") for p in data["patterns"].tolist()]
+        if "pattern_blob" in data:
+            blob = data["pattern_blob"].tobytes()
+            pats, pos = [], 0
+            for ln in data["pattern_lens"]:
+                pats.append(blob[pos : pos + int(ln)])
+                pos += int(ln)
+        else:  # pre-round-5 checkpoints (unicode array; NUL-free patterns)
+            pats = [p.encode("latin-1") for p in data["patterns"].tolist()]
         if pats != self.matcher.patterns:
             raise ValueError("checkpoint pattern list does not match matcher")
         # Restore into the HOST int64 base: jnp.asarray would silently
