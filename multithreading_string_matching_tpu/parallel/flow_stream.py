@@ -334,7 +334,7 @@ class FlowStreamMatcher:
                 )
                 self._acc_device(
                     counts_u, expanded=False,
-                    positions=F * (round_q + H),
+                    positions=self._round_positions,
                 )
                 for i, k in enumerate(flows):
                     prev_tail, prev_fill = self._states.get(k, (b"", 0))
@@ -436,39 +436,76 @@ class FlowStreamMatcher:
         self._pending.clear()
         self._pending_bytes = 0
 
+    def _expand_round_lanes(self, buf, rel, halo_b, fill_v, CW: int):
+        """Re-lay a ``[F, W]`` round as SUB-LANES of fixed width:
+        ``([R, H + CW] tile, eff int32[R], ms int32[R])`` where flow i's
+        chunk j is row i*nch+j, carrying the H columns preceding its body
+        as halo context (overlapping views — one strided copy).  A match
+        counts in the sub-lane its END falls in (the halo kernel's
+        min_end = H rule), so the tall tile's total equals the flat round's
+        — and the kernel always sees ONE narrow compiled width with full
+        row parallelism, instead of a VMEM-busting wide row per flow."""
+        F, W = buf.shape
+        wp = self.matcher.window
+        H = max(int(wp.max_len) - 1, 1)
+        # pow2 sub-lane count: rounds of any length reuse O(log) compiled
+        # [F*nch, H+CW] shapes (padding sub-lanes are all-zero, eff 0).
+        nch = _pow2(max(1, -(-W // CW)), 1)
+        x = np.zeros((F, H + nch * CW), np.uint8)
+        x[:, :H] = halo_b
+        x[:, H : H + W] = buf
+        s0, s1 = x.strides
+        sub = np.lib.stride_tricks.as_strided(
+            x, shape=(F, nch, H + CW), strides=(s0, CW * s1, s1)
+        )
+        x2 = np.ascontiguousarray(sub).reshape(F * nch, H + CW)
+        i = np.repeat(np.arange(F), nch)
+        j = np.tile(np.arange(nch), F)
+        eff_abs = np.minimum(
+            np.clip(rel, 0, None).astype(np.int64) + H, H + W
+        )
+        eff2 = np.clip(eff_abs[i] - j * CW, 0, H + CW).astype(np.int32)
+        ms_abs = (H - fill_v).astype(np.int64)
+        ms2 = np.clip(ms_abs[i] - j * CW, 0, None).astype(np.int32)
+        return x2, eff2, ms2
+
     def _window_round(self, buf, rel, halo_b, fill_v):
         """ONE device dispatch for a whole window-engine scan round:
         returns DEVICE counts in build-order UNIQUE layout (dup expansion
         happens at drain).  Kernel choice: the Pallas halo kernel when the
         matcher resolves to the unrolled kernel on an accelerator (the
-        flow-serving roofline), the XLA window form otherwise (CPU hosts,
-        table-kernel pattern sets — no halo variant there yet); lane-
-        sharded over the mesh when ``sharded=True``."""
+        flow-serving roofline; wide rounds re-lay as fixed-width sub-lanes
+        — _expand_round_lanes — so the kernel never sees a VMEM-busting
+        row width), the XLA window form otherwise (CPU hosts, table-kernel
+        pattern sets — no halo variant there yet); lane-sharded over the
+        mesh when ``sharded=True``."""
         fold = self.matcher._maybe_fold
+        use_pallas = self.matcher._resolve_engine(None) == "pallas" and (
+            hasattr(self.matcher.pallas, "count_tile_halo")
+        )
+        self._round_positions = buf.shape[0] * (
+            buf.shape[1] + halo_b.shape[1]
+        )
+        if use_pallas or self.sharded:
+            x2, eff2, ms2 = self._expand_round_lanes(
+                fold(buf), rel, fold(halo_b), fill_v, self.width
+            )
+            # The drain guard must bound the ACTUAL positions scanned: the
+            # sub-lane tile (pow2 nch + halo duplication) can exceed the
+            # flat round's F*(W+H) by >2x, which would let the device int32
+            # accumulator wrap between drains.
+            self._round_positions = x2.shape[0] * x2.shape[1]
         if self.sharded:
             from multithreading_string_matching_tpu.parallel.mesh import (
                 count_flow_round_sharded,
             )
 
-            eng = (
-                "pallas"
-                if self.matcher._resolve_engine(None) == "pallas"
-                else "window"
-            )
             return count_flow_round_sharded(
-                self.matcher, fold(buf), rel, fold(halo_b), fill_v,
-                self.mesh, engine=eng,
+                self.matcher, x2, eff2, ms2, self.mesh,
+                engine="pallas" if use_pallas else "window",
             )
-        if self.matcher._resolve_engine(None) == "pallas" and hasattr(
-            self.matcher.pallas, "count_tile_halo"
-        ):
-            pm = self.matcher.pallas
-            H = pm.halo_width
-            x = np.concatenate([fold(halo_b), fold(buf)], axis=1)
-            eff = np.minimum(
-                np.clip(rel, 0, None).astype(np.int64) + H, x.shape[1]
-            ).astype(np.int32)
-            return pm.count_tile_halo(x, eff, H - fill_v)
+        if use_pallas:
+            return self.matcher.pallas.count_tile_halo(x2, eff2, ms2)
         from multithreading_string_matching_tpu.ops.window import (
             StreamHalo,
             window_stream_chunk,

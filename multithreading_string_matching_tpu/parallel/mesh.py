@@ -231,63 +231,64 @@ def count_chunk_sharded(
     return counts, new_states
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+@functools.partial(jax.jit, static_argnames=("min_end", "mesh", "axis"))
 def _sharded_window_halo(
     pat_words: jax.Array,
     pat_masks: jax.Array,
     pat_lens: jax.Array,
-    chunk: jax.Array,     # uint8[F, C] round bytes, sharded on F
-    rel_len: jax.Array,   # int32[F] pending bytes per lane
-    halo: jax.Array,      # uint8[F, H] carried tail bytes (right-aligned)
-    fill: jax.Array,      # int32[F] real bytes in each halo
+    x: jax.Array,         # uint8[R, H + CW] sub-lane round tile, sharded on R
+    eff: jax.Array,       # int32[R] valid bytes per sub-lane (incl. halo)
+    ms: jax.Array,        # int32[R] first column a match may START at
+    min_end: int,         # H: a match counts where its END falls
     mesh: Mesh,
     axis: str,
 ) -> jax.Array:
-    """Window-engine flow ROUND with the lane axis sharded: each device
-    scans its flow lanes' [halo | round bytes] with min_end/min_start
-    masking (ops/window._window_chunk's algebra), one [U] psum merges the
-    counts.  Lane tails are HOST state in the flow stream (revival-exact),
-    so unlike the AC form no carried state crosses rounds on device —
-    which is what makes the window engine shardable at all."""
+    """Window-engine flow ROUND with the sub-lane axis sharded: each device
+    scans its rows with min_end/min_start masking (the same algebra as the
+    halo kernel), one [U] psum merges counts.  Lane tails are HOST state in
+    the flow stream (revival-exact), so unlike the AC form no carried state
+    crosses rounds on device — which is what makes the window engine
+    shardable at all."""
     from multithreading_string_matching_tpu.ops.window import _window_one
 
-    def local(pw, pm, pl, chunk, rel_len, halo, fill):
-        H = halo.shape[1]
-        x = jnp.concatenate([halo, chunk], axis=1)
-        eff = jnp.minimum(
-            jnp.clip(rel_len, 0, None) + H, x.shape[1]
-        ).astype(jnp.int32)
-        ms = (H - fill).reshape(1, -1, 1)
+    def local(pw, pm, pl, x, eff, ms):
         counts = _window_one(
-            pw, pm, pl, x, eff, per_packet=False, min_end=H, min_start=ms,
+            pw, pm, pl, x, eff, per_packet=False, min_end=min_end,
+            min_start=ms.reshape(1, -1, 1),
         )
         return jax.lax.psum(counts, axis)
 
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False,
-    )(pat_words, pat_masks, pat_lens, chunk, rel_len, halo, fill)
+    )(pat_words, pat_masks, pat_lens, x, eff, ms)
 
 
 def count_flow_round_sharded(
-    matcher, chunk, rel_len, halo_b, fill_v, mesh: Mesh, *,
-    engine: str = "window",
+    matcher, x2, eff2, ms2, mesh: Mesh, *, engine: str = "window",
 ):
-    """One sharded window-family flow round: device [U] unique counts
-    (replicated after the psum; caller accumulates device-side and
+    """One sharded window-family flow round over a SUB-LANE tile
+    (FlowStreamMatcher._expand_round_lanes's layout): device [U] unique
+    counts (replicated after the psum; caller accumulates device-side and
     dup-expands at drain).  ``engine='pallas'`` runs the VMEM halo kernel
-    per shard (PallasWindowMatcher.count_tile_halo's core) — the flow
-    serving roofline; falls back to the XLA form for table-kernel pattern
-    sets (no halo variant there)."""
+    per shard — the flow serving roofline; 'window' is the XLA form
+    (CPU meshes, table-kernel pattern sets)."""
     axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    R = x2.shape[0]
+    R_pad = -(-R // n_dev) * n_dev
+    if R_pad != R:  # padding sub-lanes: all-zero, eff 0 -> count 0
+        x2 = np.pad(np.asarray(x2), ((0, R_pad - R), (0, 0)))
+        eff2 = np.pad(np.asarray(eff2), (0, R_pad - R))
+        ms2 = np.pad(np.asarray(ms2), (0, R_pad - R))
     sharding = NamedSharding(mesh, P(axis))
-    chunk_d = jax.device_put(jnp.asarray(chunk, jnp.uint8), sharding)
-    rel_d = jax.device_put(jnp.asarray(rel_len, jnp.int32), sharding)
-    halo_d = jax.device_put(jnp.asarray(halo_b, jnp.uint8), sharding)
-    fill_d = jax.device_put(jnp.asarray(fill_v, jnp.int32), sharding)
+    x_d = jax.device_put(jnp.asarray(x2, jnp.uint8), sharding)
+    eff_d = jax.device_put(jnp.asarray(eff2, jnp.int32), sharding)
+    ms_d = jax.device_put(jnp.asarray(ms2, jnp.int32), sharding)
+    H = max(int(matcher.window.max_len) - 1, 1)
     if engine == "pallas":
         pm = pallas_for_mesh(matcher, mesh)
         if hasattr(pm, "count_tile_halo"):
@@ -296,30 +297,22 @@ def count_flow_round_sharded(
                 cache = pm._sharded_halo_jit_cache = {}
             fn = cache.get((mesh, axis))
             if fn is None:
-                H = pm.halo_width
 
-                def local(chunk, rel_len, halo, fill):
-                    x = jnp.concatenate([halo, chunk], axis=1)
-                    eff = jnp.minimum(
-                        jnp.clip(rel_len, 0, None) + H, x.shape[1]
-                    ).astype(jnp.int32)
-                    counts = pm._halo_run(x, eff, H - fill)
-                    return jax.lax.psum(counts, axis)
+                def local(x, eff, ms):
+                    return jax.lax.psum(pm._halo_run(x, eff, ms), axis)
 
                 fn = jax.jit(
                     jax.shard_map(
                         local, mesh=mesh,
-                        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                        in_specs=(P(axis), P(axis), P(axis)),
                         out_specs=P(), check_vma=False,
                     )
                 )
                 cache[(mesh, axis)] = fn
-            return fn(chunk_d, rel_d, halo_d, fill_d)
-    w = matcher.window
+            return fn(x_d, eff_d, ms_d)
     pw, pmk, plv = _staged_window(matcher)
-    del w
     return _sharded_window_halo(
-        pw, pmk, plv, chunk_d, rel_d, halo_d, fill_d, mesh=mesh, axis=axis,
+        pw, pmk, plv, x_d, eff_d, ms_d, min_end=H, mesh=mesh, axis=axis,
     )
 
 

@@ -548,3 +548,77 @@ class TestFlowRound5:
         monkeypatch.setattr(fs, "_acc_device", acc)
         self._feed(fs, pcap, 3)
         assert fs.counts().tolist() == _want([PAY_A, PAY_B])
+
+
+class TestSubLaneRounds:
+    """Round-5 wide-round handling: _expand_round_lanes re-lays a round as
+    fixed-width sub-lanes; totals must equal the flat round for any
+    geometry, through the interpret-mode Pallas halo kernel too."""
+
+    def test_expand_round_lanes_differential(self):
+        import jax.numpy as jnp
+
+        from multithreading_string_matching_tpu.ops.window import (
+            StreamHalo,
+            window_stream_chunk,
+        )
+
+        rng = np.random.default_rng(91)
+        m = Matcher(PATS, engine="window")
+        wp = m.window
+        H = max(int(wp.max_len) - 1, 1)
+        fs = FlowStreamMatcher(m, "tcp", engine="window", width=16,
+                               min_lanes=8)
+        for trial in range(6):
+            F = 8
+            W = int(rng.integers(1, 200))
+            rel = rng.integers(0, W + 1, size=F).astype(np.int32)
+            fill = rng.integers(0, H + 1, size=F).astype(np.int32)
+            buf = rng.integers(0x41, 0x46, size=(F, W)).astype(np.uint8)
+            cols = np.arange(W)[None, :]
+            buf = np.where(cols < rel[:, None], buf, 0).astype(np.uint8)
+            # plant a signature straddling a sub-lane boundary
+            if W > 20:
+                buf[0, 10:19] = np.frombuffer(b"SIGNATURE", np.uint8)
+                rel[0] = max(rel[0], 19)
+            halo = np.zeros((F, H), np.uint8)
+            for i in range(F):
+                if fill[i]:
+                    halo[i, H - fill[i]:] = rng.integers(
+                        0x41, 0x46, size=fill[i]
+                    )
+            want, _ = window_stream_chunk(
+                wp, buf, rel,
+                StreamHalo(jnp.asarray(halo), jnp.asarray(fill)),
+                expand_duplicates=False,
+            )
+            x2, eff2, ms2 = fs._expand_round_lanes(buf, rel, halo, fill, 16)
+            # Evaluate the sub-lane tile with the same masked-window
+            # algebra (min_end=H per sub-lane).
+            from multithreading_string_matching_tpu.ops.window import (
+                _window_one,
+            )
+
+            got = _window_one(
+                jnp.asarray(wp.pat_words), jnp.asarray(wp.pat_masks),
+                jnp.asarray(wp.pat_lens), jnp.asarray(x2),
+                jnp.asarray(eff2),
+                per_packet=False, min_end=H,
+                min_start=jnp.asarray(ms2).reshape(1, -1, 1),
+            )
+            assert (np.asarray(got) == np.asarray(want)).all(), trial
+
+    def test_interpret_pallas_sublane_stream(self, split_capture,
+                                             monkeypatch):
+        """Unsharded pallas flow rounds (interpret mode) through the
+        sub-lane path: counts equal the AC stream."""
+        monkeypatch.setenv("MSM_PALLAS_INTERPRET", "1")
+        pcap = read_pcap(split_capture)
+        m = Matcher(PATS, engine="pallas")
+        assert m._resolve_engine(None) == "pallas"
+        fs = FlowStreamMatcher(m, "tcp", engine="window", scan_bytes=10,
+                               width=8, min_lanes=8)
+        for s in range(0, pcap.num_packets, 3):
+            fs.feed_pcap_slice(slice_pcap(pcap, s, s + 3, copy=False))
+        fs.flush()
+        assert fs.counts().tolist() == _want([PAY_A, PAY_B])
