@@ -363,9 +363,15 @@ def main():
                      round(max(link_pre, link_post), 1)]
                     if link_pre else None
                 ),
+                # Plausible iff SOME link rate within the probed band puts
+                # the e2e fraction in [0.5, 1.3] (the ledger's ~0.99x with
+                # headroom) — requiring consistency with EVERY value in a
+                # 2x-wide band would flag any session whose link moved
+                # between the probes, which is exactly the variance the
+                # band exists to absorb.
                 "e2e_link_attribution_ok": (
-                    (0.5 <= e2e_bps / max(link_pre, link_post)
-                     and e2e_bps / min(link_pre, link_post) <= 1.3)
+                    (0.5 * min(link_pre, link_post) <= e2e_bps
+                     <= 1.3 * max(link_pre, link_post))
                     if link_pre and e2e_bps else None
                 ),
                 "host_pipeline_bytes_per_sec": (

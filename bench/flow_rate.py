@@ -121,7 +121,10 @@ def main():
         # round-trips and dedup would otherwise make it fiction).  This is
         # the rate flow serving runs at when the bytes are already on the
         # device (local PCIe/HBM deployments), vs the tunnel-bound e2e.
-        fs0 = FlowStreamMatcher(m, "tcp", engine="window")
+        # scan_bytes past the feed so pending ACCUMULATES (a default-sized
+        # stream would scan-and-clear inside the feed).
+        fs0 = FlowStreamMatcher(m, "tcp", engine="window",
+                                scan_bytes=1 << 62)
         fs0.feed_pcap_slice(slice_pcap(pcap, 0, 8192, copy=False))
         flows_l = [k for k, b in fs0._pending.items() if b]
         F0 = max(8, 1 << (len(flows_l) - 1).bit_length())
