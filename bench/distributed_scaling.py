@@ -98,7 +98,10 @@ def main():
         t0 = time.time()
         for nprocs, port in ((1, 19731), (2, 19732), (4, 19734)):
             ranks = run_group(nprocs, pcap, tmp, port)
-            assert len({r["counts_sum"] for r in ranks if r["rank"] == 0}) == 1
+            # EVERY rank holds the merged counts after the collective —
+            # the identity check must span all of them, not compare rank 0
+            # with itself.
+            assert len({r["counts_sum"] for r in ranks}) == 1, ranks
             # Collective overhead: each rank's wall minus its own local
             # scan time is coordinator startup + the three end-of-run
             # collectives (error flag, int64 merge, MAX-elapsed).

@@ -257,8 +257,9 @@ def reorder_plan(f_nz, seq_nz, len_nz):
     pure retransmissions trim to keep_len 0).  Holes (missing segments)
     are NOT gap-filled: surviving bytes concatenate in sequence order.
     Sequence wrap is handled as a signed +/-2^31 window around each flow's
-    first-captured seq (any real capture's reorder distance is far below
-    2 GB)."""
+    first-captured seq — one capture's PER-FLOW extent must stay under
+    2 GiB (raised when detectably exceeded; the streaming form re-bases
+    its window every scan round and has no such limit)."""
     nseg = f_nz.shape[0]
     if nseg == 0:
         return (np.zeros(0, np.int64),) * 3
@@ -270,6 +271,13 @@ def reorder_plan(f_nz, seq_nz, len_nz):
     minrel = np.full(F, np.iinfo(np.int64).max)
     np.minimum.at(minrel, f_nz, rel)
     rel = rel - minrel[f_nz]          # non-negative within each flow
+    if int((rel + len_nz).max()) >= 2**31:
+        # Beyond the signed window the seq<->offset mapping is ambiguous —
+        # silently scrambled streams are worse than an error.
+        raise ValueError(
+            "a flow's captured stream extent exceeds the 2 GiB reorder "
+            "window; split the capture or use the streaming reassembler"
+        )
     order = np.lexsort((np.arange(nseg), rel, f_nz))
     f_s = f_nz[order]
     rel_s = rel[order]

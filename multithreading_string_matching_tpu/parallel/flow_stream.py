@@ -63,6 +63,10 @@ class FlowStreamMatcher:
             raise ValueError(f"mode must be 'udp' or 'tcp', got {mode!r}")
         if reorder and mode != "tcp":
             raise ValueError("reorder=True applies to TCP flows only")
+        if fin_evict and mode != "tcp":
+            # tcp_flags would read a PAYLOAD byte at the TCP-flags offset
+            # on UDP datagrams — random data would close flows.
+            raise ValueError("fin_evict=True applies to TCP flows only")
         # reorder=True: pending segments carry their TCP seq and each scan
         # round materializes them in SEQUENCE order with first-bytes-win
         # trimming (io.flows.reorder_plan's rule).  BOUND, documented: the
@@ -224,7 +228,13 @@ class FlowStreamMatcher:
                     b = b[covered - r :]  # overlap: first bytes won
                 out += b
                 covered = max(covered, end)
-            self._flow_reorder[k] = (base, covered)
+            # Re-base the carried coverage to the new edge: rel values
+            # stay near 0 for in-order traffic however long the flow lives
+            # (a fixed base would exhaust the signed +/-2^31 window after
+            # 2 GiB and silently drop everything as retransmission).  A
+            # stale segment older than the edge lands at negative rel ->
+            # end <= 0 = covered -> dropped, same semantics.
+            self._flow_reorder[k] = ((base + covered) % 2**32, 0)
             self._pending_bytes += len(out) - raw
             self._pending[k] = out
 
@@ -238,27 +248,34 @@ class FlowStreamMatcher:
     def _apply_eviction(self) -> None:
         """Post-round policy: FIN/RST closes, idle-age expiry, max-flows
         cap — all on flows whose pending bytes were just scanned."""
+        def drop(doomed):
+            # Count only flows whose tracked state is actually dropped: a
+            # bare FIN on a never-payload flow (or a retransmitted FIN on
+            # an already-evicted one) must not inflate the stat.
+            self.flows_evicted += sum(1 for k in doomed if k in self._states)
+            self.evict(doomed)
+
         if self._closing:
             doomed = [k for k in self._closing if k not in self._pending]
-            self.evict(doomed)
-            self.flows_evicted += len(doomed)
+            drop(doomed)
             self._closing.difference_update(doomed)
         if self.idle_rounds is not None:
+            # STRICTLY more than idle_rounds fully idle rounds: a flow that
+            # fed bytes in the round just scanned has age exactly 1 after
+            # the post-scan increment — >= would evict continuously-active
+            # flows every round at idle_rounds=1.
             doomed = [
                 k for k, r in self._last_active.items()
-                if self._round - r >= self.idle_rounds
+                if self._round - r > self.idle_rounds
                 and k not in self._pending
             ]
-            self.evict(doomed)
-            self.flows_evicted += len(doomed)
+            drop(doomed)
         if self.max_flows is not None and len(self._states) > self.max_flows:
             by_age = sorted(
                 self._states,
                 key=lambda k: self._last_active.get(k, -1),
             )
-            doomed = by_age[: len(self._states) - self.max_flows]
-            self.evict(doomed)
-            self.flows_evicted += len(doomed)
+            drop(by_age[: len(self._states) - self.max_flows])
 
     def _scan_impl(self) -> None:
         if not self._pending_bytes:
@@ -276,12 +293,6 @@ class FlowStreamMatcher:
         # count would otherwise leave shard_map an uneven split).
         F = -(-F // self._n_dev) * self._n_dev
         if self.engine == "window":
-            import jax.numpy as jnp
-
-            from multithreading_string_matching_tpu.ops.window import (
-                StreamHalo,
-            )
-
             wp = self.matcher.window
             H = max(int(wp.max_len) - 1, 1)
             halo_b = np.zeros((F, H), np.uint8)
@@ -294,13 +305,10 @@ class FlowStreamMatcher:
                     # the same layout _window_chunk's x[:, -H:] carry uses.
                     halo_b[i, H - fl:] = np.frombuffer(tail, np.uint8)
                     fill_v[i] = fl
-            # Stored tails are RAW capture bytes; fold here so nocase
-            # matchers see folded halos next to folded chunks (folding is
-            # idempotent, so the tile's own fold cannot double-apply).
-            halo = StreamHalo(
-                jnp.asarray(self.matcher._maybe_fold(halo_b)),
-                jnp.asarray(fill_v),
-            )
+            # (the device StreamHalo is built lazily below — only the
+            # chunk-loop fallback consumes it, and uploading F x H bytes
+            # per round on the single-dispatch hot path would be waste)
+            halo = None
         else:
             states = np.zeros(F, np.int32)
             for i, k in enumerate(flows):
@@ -324,7 +332,21 @@ class FlowStreamMatcher:
             round_q = max(
                 self.width, 1 << max(0, (longest - 1).bit_length())
             )
-            if F * round_q <= max(self.ROUND_BUDGET_BYTES, F * self.width):
+            # Per-LAUNCH int32 bound: the sub-lane tile scans
+            # ~F * nch_pow2 * (H + width) positions in ONE kernel, and a
+            # position starts at most one match per pattern — past 2^31
+            # the kernel's own int32 accumulator could wrap before the
+            # drain guard ever sees it (the drain only bounds accumulation
+            # BETWEEN dispatches).  Oversized rounds take the chunk loop,
+            # whose own device_acc gate handles the same bound per chunk.
+            nch_p = _pow2(max(1, -(-round_q // self.width)), 1)
+            proj_positions = (F + 512) * nch_p * (
+                max(int(self.matcher.window.max_len) - 1, 1) + self.width
+            )
+            if (
+                F * round_q <= max(self.ROUND_BUDGET_BYTES, F * self.width)
+                and proj_positions < 2**31
+            ):
                 buf = np.zeros((F, round_q), np.uint8)
                 for i, k in enumerate(flows):
                     b = self._pending[k]
@@ -367,6 +389,20 @@ class FlowStreamMatcher:
         # it drains to host int64 per chunk instead.
         device_acc = padded is not None and F * long_q < 2**31
         round_counts = None
+        if self.engine == "window" and halo is None:
+            import jax.numpy as jnp
+
+            from multithreading_string_matching_tpu.ops.window import (
+                StreamHalo,
+            )
+
+            # Stored tails are RAW capture bytes; fold here so nocase
+            # matchers see folded halos next to folded chunks (folding is
+            # idempotent, so the tile's own fold cannot double-apply).
+            halo = StreamHalo(
+                jnp.asarray(self.matcher._maybe_fold(halo_b)),
+                jnp.asarray(fill_v),
+            )
         for c in range(0, longest, self.width):
             if padded is not None:
                 tile = padded[:, c : c + self.width]
@@ -577,16 +613,13 @@ class FlowStreamMatcher:
                 out[i] = np.frombuffer(k, np.uint8)
             return out
 
+        from multithreading_string_matching_tpu.parallel.stream import (
+            patterns_npz_fields,
+        )
+
         state_keys = list(self._states)
-        pat_blob = b"".join(self.matcher.patterns)
         data = {
-            # Patterns as a byte blob + lengths: a numpy unicode array
-            # silently STRIPS trailing NULs, so a b"ab\x00" pattern would
-            # fail the load-time identity check it should pass.
-            "pattern_blob": np.frombuffer(pat_blob, np.uint8),
-            "pattern_lens": np.array(
-                [len(p) for p in self.matcher.patterns], np.int64
-            ),
+            **patterns_npz_fields(self.matcher.patterns),
             "engine": np.array(self.engine),
             "mode": np.array(self.mode),
             "flags": np.array(
@@ -653,18 +686,13 @@ class FlowStreamMatcher:
         state REPLACED (resuming onto a used instance must not
         double-count).  The checkpoint must match this instance's
         patterns, engine, mode, and reorder/ipv6 configuration."""
-        import os
+        from multithreading_string_matching_tpu.parallel.stream import (
+            checkpoint_path,
+            patterns_from_npz,
+        )
 
-        path = str(path)
-        if not os.path.exists(path) and os.path.exists(path + ".npz"):
-            path += ".npz"
-        data = np.load(path, allow_pickle=False)
-        blob = data["pattern_blob"].tobytes()
-        pats, pos = [], 0
-        for ln in data["pattern_lens"]:
-            pats.append(blob[pos : pos + int(ln)])
-            pos += int(ln)
-        if pats != self.matcher.patterns:
+        data = np.load(checkpoint_path(path), allow_pickle=False)
+        if patterns_from_npz(data) != self.matcher.patterns:
             raise ValueError("checkpoint pattern list does not match matcher")
         if str(data["engine"]) != self.engine or str(data["mode"]) != self.mode:
             raise ValueError(

@@ -212,6 +212,13 @@ def _plan_for(matcher, n_shards: int, filtered: bool) -> PatternShardPlan:
         if cache.get("_wp") is not wp:
             cache.clear()
             cache["_wp"] = wp
+            # Old plans die with the cache — their staged device tables
+            # must die too, or an id(plan)-keyed staging entry could alias
+            # a NEW plan allocated at the same address and silently serve
+            # the old rule set's tables (swap_patterns twice in a row).
+            staged = getattr(matcher, "_pattern_shard_staged", None)
+            if staged is not None:
+                staged.clear()
         plan = build_pattern_shards(wp, n_shards, filtered=filtered)
         cache[key] = plan
     return plan
@@ -254,16 +261,21 @@ def _stage_tables(matcher, plan: PatternShardPlan, mesh: Mesh, pat_ax: str):
     if cache is None:
         cache = matcher._pattern_shard_staged = {}
     key = (id(plan), mesh, pat_ax)
-    staged = cache.get(key)
-    if staged is None:
+    entry = cache.get(key)
+    # The entry holds the PLAN it was staged from and is only valid while
+    # that exact object is the one asked about — an id() key alone could
+    # alias a new plan allocated at a freed plan's address (belt alongside
+    # _plan_for's suspenders: it clears this cache on plan turnover).
+    if entry is None or entry[0] is not plan:
         sh = NamedSharding(mesh, P(pat_ax))
-        staged = (
+        entry = (
+            plan,
             jax.device_put(jnp.asarray(plan.words), sh),
             jax.device_put(jnp.asarray(plan.masks), sh),
             jax.device_put(jnp.asarray(plan.lens), sh),
         )
-        cache[key] = staged
-    return staged
+        cache[key] = entry
+    return entry[1:]
 
 
 def _pad_packets(payloads, lengths, n_pkt: int):

@@ -33,6 +33,40 @@ from multithreading_string_matching_tpu.io.decode import extract_payloads
 from multithreading_string_matching_tpu.io.pcap import PcapFile
 from multithreading_string_matching_tpu.ops.scan import count_matches_ac
 
+
+def patterns_npz_fields(patterns) -> dict:
+    """Pattern list as npz-safe arrays: a byte blob + lengths, NOT a
+    unicode array — numpy 'U' arrays silently strip trailing NULs, which
+    would fail the load-time identity check for a b"ab\\x00" pattern.
+    Shared by StreamMatcher and FlowStreamMatcher checkpoints so the
+    format cannot drift between them."""
+    return {
+        "pattern_blob": np.frombuffer(b"".join(patterns), np.uint8),
+        "pattern_lens": np.array([len(p) for p in patterns], np.int64),
+    }
+
+
+def patterns_from_npz(data) -> list:
+    """Inverse of :func:`patterns_npz_fields`; accepts pre-round-5
+    checkpoints (unicode 'patterns' array — NUL-free sets only)."""
+    if "pattern_blob" in data:
+        blob = data["pattern_blob"].tobytes()
+        pats, pos = [], 0
+        for ln in data["pattern_lens"]:
+            pats.append(blob[pos : pos + int(ln)])
+            pos += int(ln)
+        return pats
+    return [p.encode("latin-1") for p in data["patterns"].tolist()]
+
+
+def checkpoint_path(path) -> str:
+    """np.savez appends .npz to extension-less paths; normalize for load
+    (accept the same path save() was called with)."""
+    path = str(path)
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        return path + ".npz"
+    return path
+
 DEFAULT_BATCH = 10  # live_openmp_task.c:142
 
 
@@ -396,34 +430,15 @@ class StreamMatcher:
             path,
             counts=self.counts(),
             packets_seen=np.int64(self.packets_seen),
-            # Byte blob + lengths, NOT a unicode array: numpy 'U' arrays
-            # silently strip trailing NULs, which would fail the identity
-            # check for a b"ab\x00" pattern (same fix as FlowStreamMatcher).
-            pattern_blob=np.frombuffer(
-                b"".join(self.matcher.patterns), np.uint8
-            ),
-            pattern_lens=np.array(
-                [len(p) for p in self.matcher.patterns], np.int64
-            ),
+            **patterns_npz_fields(self.matcher.patterns),
         )
         # np.savez appends .npz to extension-less paths; return the real one.
         path = str(path)
         return path if path.endswith(".npz") else path + ".npz"
 
     def load(self, path):
-        path = str(path)
-        if not os.path.exists(path) and os.path.exists(path + ".npz"):
-            path += ".npz"  # accept the same path save() was called with
-        data = np.load(path, allow_pickle=False)
-        if "pattern_blob" in data:
-            blob = data["pattern_blob"].tobytes()
-            pats, pos = [], 0
-            for ln in data["pattern_lens"]:
-                pats.append(blob[pos : pos + int(ln)])
-                pos += int(ln)
-        else:  # pre-round-5 checkpoints (unicode array; NUL-free patterns)
-            pats = [p.encode("latin-1") for p in data["patterns"].tolist()]
-        if pats != self.matcher.patterns:
+        data = np.load(checkpoint_path(path), allow_pickle=False)
+        if patterns_from_npz(data) != self.matcher.patterns:
             raise ValueError("checkpoint pattern list does not match matcher")
         # Restore into the HOST int64 base: jnp.asarray would silently
         # downcast int64 checkpoint counts to int32 (wraparound on resume),

@@ -193,3 +193,123 @@ def test_checkpoint_window_tails_survive(tmp_path):
     fs2.feed_pcap_slice(read_pcap(p2))
     fs2.flush()
     assert fs2.counts()[0] == 1
+
+
+def test_idle_eviction_keeps_active_flows(tmp_path):
+    """Off-by-one regression: a flow that feeds bytes EVERY round has age
+    exactly 1 after the post-scan increment — idle_rounds=1 must keep it
+    (evict only strictly-more-than-1-round-idle flows)."""
+    m = Matcher(PATS, engine="ac")
+    fs = FlowStreamMatcher(m, "tcp", scan_bytes=1, width=8, min_lanes=8,
+                           idle_rounds=1)
+    p1, p2 = tmp_path / "i1.pcap", tmp_path / "i2.pcap"
+    synth_tcp_flows_pcap(p1, [(KEY_A, b"xxSIGNA", [7])])
+    synth_tcp_flows_pcap(p2, [(KEY_A, b"TUREyy", [6])])
+    fs.feed_pcap_slice(read_pcap(p1))
+    fs.flush()
+    assert len(fs._states) == 1  # active flow survives its own round
+    fs.feed_pcap_slice(read_pcap(p2))
+    fs.flush()
+    assert fs.counts()[0] == 1  # signature completed across rounds
+
+
+def test_fin_evict_requires_tcp():
+    import pytest
+
+    with pytest.raises(ValueError, match="fin_evict"):
+        FlowStreamMatcher(Matcher(PATS), "udp", fin_evict=True)
+
+
+def test_evicted_counter_ignores_stateless_keys(tmp_path):
+    """A bare FIN on a never-payload flow must not inflate flows_evicted."""
+    from multithreading_string_matching_tpu.io.synth import _eth_ipv4_tcp
+    from multithreading_string_matching_tpu.io.pcap import (
+        classic_global_header,
+    )
+    import struct
+
+    path = tmp_path / "bare.pcap"
+    pkt = bytearray(_eth_ipv4_tcp(b"", KEY_A, 1000))
+    pkt[14 + 20 + 13] = 0x11  # FIN|ACK, no payload
+    data_pkt = _eth_ipv4_tcp(b"ppSIGqq", KEY_B, 2000)
+    with open(path, "wb") as f:
+        f.write(classic_global_header())
+        for i, p in enumerate([bytes(pkt), data_pkt]):
+            f.write(struct.pack("<IIII", i, 0, len(p), len(p)))
+            f.write(p)
+    m = Matcher(PATS, engine="ac")
+    fs = FlowStreamMatcher(m, "tcp", scan_bytes=1, width=8, min_lanes=8,
+                           fin_evict=True)
+    fs.feed_pcap_slice(read_pcap(path))
+    fs.flush()
+    assert fs.flows_evicted == 0  # the FIN'd flow never had tracked state
+
+
+def test_reorder_window_rebase_across_rounds(tmp_path):
+    """The streaming reassembler re-bases its seq window each round, so a
+    long-lived flow is not limited to 2 GiB total: simulate by injecting
+    segments whose seqs advance ~1.5 GiB per round (coverage re-based to
+    the edge keeps rel values small)."""
+    m = Matcher([b"SIGNATURE"], engine="ac")
+    fs = FlowStreamMatcher(m, "tcp", reorder=True, scan_bytes=1, width=16,
+                           min_lanes=8)
+    k = b"\x01" * 12
+    big = 1_500_000_000
+    seq = 1000
+    total_sigs = 0
+    for round_i in range(4):  # ~6 GiB of virtual stream positions
+        # one real segment at the current edge, then a virtual jump
+        fs._pending = {k: [(seq % 2**32, b"xxSIGNATUREyy")]}
+        fs._pending_bytes = 13
+        fs._scan()
+        total_sigs += 1
+        # account the jump as already-covered bytes: advance the carried
+        # base as a long in-order stream would
+        base, covered = fs._flow_reorder[k]
+        seq = seq + 13 + big
+        fs._flow_reorder[k] = ((base + covered + big) % 2**32, 0)
+    assert fs.counts()[0] == total_sigs
+
+
+def test_oneshot_reorder_span_guard():
+    """reorder_plan raises on a >2 GiB per-flow extent instead of silently
+    scrambling."""
+    import pytest
+
+    from multithreading_string_matching_tpu.io.flows import reorder_plan
+
+    f = np.zeros(2, np.int64)
+    seq = np.array([0, 2**31 - 10], np.int64)
+    lens = np.array([100, 100], np.int64)
+    with pytest.raises(ValueError, match="2 GiB"):
+        reorder_plan(f, seq, lens)
+
+
+def test_pattern_shard_double_swap_serves_current_tables():
+    """Staged pattern-shard tables must follow swap_patterns: after two
+    same-geometry swaps the sharded counts reflect the CURRENT set (an
+    id()-keyed staging cache could alias a freed plan's address and serve
+    stale tables)."""
+    import gc
+
+    import jax
+
+    from multithreading_string_matching_tpu.parallel.pattern_shard import (
+        count_matches_pattern_sharded,
+        make_pattern_mesh,
+    )
+
+    mesh = make_pattern_mesh(jax.devices()[:4])
+    payloads = np.zeros((8, 64), np.uint8)
+    payloads[0, :4] = np.frombuffer(b"ccdd", np.uint8)
+    lengths = np.array([4] + [0] * 7, np.int32)
+    m = Matcher([b"aabb", b"eeff"])
+    got = count_matches_pattern_sharded(m, payloads, lengths, mesh)
+    assert got.tolist() == [0, 0]
+    m.swap_patterns([b"xxyy", b"gghh"])
+    count_matches_pattern_sharded(m, payloads, lengths, mesh)
+    gc.collect()
+    m.swap_patterns([b"ccdd", b"iijj"])  # same geometry again
+    gc.collect()
+    got = count_matches_pattern_sharded(m, payloads, lengths, mesh)
+    assert got.tolist() == [1, 0]
