@@ -105,6 +105,7 @@ def _flow_case(pats, texts, crng):
     # mid-stream checkpoint/resume.
     ipv6 = bool(crng.random() < 0.3)
     pathological = bool(crng.random() < 0.5)
+    vlan = bool(crng.random() < 0.3)  # 802.1Q/QinQ tags on ~half the frames
     flows = []
     for i, t in enumerate(texts[:12]):
         if ipv6 and crng.random() < 0.5:
@@ -129,10 +130,12 @@ def _flow_case(pats, texts, crng):
         p = pathlib.Path(d) / "f.pcap"
         synth_tcp_flows_pcap(
             p, flows, interleave_seed=int(crng.integers(0, 10_000)),
-            seed=int(crng.integers(0, 10_000)), **knobs,
+            seed=int(crng.integers(0, 10_000)),
+            vlan_rate=0.5 if vlan else 0.0, **knobs,
         )
         pcap = read_pcap(p)
-        fb = extract_flows(pcap, "tcp", ipv6=ipv6, reorder=pathological)
+        fb = extract_flows(pcap, "tcp", ipv6=ipv6, reorder=pathological,
+                           vlan=vlan)
         m = Matcher(pats, engine="window")
         got1 = (
             m.count(fb.payloads, fb.lengths).tolist()
@@ -141,7 +144,7 @@ def _flow_case(pats, texts, crng):
         if got1 != want:
             return False, (
                 f"one-shot got={got1} want={want} "
-                f"(ipv6={ipv6} pathological={pathological})"
+                f"(ipv6={ipv6} pathological={pathological} vlan={vlan})"
             )
         fse = "window" if crng.random() < 0.4 else "ac"
         mk_fs = lambda: FlowStreamMatcher(
@@ -152,7 +155,7 @@ def _flow_case(pats, texts, crng):
             scan_bytes=(1 << 30) if pathological
             else int(crng.integers(1, 64)),
             width=int(crng.choice([8, 32, 128])), min_lanes=8,
-            reorder=pathological, ipv6=ipv6,
+            reorder=pathological, ipv6=ipv6, vlan=vlan,
         )
         fs = mk_fs()
         step = int(crng.integers(1, 6))
@@ -171,7 +174,7 @@ def _flow_case(pats, texts, crng):
         if fs.counts().tolist() != want:
             return False, (
                 f"stream got={fs.counts().tolist()} want={want} "
-                f"(ipv6={ipv6} pathological={pathological} engine={fse})"
+                f"(ipv6={ipv6} pathological={pathological} vlan={vlan} engine={fse})"
             )
     return True, ""
 

@@ -556,12 +556,6 @@ def _run_match(a, cfg, pcap_paths) -> int:
         raise SystemExit("--reorder requires --flows")
     if cfg.reorder and cfg.mode != "tcp":
         raise SystemExit("--reorder applies to TCP flows only")
-    if cfg.flows and a.vlan:
-        # The flow parser has no VLAN key support (keys would need
-        # per-packet l2 shifts); a silent accept would DROP the exact
-        # traffic the user opted into.  --ipv6 composes since round 5
-        # (37-byte version-tagged keys, io/flows.py).
-        raise SystemExit("--flows does not support --vlan yet")
     if cfg.flows and a.stream:
         # Bounded-memory flow serving: iter_pcap chunks feed the per-flow
         # carried-DFA stream matcher; pending bytes bounded by scan_bytes,
@@ -592,7 +586,8 @@ def _run_match(a, cfg, pcap_paths) -> int:
         else:
             fse = "ac"
         fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse,
-                               reorder=cfg.reorder, ipv6=a.ipv6)
+                               reorder=cfg.reorder, ipv6=a.ipv6,
+                               vlan=a.vlan)
         with timer.phase("scan"):
             for path in pcap_paths:
                 for chunk in iter_pcap(path, batch_packets=8192):
@@ -622,7 +617,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             pcap = concat_pcaps([read_pcap(p_) for p_ in pcap_paths])
         with timer.phase("extract"):
             fb = extract_flows(pcap, cfg.mode, reorder=cfg.reorder,
-                               ipv6=a.ipv6)
+                               ipv6=a.ipv6, vlan=a.vlan)
         with timer.phase("scan"):
             flow_rows = None
             if a.offsets:

@@ -116,6 +116,60 @@ def _safe_byte(buf: np.ndarray, idx: np.ndarray, ok: np.ndarray) -> np.ndarray:
     return np.where(ok, buf[np.minimum(clipped, buf.shape[0] - 1)], 0)
 
 
+def _linktype_geometry(lt: int):
+    """``(et_base, l2_base)``: offset of the ethertype field (``None`` for
+    linktypes that have none) and the fixed link-layer header size.
+    Ethernet is the unknown-linktype fallback — the reference treats
+    everything as Ethernet."""
+    if lt == LINKTYPE_SLL:
+        return 14, 16
+    if lt in RAW_IP_LINKTYPES:
+        return None, 0
+    if lt == LINKTYPE_NULL:
+        return None, 4
+    return 12, ETH_HLEN
+
+
+def _et_walk(buf, off, cap, et_base: int, n: int, *, vlan: bool):
+    """``(et_off int64[N], et int64[N])``: per-packet offset of the FINAL
+    ethertype field (after skipping up to two stacked 802.1Q/802.1ad tags
+    when ``vlan``) and its value, -1 where the capture is too short to
+    hold it.  The single shared tag walk for decode_headers AND the flow
+    path's ``l2_sizes`` — factored so the two can never drift."""
+    et_off = np.full(n, et_base, dtype=np.int64)
+
+    def read_et(o):
+        ok = cap >= o + 2
+        hi = _safe_byte(buf, off + o, ok).astype(np.int64)
+        lo = _safe_byte(buf, off + o + 1, ok).astype(np.int64)
+        return np.where(ok, (hi << 8) | lo, -1)
+
+    et = read_et(et_off)
+    if vlan:
+        for _ in range(2):  # up to two stacked 802.1Q/802.1ad tags
+            is_tag = (et == ETHERTYPE_VLAN) | (et == ETHERTYPE_QINQ)
+            et_off = np.where(is_tag, et_off + VLAN_HLEN, et_off)
+            et = read_et(et_off)
+    return et_off, et
+
+
+def l2_sizes(pcap: "PcapFile", *, vlan: bool = False) -> np.ndarray:
+    """``int64[N]`` per-packet link-layer header sizes — the flow path's
+    view of decode_headers' own L2 geometry (same linktype map, same
+    up-to-two VLAN tag walk), so flow keys/seqs/flags read IP headers at
+    exactly the offsets the validity predicate validated.  Linktypes
+    without an ethertype (raw-IP, NULL) have no VLAN encapsulation, so
+    ``vlan`` is a no-op there, matching decode_headers."""
+    et_base, l2_base = _linktype_geometry(pcap.linktype)
+    n = pcap.offsets.shape[0]
+    if et_base is None or not vlan:
+        return np.full(n, l2_base, np.int64)
+    et_off, _ = _et_walk(
+        pcap.buf, pcap.offsets, pcap.caplens, et_base, n, vlan=True
+    )
+    return et_off + 2
+
+
 def decode_headers(
     pcap: PcapFile,
     mode: str,
@@ -153,33 +207,14 @@ def decode_headers(
     # Link-layer geometry: where the ethertype/protocol field sits (if any)
     # and where the IP header starts.  Ethernet is also the fallback for
     # unknown linktypes — the reference treats everything as Ethernet.
-    if lt == LINKTYPE_SLL:
-        et_base, l2_base = 14, 16
-    elif lt in RAW_IP_LINKTYPES:
-        et_base, l2_base = None, 0
-    elif lt == LINKTYPE_NULL:
-        et_base, l2_base = None, 4
-    else:
-        et_base, l2_base = 12, ETH_HLEN
+    et_base, l2_base = _linktype_geometry(lt)
 
     # L2 header size: fixed per linktype; +4 per skipped VLAN tag.
     l2 = np.full(n, l2_base, dtype=np.int64)
     is_v6 = strict_v4_ok = None
     if et_base is not None and (vlan or ipv6 or strict):
-        et_off = np.full(n, et_base, dtype=np.int64)
-
-        def read_et(o):
-            ok = cap >= o + 2
-            hi = _safe_byte(buf, off + o, ok).astype(np.int64)
-            lo = _safe_byte(buf, off + o + 1, ok).astype(np.int64)
-            return np.where(ok, (hi << 8) | lo, -1)
-
-        et = read_et(et_off)
+        et_off, et = _et_walk(buf, off, cap, et_base, n, vlan=vlan)
         if vlan:
-            for _ in range(2):  # up to two stacked 802.1Q/802.1ad tags
-                is_tag = (et == ETHERTYPE_VLAN) | (et == ETHERTYPE_QINQ)
-                et_off = np.where(is_tag, et_off + VLAN_HLEN, et_off)
-                et = read_et(et_off)
             l2 = et_off + 2
         is_v6 = et == ETHERTYPE_IPV6
         strict_v4_ok = et == ETHERTYPE_IPV4

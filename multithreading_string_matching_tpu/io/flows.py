@@ -26,27 +26,10 @@ from dataclasses import dataclass
 import numpy as np
 
 from multithreading_string_matching_tpu.io.decode import (
-    LINKTYPE_NULL,
-    LINKTYPE_SLL,
-    RAW_IP_LINKTYPES,
     decode_headers,
+    l2_sizes,
 )
 from multithreading_string_matching_tpu.io.pcap import PcapFile
-
-
-def _l2_base(linktype: int) -> int:
-    """Link-layer header size — the SAME constants decode_headers uses
-    (importing them prevents the maps from drifting; a hand-copied raw-IP
-    tuple once missed linktype 14, reading flow keys at Ethernet offsets).
-    VLAN tagging is not supported on the flow path — keys would need
-    per-packet l2 shifts."""
-    if linktype == LINKTYPE_SLL:
-        return 16
-    if linktype in RAW_IP_LINKTYPES:
-        return 0
-    if linktype == LINKTYPE_NULL:
-        return 4
-    return 14  # Ethernet, and the unknown-linktype fallback
 
 
 @dataclass(frozen=True)
@@ -122,12 +105,12 @@ V4_KEY_BYTES = 12   # src4 | dst4 | sport | dport (the compat key)
 V6_KEY_BYTES = 37   # version | src16 | dst16 | sport | dport
 
 
-def _ip_geometry(pcap: PcapFile, ipv6: bool):
+def _ip_geometry(pcap: PcapFile, ipv6: bool, vlan: bool = False):
     """(is6 bool[N], iplen int64[N]): per-packet IP version and L3 header
     length (IHL for v4; the fixed 40-byte base header for v6 — extension-
     header chains are out of scope, matching io.decode's v6 contract)."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = _l2_base(pcap.linktype)
+    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
     vhl = np.zeros(n, np.int64)
     ok_vhl = cap >= l2 + 1
@@ -141,7 +124,8 @@ def _ip_geometry(pcap: PcapFile, ipv6: bool):
     return is6, iplen
 
 
-def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False):
+def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False,
+              vlan: bool = False):
     """(valid bool[N], keys uint8[N, KW], payload_off, payload_len) for the
     honest (strict) decode — the key is readable only when the capture
     actually holds the IP addresses and transport ports.
@@ -151,12 +135,18 @@ def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False):
     ``ver|src16|dst16|sport|dport`` covering BOTH families in one key space
     (v4 addresses left-aligned in the 16-byte fields, remainder zero; the
     version byte keeps a v4 flow from ever colliding with a v6 flow whose
-    address happens to embed it)."""
-    valid, off, ln = decode_headers(pcap, mode, strict=True, ipv6=ipv6)
+    address happens to embed it).
+
+    ``vlan=True`` skips up to two stacked 802.1Q/802.1ad tags per packet
+    (per-packet l2 shifts via decode's own tag walk); the VLAN ID is NOT
+    part of the key — flows are IP 5-tuple conversations regardless of
+    which tagged segment carried them."""
+    valid, off, ln = decode_headers(pcap, mode, strict=True, ipv6=ipv6,
+                                    vlan=vlan)
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = _l2_base(pcap.linktype)
+    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
-    is6, iplen = _ip_geometry(pcap, ipv6)
+    is6, iplen = _ip_geometry(pcap, ipv6, vlan)
     # Key bytes must be within the CAPTURED bytes (origlen-valid but
     # caplen-truncated packets have no recoverable key): addresses end at
     # l2+20 (v4) / l2+40 (v6), ports at l2+iplen+4.
@@ -165,7 +155,7 @@ def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False):
     if not ipv6:
         keys = np.zeros((n, V4_KEY_BYTES), np.uint8)
         if len(buf):
-            ipidx = base[:, None] + l2 + 12 + np.arange(8)[None, :]
+            ipidx = (base + l2 + 12)[:, None] + np.arange(8)[None, :]
             pidx = (base + l2 + iplen)[:, None] + np.arange(4)[None, :]
             idx = np.concatenate([ipidx, pidx], axis=1)
             np.copyto(
@@ -198,7 +188,7 @@ def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False):
 
 
 def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
-             ipv6: bool = False) -> np.ndarray:
+             ipv6: bool = False, vlan: bool = False) -> np.ndarray:
     """int64[N] TCP sequence numbers (network order) for the valid rows.
 
     Raises when a VALID segment's capture is too short to hold the 4 seq
@@ -206,9 +196,9 @@ def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
     cannot silently guess an order, so the caller must either capture
     deeper or use capture-order mode."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = _l2_base(pcap.linktype)
+    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
-    _, iplen = _ip_geometry(pcap, ipv6)
+    _, iplen = _ip_geometry(pcap, ipv6, vlan)
     readable = cap >= l2 + iplen + 8
     if bool((valid & ~readable).any()):
         raise ValueError(
@@ -224,16 +214,17 @@ def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
     return seqs
 
 
-def tcp_flags(pcap: PcapFile, *, ipv6: bool = False) -> np.ndarray:
+def tcp_flags(pcap: PcapFile, *, ipv6: bool = False,
+              vlan: bool = False) -> np.ndarray:
     """uint8[N] TCP flag bytes (FIN=0x01, SYN=0x02, RST=0x04, ...) where
     readable, else 0 — the FIN/RST observation hook for flow-stream
     eviction.  Best-effort by design: a capture too shallow to show the
     flags byte simply reports 0 (no flags seen), it does not raise —
     eviction is a resource policy, not a correctness input."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = _l2_base(pcap.linktype)
+    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
-    _, iplen = _ip_geometry(pcap, ipv6)
+    _, iplen = _ip_geometry(pcap, ipv6, vlan)
     readable = cap >= l2 + iplen + 14
     flags = np.zeros(n, np.uint8)
     if len(buf):
@@ -305,6 +296,7 @@ def extract_flows(
     pad_flows_to: int = 8,
     reorder: bool = False,
     ipv6: bool = False,
+    vlan: bool = False,
 ) -> FlowBatch:
     """Group packets into flows and concatenate payloads in capture order.
 
@@ -314,7 +306,7 @@ def extract_flows(
     and count zero)."""
     if reorder and mode != "tcp":
         raise ValueError("reorder=True applies to TCP flows only")
-    valid, keys, off, ln = flow_keys(pcap, mode, ipv6=ipv6)
+    valid, keys, off, ln = flow_keys(pcap, mode, ipv6=ipv6, vlan=vlan)
     n = valid.shape[0]
     flow_of_packet = np.full(n, -1, np.int64)
     vidx = np.flatnonzero(valid)
@@ -362,7 +354,7 @@ def extract_flows(
         # trim retransmitted/overlapping bytes (first bytes win) — the
         # capture-order default silently produces wrong stream bytes on
         # real captures that reorder or retransmit (VERDICT r4 weak #3).
-        seqs = tcp_seqs(pcap, valid, ipv6=ipv6)
+        seqs = tcp_seqs(pcap, valid, ipv6=ipv6, vlan=vlan)
         order2, trim, keep = reorder_plan(f_nz, seqs[pkt_nz], len_nz)
         f_s = f_nz[order2]
         len_s = keep

@@ -80,6 +80,7 @@ def synth_tcp_flows_pcap(
     reorder_seed: Optional[int] = None,
     retransmit_rate: float = 0.0,
     overlap_rate: float = 0.0,
+    vlan_rate: float = 0.0,
 ) -> int:
     """Write a capture of TCP flows with controlled segmentation.
 
@@ -104,7 +105,10 @@ def synth_tcp_flows_pcap(
       first-bytes-win trimming);
     - ``overlap_rate``: emit a segment with a tail of its predecessor
       prepended and seq rewound by that much (overlapping retransmit —
-      trimmed to its new bytes)."""
+      trimmed to its new bytes);
+    - ``vlan_rate``: independently wrap each flow frame in an 802.1Q tag
+      (~1 in 4 of the tagged frames gets an 802.1ad+802.1Q QinQ pair) —
+      the ``--flows --vlan`` test wire; noise packets stay untagged."""
     from multithreading_string_matching_tpu.io.pcap import classic_global_header
 
     rng = np.random.default_rng(seed)
@@ -149,7 +153,10 @@ def synth_tcp_flows_pcap(
             np.random.default_rng(reorder_seed + fi).shuffle(emit)
         mk = _eth_ipv6_tcp if ":" in str(key[0]) else _eth_ipv4_tcp
         for sq, seg in emit:
-            frames.append((fi, mk(seg, key, sq)))
+            fr = mk(seg, key, sq)
+            if vlan_rate > 0 and rng.random() < vlan_rate:
+                fr = _vlan_wrap(fr, rng, double=rng.random() < 0.25)
+            frames.append((fi, fr))
     if interleave_seed is not None:
         # Shuffle WHICH flow emits at each slot, then emit each flow's
         # segments in order — random cross-flow interleaving that preserves
@@ -176,6 +183,17 @@ def synth_tcp_flows_pcap(
             f.write(struct.pack("<IIII", i, 0, len(pkt), len(pkt)))
             f.write(pkt)
     return total
+
+
+def _vlan_wrap(frame: bytes, rng, *, double: bool) -> bytes:
+    """Insert one 802.1Q tag — or an 802.1ad outer + 802.1Q inner QinQ
+    pair — after the Ethernet addresses, preserving the original
+    ethertype (the layout io.decode's tag walk skips)."""
+    tags = b"\x81\x00" + int(rng.integers(1, 4095)).to_bytes(2, "big")
+    if double:
+        tags = (b"\x88\xa8" + int(rng.integers(1, 4095)).to_bytes(2, "big")
+                + tags)
+    return frame[:12] + tags + frame[12:]
 
 
 def _ip4(s) -> bytes:

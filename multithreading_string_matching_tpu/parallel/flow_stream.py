@@ -54,6 +54,7 @@ class FlowStreamMatcher:
         mesh=None,
         reorder: bool = False,
         ipv6: bool = False,
+        vlan: bool = False,
         max_flows: Optional[int] = None,
         idle_rounds: Optional[int] = None,
         fin_evict: bool = False,
@@ -80,6 +81,10 @@ class FlowStreamMatcher:
         # (io.flows.flow_keys) so v4 and v6 conversations stream side by
         # side; evict()/save()/load() keys are in the same space.
         self.ipv6 = ipv6
+        # vlan=True skips up to two stacked 802.1Q/802.1ad tags per packet
+        # on every header read (keys, seqs, flags) — per-packet l2 shifts
+        # via io.decode's own tag walk; the VLAN ID is not part of the key.
+        self.vlan = vlan
         if engine not in ("ac", "window"):
             # Only these two have carried-state forms: the AC DFA carries
             # one int per flow; the window engine carries an (max_len - 1)-
@@ -159,16 +164,17 @@ class FlowStreamMatcher:
         (capture order — the same reassembly contract as io.flows; with
         ``reorder`` the segment's TCP seq rides along and ordering happens
         at scan time)."""
-        valid, keys, off, ln = flow_keys(pcap, self.mode, ipv6=self.ipv6)
+        valid, keys, off, ln = flow_keys(pcap, self.mode, ipv6=self.ipv6,
+                                         vlan=self.vlan)
         seqs = flags = None
         if self.reorder:
             from multithreading_string_matching_tpu.io.flows import tcp_seqs
 
-            seqs = tcp_seqs(pcap, valid, ipv6=self.ipv6)
+            seqs = tcp_seqs(pcap, valid, ipv6=self.ipv6, vlan=self.vlan)
         if self.fin_evict:
             from multithreading_string_matching_tpu.io.flows import tcp_flags
 
-            flags = tcp_flags(pcap, ipv6=self.ipv6)
+            flags = tcp_flags(pcap, ipv6=self.ipv6, vlan=self.vlan)
         buf = pcap.buf
         for pkt in np.flatnonzero(valid):
             n = int(ln[pkt])
@@ -623,7 +629,8 @@ class FlowStreamMatcher:
             "engine": np.array(self.engine),
             "mode": np.array(self.mode),
             "flags": np.array(
-                [int(self.reorder), int(self.ipv6)], np.int64
+                [int(self.reorder), int(self.ipv6), int(self.vlan)],
+                np.int64,
             ),
             "counts": self._counts,
             "counters": np.array(
@@ -701,9 +708,11 @@ class FlowStreamMatcher:
                 f"{self.engine}/{self.mode})"
             )
         fl = data["flags"].tolist()
-        if fl != [int(self.reorder), int(self.ipv6)]:
+        if len(fl) == 2:
+            fl.append(0)  # pre-vlan checkpoints (round 5 early) = vlan off
+        if fl != [int(self.reorder), int(self.ipv6), int(self.vlan)]:
             raise ValueError(
-                "checkpoint reorder/ipv6 configuration does not match"
+                "checkpoint reorder/ipv6/vlan configuration does not match"
             )
         self._dev_counts = None
         self._dev_pos = 0

@@ -142,6 +142,6 @@ def test_cli_flows_ipv6(tmp_path):
     # --stream composes too.
     streamed = run("--ipv6", "--stream")
     assert json.loads(streamed.stdout)["counts"] == [1, 2]
-    # --vlan still errors (keys would need per-packet l2 shifts).
-    bad = run("--vlan")
-    assert bad.returncode != 0 and "--vlan" in bad.stderr
+    # --vlan composes (per-packet l2 shifts; untagged capture = no-op).
+    tagged = run("--ipv6", "--vlan")
+    assert json.loads(tagged.stdout)["counts"] == [1, 2]
