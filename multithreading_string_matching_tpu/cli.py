@@ -546,10 +546,10 @@ def _run_match(a, cfg, pcap_paths) -> int:
                          "path reads the capture in one pass)")
     if a.host_workers < 0:
         raise SystemExit("--host-workers must be >= 0")
-    if cfg.flows and (cfg.per_packet or a.dump_matches or a.sharded):
+    if cfg.flows and (cfg.per_packet or a.dump_matches):
         raise SystemExit(
-            "--flows composes with --stream and --offsets only: drop "
-            "--per-packet/--dump-matches/--sharded (per-flow rows ARE the "
+            "--flows composes with --stream/--offsets/--sharded only: drop "
+            "--per-packet/--dump-matches (per-flow rows ARE the "
             "packet-free attribution unit)"
         )
     if cfg.reorder and not cfg.flows:
@@ -585,9 +585,17 @@ def _run_match(a, cfg, pcap_paths) -> int:
             fse = "window"
         else:
             fse = "ac"
+        if a.sharded and a.shard_axis in ("patterns", "both"):
+            # auto resolves to the lane axis here; only an EXPLICIT
+            # pattern-axis request errors (per-flow carried state pins
+            # each lane to its shard — the pattern axis cannot shard it).
+            raise SystemExit(
+                "--flows --stream shards the flow-lane axis only: drop "
+                "--shard-axis or use --shard-axis packets"
+            )
         fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse,
                                reorder=cfg.reorder, ipv6=a.ipv6,
-                               vlan=a.vlan)
+                               vlan=a.vlan, sharded=a.sharded)
         with timer.phase("scan"):
             for path in pcap_paths:
                 for chunk in iter_pcap(path, batch_packets=8192):
@@ -620,7 +628,78 @@ def _run_match(a, cfg, pcap_paths) -> int:
                                ipv6=a.ipv6, vlan=a.vlan)
         with timer.phase("scan"):
             flow_rows = None
-            if a.offsets:
+            if a.sharded and fb.num_flows == 0:
+                # shard_batch needs at least one row; an empty capture's
+                # answer is known anyway.
+                counts = np.zeros(len(matcher.patterns), np.int64)
+                if a.offsets:
+                    flow_rows = np.zeros((0, 3), np.int64)
+            elif a.sharded and a.offsets:
+                # Sharded flow attribution mirrors the packet path's rule:
+                # ONE summary pass on the mesh (unique totals + hit-flow
+                # flags reduced on device), then positions from the sparse
+                # HIT flows only — never an unsharded full re-scan.
+                eng = matcher._resolve_engine(cfg.engine)
+                row_eng = "pallas" if eng == "pallas" else "window"
+                if shard_axis in ("patterns", "both"):
+                    from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                        count_rows_summary_pattern_sharded,
+                        resolve_shard_mesh,
+                    )
+
+                    tot, hits = count_rows_summary_pattern_sharded(
+                        matcher, fb.payloads, fb.lengths,
+                        resolve_shard_mesh(shard_axis), engine=row_eng,
+                    )
+                else:
+                    from multithreading_string_matching_tpu.parallel.mesh import (
+                        count_rows_summary,
+                        make_mesh,
+                    )
+
+                    tot, hits = count_rows_summary(
+                        matcher, fb.payloads, fb.lengths, make_mesh(),
+                        engine=row_eng,
+                    )
+                counts = _exact_counts(tot[matcher.window.dup_map])
+                hit = np.flatnonzero(hits)
+                hit = hit[hit < fb.num_flows]  # padding rows cannot hit
+                flow_rows = np.asarray(matcher.find_matches(
+                    fb.payloads[hit], fb.lengths[hit]
+                ))
+                if flow_rows.size:
+                    flow_rows = flow_rows.copy()
+                    flow_rows[:, 0] = hit[flow_rows[:, 0]]
+            elif a.sharded:
+                if shard_axis in ("patterns", "both"):
+                    from multithreading_string_matching_tpu.parallel.pattern_shard import (
+                        count_matches_pattern_sharded,
+                        resolve_shard_mesh,
+                    )
+
+                    counts = count_matches_pattern_sharded(
+                        matcher, fb.payloads, fb.lengths,
+                        resolve_shard_mesh(shard_axis), engine=cfg.engine,
+                    )
+                else:
+                    from multithreading_string_matching_tpu.parallel.mesh import (
+                        count_matches_sharded,
+                        make_mesh,
+                    )
+
+                    eng = matcher._resolve_engine(cfg.engine)
+                    if eng == "kmp":
+                        eng = "ac"
+                    counts = count_matches_sharded(
+                        matcher.cac, matcher._maybe_fold(fb.payloads),
+                        fb.lengths, make_mesh(),
+                        dup_map=(matcher.ac.dup_map if eng == "ac"
+                                 else matcher.window.dup_map),
+                        engine=eng, window=matcher.window,
+                        pallas_matcher=(matcher.pallas if eng == "pallas"
+                                        else None),
+                    )
+            elif a.offsets:
                 # One find_matches pass serves counts AND positions (the
                 # same one-scan rule as the packet path); positions are
                 # byte offsets INTO THE REASSEMBLED STREAM, with the flow
@@ -640,7 +719,10 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 "packets": fb.num_packets,
                 "stream_bytes": fb.total_payload_bytes,
                 "phases": timer.phases,
-                "execution": _execution_blob(matcher, False),
+                "execution": _execution_blob(
+                    matcher, a.sharded, attribution=a.offsets,
+                    shard_axis=shard_axis if a.sharded else None,
+                ),
             }
             if flow_rows is not None:
                 # Each offset row carries the CAPTURE PACKET whose segment
