@@ -147,6 +147,9 @@ def _flow_case(pats, texts, crng):
                 f"(ipv6={ipv6} pathological={pathological} vlan={vlan})"
             )
         fse = "window" if crng.random() < 0.4 else "ac"
+        # Streamed attribution fuzzed on the window engine: triples must
+        # equal the one-shot find_matches AND bincount to the counts.
+        offsets_on = fse == "window" and bool(crng.random() < 0.7)
         mk_fs = lambda: FlowStreamMatcher(
             Matcher(pats, engine="ac"), "tcp", engine=fse,
             # Pathological captures need the whole capture in ONE scan
@@ -156,6 +159,7 @@ def _flow_case(pats, texts, crng):
             else int(crng.integers(1, 64)),
             width=int(crng.choice([8, 32, 128])), min_lanes=8,
             reorder=pathological, ipv6=ipv6, vlan=vlan,
+            collect_offsets=offsets_on,
         )
         fs = mk_fs()
         step = int(crng.integers(1, 6))
@@ -176,6 +180,33 @@ def _flow_case(pats, texts, crng):
                 f"stream got={fs.counts().tolist()} want={want} "
                 f"(ipv6={ipv6} pathological={pathological} vlan={vlan} engine={fse})"
             )
+        if offsets_on:
+            from multithreading_string_matching_tpu.io.flows import (
+                key_tuple_bytes,
+            )
+
+            hits = fs.drain_offsets()
+            bc = np.bincount(
+                [u for _, _, u in hits],
+                minlength=len(m.window.unique_patterns),
+            )[m.window.dup_map]
+            rows = (
+                np.asarray(m.find_matches(fb.payloads, fb.lengths))
+                if fb.num_flows else np.zeros((0, 3), np.int64)
+            )
+            want_tr = sorted(
+                (fb.key_tuple(int(f)), int(i), int(u)) for f, i, u in rows
+            )
+            got_tr = sorted(
+                (key_tuple_bytes(k), int(o), int(u)) for k, o, u in hits
+            )
+            if got_tr != want_tr or bc.tolist() != want:
+                return False, (
+                    f"stream offsets diverge: got={got_tr[:8]} "
+                    f"want={want_tr[:8]} bincount={bc.tolist()} "
+                    f"counts_want={want} (ipv6={ipv6} "
+                    f"pathological={pathological} vlan={vlan})"
+                )
     return True, ""
 
 

@@ -560,9 +560,6 @@ def _run_match(a, cfg, pcap_paths) -> int:
         # Bounded-memory flow serving: iter_pcap chunks feed the per-flow
         # carried-DFA stream matcher; pending bytes bounded by scan_bytes,
         # one int32 state per idle flow (parallel/flow_stream.py).
-        if a.offsets:
-            raise SystemExit("--flows --stream is counts-only (positions "
-                             "need the reassembled rows: drop --stream)")
         from multithreading_string_matching_tpu.io.pcap import iter_pcap
         from multithreading_string_matching_tpu.parallel.flow_stream import (
             FlowStreamMatcher,
@@ -585,6 +582,14 @@ def _run_match(a, cfg, pcap_paths) -> int:
             fse = "window"
         else:
             fse = "ac"
+        if a.offsets:
+            # Streamed attribution needs the per-flow byte tail only the
+            # window layout carries (the per-round find pass reads it);
+            # counts are engine-identical, so the remap is free.
+            if a.sharded:
+                raise SystemExit("--flows --stream --offsets does not "
+                                 "compose with --sharded yet")
+            fse = "window"
         if a.sharded and a.shard_axis in ("patterns", "both"):
             # auto resolves to the lane axis here; only an EXPLICIT
             # pattern-axis request errors (per-flow carried state pins
@@ -595,17 +600,19 @@ def _run_match(a, cfg, pcap_paths) -> int:
             )
         fs = FlowStreamMatcher(matcher, cfg.mode, engine=fse,
                                reorder=cfg.reorder, ipv6=a.ipv6,
-                               vlan=a.vlan, sharded=a.sharded)
+                               vlan=a.vlan, sharded=a.sharded,
+                               collect_offsets=a.offsets)
         with timer.phase("scan"):
             for path in pcap_paths:
                 for chunk in iter_pcap(path, batch_packets=8192):
                     fs.feed_pcap_slice(chunk)
             fs.flush()
         counts = fs.counts()
+        hits = fs.drain_offsets() if a.offsets else None
         if a.json:
             import json
 
-            print(json.dumps({
+            blob = {
                 "patterns": [pt.decode("latin-1") for pt in matcher.patterns],
                 "counts": counts.tolist(),
                 "flows": fs.flows_seen,
@@ -613,9 +620,36 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 "stream_bytes": fs.bytes_seen,
                 "phases": timer.phases,
                 "execution": _execution_blob(matcher, False, actual=fse),
-            }))
+            }
+            if hits is not None:
+                # Streamed attribution: keys ride inline (the flow set is
+                # unbounded, there is no index table); offsets are byte
+                # positions in the flow's REASSEMBLED stream.
+                from multithreading_string_matching_tpu.io.flows import (
+                    key_tuple_bytes,
+                )
+
+                blob["offsets"] = [
+                    [*key_tuple_bytes(k), int(o), int(u)]
+                    for k, o, u in hits
+                ]
+                blob["unique_patterns"] = [
+                    pt.decode("latin-1")
+                    for pt in matcher.window.unique_patterns
+                ]
+            print(json.dumps(blob))
         else:
             _report(matcher, _exact_counts(counts), timer.total)
+            if hits is not None:
+                from multithreading_string_matching_tpu.io.flows import (
+                    key_tuple_bytes,
+                )
+
+                uniq = matcher.window.unique_patterns
+                for k, o, u in hits:
+                    src, dst, sp, dp = key_tuple_bytes(k)
+                    print(f"flow {src}:{sp}->{dst}:{dp} @ {o}: "
+                          f"{uniq[u].decode('latin-1')}")
         return 0
     if cfg.flows:
         from multithreading_string_matching_tpu.io.flows import extract_flows

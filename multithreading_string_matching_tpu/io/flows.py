@@ -74,35 +74,45 @@ class FlowBatch:
         """(src_ip, dst_ip, sport, dport) as address strings + ints —
         dotted-quad for v4, RFC-5952-ish colon-hex for v6 (37-byte
         version-tagged keys from ``flow_keys(ipv6=True)``)."""
-        k = self.keys[f]
-        if k.shape[0] == V6_KEY_BYTES:
-            ver = int(k[0])
-            if ver == 6:
-                def v6s(a):
-                    return ":".join(
-                        f"{int(a[i]) << 8 | int(a[i + 1]):x}"
-                        for i in range(0, 16, 2)
-                    )
-
-                src, dst = v6s(k[1:17]), v6s(k[17:33])
-            else:
-                src = ".".join(str(int(b)) for b in k[1:5])
-                dst = ".".join(str(int(b)) for b in k[17:21])
-            return (
-                src, dst,
-                int(k[33]) << 8 | int(k[34]),
-                int(k[35]) << 8 | int(k[36]),
-            )
-        return (
-            ".".join(str(int(b)) for b in k[0:4]),
-            ".".join(str(int(b)) for b in k[4:8]),
-            int(k[8]) << 8 | int(k[9]),
-            int(k[10]) << 8 | int(k[11]),
-        )
+        return key_tuple_bytes(self.keys[f])
 
 
 V4_KEY_BYTES = 12   # src4 | dst4 | sport | dport (the compat key)
 V6_KEY_BYTES = 37   # version | src16 | dst16 | sport | dport
+
+
+def key_tuple_bytes(k):
+    """(src_ip, dst_ip, sport, dport) rendered from one raw flow-key row
+    (``bytes`` or a uint8 array) — either of ``flow_keys``' two key
+    spaces, told apart by width.  Shared by ``FlowBatch.key_tuple`` and
+    the streamed offset reporting (which holds raw key bytes, not a
+    batch)."""
+    if not isinstance(k, np.ndarray):
+        k = np.frombuffer(bytes(k), np.uint8)
+    if k.shape[0] == V6_KEY_BYTES:
+        ver = int(k[0])
+        if ver == 6:
+            def v6s(a):
+                return ":".join(
+                    f"{int(a[i]) << 8 | int(a[i + 1]):x}"
+                    for i in range(0, 16, 2)
+                )
+
+            src, dst = v6s(k[1:17]), v6s(k[17:33])
+        else:
+            src = ".".join(str(int(b)) for b in k[1:5])
+            dst = ".".join(str(int(b)) for b in k[17:21])
+        return (
+            src, dst,
+            int(k[33]) << 8 | int(k[34]),
+            int(k[35]) << 8 | int(k[36]),
+        )
+    return (
+        ".".join(str(int(b)) for b in k[0:4]),
+        ".".join(str(int(b)) for b in k[4:8]),
+        int(k[8]) << 8 | int(k[9]),
+        int(k[10]) << 8 | int(k[11]),
+    )
 
 
 def _ip_geometry(pcap: PcapFile, ipv6: bool, vlan: bool = False):

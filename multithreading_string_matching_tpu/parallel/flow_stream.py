@@ -58,6 +58,7 @@ class FlowStreamMatcher:
         max_flows: Optional[int] = None,
         idle_rounds: Optional[int] = None,
         fin_evict: bool = False,
+        collect_offsets: bool = False,
     ):
         self.matcher = matcher
         if mode not in ("udp", "tcp"):
@@ -152,6 +153,29 @@ class FlowStreamMatcher:
         self._last_active: dict = {} # key -> round index of last fed bytes
         self._closing: set = set()   # FIN/RST-observed keys
         self.flows_evicted = 0
+        # Streamed attribution (round-5 continuation): each scan round
+        # ALSO runs one find_matches pass over [tail | new bytes] rows and
+        # keeps (key, stream_offset, unique_pattern) triples for matches
+        # whose END falls in the new bytes — the same (min_start, min_end)
+        # algebra the halo count kernel uses, so the triples bincount to
+        # exactly the round's count delta.  Offsets are byte positions in
+        # the flow's REASSEMBLED stream (reorder included); an evicted
+        # flow that reappears restarts at 0, matching revival semantics.
+        # Window engine only: the find pass needs the byte tail that only
+        # the window layout carries.
+        if collect_offsets and engine != "window":
+            raise ValueError(
+                "collect_offsets=True needs engine='window' (the find "
+                "pass reads the per-flow byte tail)"
+            )
+        if collect_offsets and sharded:
+            raise ValueError(
+                "collect_offsets=True does not compose with sharded=True "
+                "yet (the find pass runs on the default device)"
+            )
+        self.collect_offsets = collect_offsets
+        self._flow_base: dict = {}   # key -> stream bytes already scanned
+        self._offsets: list = []     # undrained (key, offset, unique) hits
 
     @property
     def flows_seen(self) -> int:
@@ -283,6 +307,65 @@ class FlowStreamMatcher:
             )
             drop(by_age[: len(self._states) - self.max_flows])
 
+    # Find-pass column stride (new bytes per slice): bounds the offsets
+    # matrix for skewed rounds; H context columns overlap between slices.
+    OFFSET_CHUNK = 1 << 20
+
+    def _collect_round_offsets(self, flows) -> None:
+        """One find_matches pass over ``[tail | new bytes]`` rows, keeping
+        matches whose END falls in the new bytes and whose START is at or
+        past the fabricated-zero boundary — the count kernels' own
+        (min_start, min_end) algebra, so the kept triples bincount to
+        exactly this round's count delta.  Offsets are positions in the
+        flow's reassembled stream (``base + row_start - H``)."""
+        if not flows:
+            return
+        wp = self.matcher.window
+        H = max(int(wp.max_len) - 1, 1)
+        S = self.OFFSET_CHUNK
+        ulens = np.array([len(p) for p in wp.unique_patterns], np.int64)
+        rows_src = []
+        fills = np.zeros(len(flows), np.int64)
+        for i, k in enumerate(flows):
+            tail, fl = self._states.get(k, (b"", 0))
+            # Stored tails hold exactly ``fl`` real bytes; fabricated
+            # zeros pad the context to a fixed H columns (min_start drops
+            # anything starting inside them).
+            rows_src.append(b"\x00" * (H - fl) + bytes(tail) + bytes(self._pending[k]))
+            fills[i] = fl
+        longest_new = max(len(r) - H for r in rows_src)
+        for c in range(0, longest_new, S):
+            sl = [r[c : c + H + S] for r in rows_src]
+            lens = np.array([len(s) for s in sl], np.int32)
+            # Rows already exhausted contribute nothing (length <= H
+            # cannot satisfy end > H).
+            L = int(lens.max())
+            mat = np.zeros((len(sl), L), np.uint8)
+            for i, s in enumerate(sl):
+                mat[i, : len(s)] = np.frombuffer(s, np.uint8)
+            rows = np.asarray(self.matcher.find_matches(mat, lens))
+            for fi, st, u in rows:
+                fi, st, u = int(fi), int(st), int(u)
+                min_start = (H - int(fills[fi])) if c == 0 else 0
+                if st < min_start or st + int(ulens[u]) <= H:
+                    continue
+                base = self._flow_base.get(flows[fi], 0)
+                self._offsets.append((flows[fi], base + c + st - H, u))
+        for k in flows:
+            self._flow_base[k] = (
+                self._flow_base.get(k, 0) + len(self._pending[k])
+            )
+
+    def drain_offsets(self):
+        """Return (and clear) the accumulated ``(key_bytes, stream_offset,
+        unique_pattern_idx)`` triples — ``collect_offsets=True`` mode's
+        output.  Offsets index the flow's reassembled stream; render keys
+        with :func:`io.flows.key_tuple_bytes`, pattern bytes live in
+        ``matcher.window.unique_patterns``."""
+        out = self._offsets
+        self._offsets = []
+        return out
+
     def _scan_impl(self) -> None:
         if not self._pending_bytes:
             self._pending.clear()
@@ -293,6 +376,10 @@ class FlowStreamMatcher:
                 self._pending.clear()
                 return
         flows = [k for k, b in self._pending.items() if b]
+        if self.collect_offsets:
+            # BEFORE any tail/pending mutation: the find pass reads the
+            # pre-round tails next to the pending bytes.
+            self._collect_round_offsets(flows)
         F = _pow2(len(flows), self.min_lanes)
         # The sharded scan splits the lane axis over the mesh: round lanes
         # up to a device-count multiple (a non-pow2 min_lanes or device
@@ -629,7 +716,8 @@ class FlowStreamMatcher:
             "engine": np.array(self.engine),
             "mode": np.array(self.mode),
             "flags": np.array(
-                [int(self.reorder), int(self.ipv6), int(self.vlan)],
+                [int(self.reorder), int(self.ipv6), int(self.vlan),
+                 int(self.collect_offsets)],
                 np.int64,
             ),
             "counts": self._counts,
@@ -684,6 +772,16 @@ class FlowStreamMatcher:
         data["active_keys"] = key_rows([k for k, _ in la])
         data["active_rounds"] = np.array([r for _, r in la], np.int64)
         data["closing_keys"] = key_rows(sorted(self._closing))
+        if self.collect_offsets:
+            bk = list(self._flow_base)
+            data["base_keys"] = key_rows(bk)
+            data["base_vals"] = np.array(
+                [self._flow_base[k] for k in bk], np.int64
+            )
+            data["off_keys"] = key_rows([k for k, _, _ in self._offsets])
+            data["off_vals"] = np.array(
+                [(o, u) for _, o, u in self._offsets], np.int64
+            ).reshape(-1, 2)
         np.savez(path, **data)
         path = str(path)
         return path if path.endswith(".npz") else path + ".npz"
@@ -708,11 +806,13 @@ class FlowStreamMatcher:
                 f"{self.engine}/{self.mode})"
             )
         fl = data["flags"].tolist()
-        if len(fl) == 2:
-            fl.append(0)  # pre-vlan checkpoints (round 5 early) = vlan off
-        if fl != [int(self.reorder), int(self.ipv6), int(self.vlan)]:
+        while len(fl) < 4:  # pre-vlan / pre-offsets checkpoints = off
+            fl.append(0)
+        if fl != [int(self.reorder), int(self.ipv6), int(self.vlan),
+                  int(self.collect_offsets)]:
             raise ValueError(
-                "checkpoint reorder/ipv6/vlan configuration does not match"
+                "checkpoint reorder/ipv6/vlan/offsets configuration does "
+                "not match"
             )
         self._dev_counts = None
         self._dev_pos = 0
@@ -755,6 +855,17 @@ class FlowStreamMatcher:
             for r, v in zip(data["active_keys"], data["active_rounds"])
         }
         self._closing = {bytes(r) for r in data["closing_keys"]}
+        self._flow_base = {}
+        self._offsets = []
+        if self.collect_offsets:
+            self._flow_base = {
+                bytes(r): int(v)
+                for r, v in zip(data["base_keys"], data["base_vals"])
+            }
+            self._offsets = [
+                (bytes(r), int(o), int(u))
+                for r, (o, u) in zip(data["off_keys"], data["off_vals"])
+            ]
 
     def evict(self, keys) -> None:
         """Drop carried state (and pending bytes) for the given flow keys
@@ -763,6 +874,9 @@ class FlowStreamMatcher:
             self._states.pop(k, None)
             self._flow_reorder.pop(k, None)
             self._last_active.pop(k, None)
+            # A re-appearing evicted flow restarts at stream offset 0 —
+            # the same revival semantics the scan state has.
+            self._flow_base.pop(k, None)
             b = self._pending.pop(k, None)
             if b:
                 self._pending_bytes -= (
