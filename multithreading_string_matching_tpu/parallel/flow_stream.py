@@ -867,6 +867,47 @@ class FlowStreamMatcher:
                 for r, (o, u) in zip(data["off_keys"], data["off_vals"])
             ]
 
+    def reload(self, matcher) -> np.ndarray:
+        """Swap the pattern set mid-stream — the rule-update shape for the
+        long-running flow monitor (StreamMatcher.reload's flow flavor).
+
+        Scans everything pending under the CURRENT rules (one final
+        round), returns the old set's final counts, then re-arms for
+        ``matcher``: counts reset; tracked flows, eviction bookkeeping,
+        reorder coverage, and stream bases all persist.  Engine state
+        across the swap:
+
+        - window: per-flow byte tails carry over TRIMMED to the new
+          ``max_len - 1`` — a match spanning the swap boundary is still
+          found as long as it fits the SHORTER of the two halos;
+        - ac: DFA states cannot map between automata and restart at 0 —
+          a match already in progress at the boundary is missed (the
+          flow-stream analogue of StreamMatcher.reload's packet-boundary
+          contract).
+
+        With ``collect_offsets``, undrained triples index the OLD pattern
+        set; reload refuses to mix the spaces — ``drain_offsets()`` after
+        the final scan (the raise happens after an ordinary flush, the
+        stream stays usable)."""
+        self.flush()
+        if self.collect_offsets and self._offsets:
+            raise ValueError(
+                "undrained offsets from the old rule set: call "
+                "drain_offsets() before reload()"
+            )
+        final = self.counts()
+        self.matcher = matcher
+        self._counts = np.zeros(len(matcher.patterns), np.int64)
+        if self.engine == "window":
+            H = max(int(matcher.window.max_len) - 1, 1)
+            self._states = {
+                k: (tail[-H:], min(fl, H))
+                for k, (tail, fl) in self._states.items()
+            }
+        else:
+            self._states = {k: 0 for k in self._states}
+        return final
+
     def evict(self, keys) -> None:
         """Drop carried state (and pending bytes) for the given flow keys
         (12-byte ``bytes`` values) — the hook for idle/FIN eviction."""
