@@ -602,11 +602,67 @@ def _run_match(a, cfg, pcap_paths) -> int:
                                reorder=cfg.reorder, ipv6=a.ipv6,
                                vlan=a.vlan, sharded=a.sharded,
                                collect_offsets=a.offsets)
-        with timer.phase("scan"):
-            for path in pcap_paths:
-                for chunk in iter_pcap(path, batch_packets=8192):
-                    fs.feed_pcap_slice(chunk)
-            fs.flush()
+        # SIGHUP = reload the rules file without dropping the stream (the
+        # daemon idiom, same as the live subcommand; `--pcap - --stream
+        # --flows` behind a tcpdump pipe IS the flow-monitor daemon).
+        # Counts-only mode: with --offsets the old and new pattern index
+        # spaces cannot share one report, so the handler stays default.
+        import signal as _signal
+
+        reload_flag = {"hup": False}
+        old_hup = None
+        if hasattr(_signal, "SIGHUP") and not a.offsets:
+            old_hup = _signal.signal(
+                _signal.SIGHUP,
+                lambda s, f: reload_flag.__setitem__("hup", True),
+            )
+        # Chunk granularity = the reload/feed latency on a pipe: iter_pcap
+        # yields only on a full batch or EOF, so a daemon that wants
+        # responsive SIGHUP swaps on a slow tap lowers MSM_FLOW_BATCH
+        # (scan rounds are still gated by scan_bytes, not batch size).
+        import os
+
+        flow_batch = int(os.environ.get("MSM_FLOW_BATCH", "8192"))
+        try:
+            with timer.phase("scan"):
+                for path in pcap_paths:
+                    for chunk in iter_pcap(path, batch_packets=flow_batch):
+                        if reload_flag["hup"]:
+                            reload_flag["hup"] = False
+                            try:
+                                new_matcher = _build(
+                                    cfg.patterns, engine=cfg.engine,
+                                    nocase=a.nocase,
+                                    syntax=a.pattern_syntax,
+                                    bucketed=cfg.bucketed,
+                                )
+                                prev = fs.reload(new_matcher)
+                            except Exception as e:  # keep the old rules
+                                print(
+                                    "# rules reload failed, keeping old "
+                                    f"set: {e}", file=sys.stderr,
+                                )
+                            else:
+                                from multithreading_string_matching_tpu.utils.report import (
+                                    format_report,
+                                )
+
+                                print(
+                                    "# rules reloaded; counts under the "
+                                    "previous set:", file=sys.stderr,
+                                )
+                                print(
+                                    format_report(
+                                        matcher.patterns, prev, None
+                                    ),
+                                    file=sys.stderr,
+                                )
+                                matcher = new_matcher
+                        fs.feed_pcap_slice(chunk)
+                fs.flush()
+        finally:
+            if old_hup is not None:
+                _signal.signal(_signal.SIGHUP, old_hup)
         counts = fs.counts()
         hits = fs.drain_offsets() if a.offsets else None
         if a.json:
