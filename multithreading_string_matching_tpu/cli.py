@@ -546,11 +546,15 @@ def _run_match(a, cfg, pcap_paths) -> int:
                          "path reads the capture in one pass)")
     if a.host_workers < 0:
         raise SystemExit("--host-workers must be >= 0")
-    if cfg.flows and (cfg.per_packet or a.dump_matches):
+    if cfg.flows and cfg.per_packet:
         raise SystemExit(
-            "--flows composes with --stream/--offsets/--sharded only: drop "
-            "--per-packet/--dump-matches (per-flow rows ARE the "
-            "packet-free attribution unit)"
+            "--flows does not compose with --per-packet (per-flow rows "
+            "ARE the attribution unit; use --offsets for positions)"
+        )
+    if cfg.flows and a.dump_matches and a.stream:
+        raise SystemExit(
+            "--flows --dump-matches is one-shot only (the streamed flow "
+            "monitor does not retain packets): drop --stream"
         )
     if cfg.reorder and not cfg.flows:
         raise SystemExit("--reorder requires --flows")
@@ -718,13 +722,14 @@ def _run_match(a, cfg, pcap_paths) -> int:
                                ipv6=a.ipv6, vlan=a.vlan)
         with timer.phase("scan"):
             flow_rows = None
+            hit_flows = None
             if a.sharded and fb.num_flows == 0:
                 # shard_batch needs at least one row; an empty capture's
                 # answer is known anyway.
                 counts = np.zeros(len(matcher.patterns), np.int64)
                 if a.offsets:
                     flow_rows = np.zeros((0, 3), np.int64)
-            elif a.sharded and a.offsets:
+            elif a.sharded and (a.offsets or a.dump_matches):
                 # Sharded flow attribution mirrors the packet path's rule:
                 # ONE summary pass on the mesh (unique totals + hit-flow
                 # flags reduced on device), then positions from the sparse
@@ -754,12 +759,14 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 counts = _exact_counts(tot[matcher.window.dup_map])
                 hit = np.flatnonzero(hits)
                 hit = hit[hit < fb.num_flows]  # padding rows cannot hit
-                flow_rows = np.asarray(matcher.find_matches(
-                    fb.payloads[hit], fb.lengths[hit]
-                ))
-                if flow_rows.size:
-                    flow_rows = flow_rows.copy()
-                    flow_rows[:, 0] = hit[flow_rows[:, 0]]
+                hit_flows = hit
+                if a.offsets:
+                    flow_rows = np.asarray(matcher.find_matches(
+                        fb.payloads[hit], fb.lengths[hit]
+                    ))
+                    if flow_rows.size:
+                        flow_rows = flow_rows.copy()
+                        flow_rows[:, 0] = hit[flow_rows[:, 0]]
             elif a.sharded:
                 if shard_axis in ("patterns", "both"):
                     from multithreading_string_matching_tpu.parallel.pattern_shard import (
@@ -789,15 +796,34 @@ def _run_match(a, cfg, pcap_paths) -> int:
                         pallas_matcher=(matcher.pallas if eng == "pallas"
                                         else None),
                     )
-            elif a.offsets:
+            elif a.offsets or a.dump_matches:
                 # One find_matches pass serves counts AND positions (the
                 # same one-scan rule as the packet path); positions are
                 # byte offsets INTO THE REASSEMBLED STREAM, with the flow
-                # 5-tuple alongside.
+                # 5-tuple alongside — and the hit-flow set when dumping.
                 flow_rows = matcher.find_matches(fb.payloads, fb.lengths)
                 counts = matcher.counts_from_match_rows(flow_rows)
             else:
                 counts = matcher.count(fb.payloads, fb.lengths)
+        if a.dump_matches:
+            # Forensics shape: re-emit EVERY packet of every hit flow —
+            # the full conversation around each alert, original bytes and
+            # timestamps preserved (non-flow packets and clean flows
+            # stay out).
+            if hit_flows is None:
+                rows_a = np.asarray(flow_rows) if flow_rows is not None \
+                    else np.zeros((0, 3), np.int64)
+                hit_flows = (
+                    np.unique(rows_a[:, 0]) if rows_a.size
+                    else np.zeros(0, np.int64)
+                )
+            hit_b = np.zeros(max(fb.num_flows, 1), bool)
+            hit_b[np.asarray(hit_flows, np.int64)] = True
+            fop = fb.flow_of_packet
+            mask = (fop >= 0) & hit_b[np.clip(fop, 0, hit_b.size - 1)]
+            from multithreading_string_matching_tpu.io.pcap import write_pcap
+
+            write_pcap(a.dump_matches, pcap, mask)
         if a.json:
             import json
 
@@ -814,7 +840,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
                     shard_axis=shard_axis if a.sharded else None,
                 ),
             }
-            if flow_rows is not None:
+            if a.dump_matches:
+                blob["dump_path"] = a.dump_matches
+            if a.offsets and flow_rows is not None:
                 # Each offset row carries the CAPTURE PACKET whose segment
                 # holds the match's first byte — attribution back from the
                 # reassembled stream to the wire (FlowBatch.packet_of_offset).
@@ -832,7 +860,7 @@ def _run_match(a, cfg, pcap_paths) -> int:
             print(json.dumps(blob))
         else:
             _report(matcher, _exact_counts(counts), timer.total)
-            if flow_rows is not None:
+            if a.offsets and flow_rows is not None:
                 uniq = matcher.window.unique_patterns
                 for f, i, u in np.asarray(flow_rows):
                     src, dst, sp, dp = fb.key_tuple(int(f))

@@ -89,3 +89,47 @@ def test_sharded_empty_capture(tmp_path, capsys):
     assert code == 0
     assert got["counts"] == [0] and got["flows"] == 0
     assert got["offsets"] == []
+
+
+def _dump_equal(cap, strings, tmp_path, capsys, *extra):
+    from multithreading_string_matching_tpu.io.flows import extract_flows
+    from multithreading_string_matching_tpu.io.pcap import read_pcap
+
+    out = tmp_path / ("dump_" + "_".join(e.strip("-") for e in extra) or "d")
+    out = out.with_suffix(".pcap")
+    code, got = _run(capsys, cap, strings, "--dump-matches", str(out),
+                     *extra)
+    assert code == 0 and got["counts"] == [1, 3]
+    # The dump holds EXACTLY the hit flows' conversations — every packet
+    # of flows A and B (including segments without matches), none of the
+    # clean flow C.
+    dumped = extract_flows(read_pcap(out), "tcp")
+    assert dumped.num_flows == 2
+    streams = {dumped.key_tuple(f)[2]: dumped.stream(f) for f in range(2)}
+    assert streams[1111] == FLOWS[0][1] and streams[2222] == FLOWS[1][1]
+    return got
+
+
+def test_dump_matches_hit_conversations(capture, tmp_path, capsys):
+    """--flows --dump-matches re-emits the FULL conversation of every hit
+    flow (the forensics shape), unsharded and sharded, with and without
+    --offsets riding the same scan."""
+    cap, strings = capture
+    blob = _dump_equal(cap, strings, tmp_path, capsys)
+    assert blob.get("dump_path", "").endswith(".pcap")
+    assert "offsets" not in blob  # dump alone does not imply offsets
+    with_off = _dump_equal(cap, strings, tmp_path, capsys, "--offsets")
+    assert len(with_off["offsets"]) == 4
+    for axis in ("packets", "patterns"):
+        _dump_equal(cap, strings, tmp_path, capsys, "--sharded",
+                    "--shard-axis", axis)
+
+
+def test_dump_matches_stream_rejected(capture, capsys):
+    cap, strings = capture
+    with pytest.raises(SystemExit, match="one-shot"):
+        main([
+            "match", "--pcap", str(cap), "--patterns", str(strings),
+            "--mode", "tcp", "--flows", "--stream", "--json",
+            "--dump-matches", "x.pcap",
+        ])
