@@ -322,7 +322,11 @@ class FlowStreamMatcher:
             return
         wp = self.matcher.window
         H = max(int(wp.max_len) - 1, 1)
-        S = self.OFFSET_CHUNK
+        # The stride must cover the halo: past the first chunk min_start
+        # is 0 on the assumption that all H context columns are REAL bytes
+        # — true iff c >= S >= H keeps the fabricated-zero region (< H)
+        # strictly below every later chunk's context window.
+        S = max(self.OFFSET_CHUNK, H)
         ulens = np.array([len(p) for p in wp.unique_patterns], np.int64)
         rows_src = []
         fills = np.zeros(len(flows), np.int64)

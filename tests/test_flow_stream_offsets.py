@@ -193,3 +193,35 @@ def test_cli_stream_offsets_equal_oneshot(tmp_path, capsys):
     )
     assert got_set == want_set
     assert got["unique_patterns"] == want["unique_patterns"]
+
+
+def test_offsets_chunked_find(tmp_path, monkeypatch):
+    """Pending larger than OFFSET_CHUNK: the find pass slices columns with
+    H-overlap; triples stay identical to one-shot (each match reported in
+    exactly one slice)."""
+    rng = np.random.default_rng(7)
+    pay = bytes(rng.integers(97, 105, size=4096, dtype=np.uint8))
+    pay = pay[:100] + b"NEEDLE" + pay[100:2000] + b"NEEDLE" + pay[2000:]
+    pcap = _capture(tmp_path, flows=[
+        (("10.0.0.1", "10.0.0.2", 1111, 80), pay, [512] * 9),
+    ])
+    m = Matcher([b"NEEDLE"])
+    monkeypatch.setattr(FlowStreamMatcher, "OFFSET_CHUNK", 256)
+    want = _oneshot(pcap, m)
+    _, got, _ = _streamed(pcap, m, step=3, scan_bytes=1 << 20)
+    assert got == want and len(got) == 2
+
+
+def test_offsets_chunk_smaller_than_halo_clamped(tmp_path, monkeypatch):
+    """OFFSET_CHUNK below the halo width: the stride clamps to H so the
+    c>0 real-context assumption holds (regression for the clamp)."""
+    sig = bytes(range(32, 132))  # a 100-byte pattern, H=99
+    pay = b"z" * 40 + sig + b"z" * 300 + sig + b"z" * 20
+    pcap = _capture(tmp_path, flows=[
+        (("10.0.0.1", "10.0.0.2", 1111, 80), pay, [64] * 9),
+    ])
+    m = Matcher([sig])
+    monkeypatch.setattr(FlowStreamMatcher, "OFFSET_CHUNK", 16)
+    want = _oneshot(pcap, m)
+    _, got, _ = _streamed(pcap, m, step=2, scan_bytes=128)
+    assert got == want and len(got) == 2
