@@ -556,6 +556,14 @@ def _run_match(a, cfg, pcap_paths) -> int:
             "--flows --dump-matches is one-shot only (the streamed flow "
             "monitor does not retain packets): drop --stream"
         )
+    if cfg.flows and a.stream and a.distributed:
+        # A silent single-host run would be worse than the error: per-flow
+        # carried state cannot split across the coordinator's processes.
+        raise SystemExit(
+            "--flows --stream does not compose with --distributed "
+            "(per-flow carried state is single-host; use --sharded for "
+            "multi-device lanes)"
+        )
     if cfg.reorder and not cfg.flows:
         raise SystemExit("--reorder requires --flows")
     if cfg.reorder and cfg.mode != "tcp":
@@ -627,10 +635,48 @@ def _run_match(a, cfg, pcap_paths) -> int:
         import os
 
         flow_batch = int(os.environ.get("MSM_FLOW_BATCH", "8192"))
+        from multithreading_string_matching_tpu.io.flows import (
+            key_tuple_bytes,
+        )
+
+        # Attribution memory model: text mode emits each drained triple
+        # as soon as its scan round completes (bounded — the daemon
+        # shape); --json must hold them for the single final blob, the
+        # same accumulate-for-one-report contract as the packet path's
+        # streamed offsets.
+        hits = [] if a.offsets else None
+        json_hits = a.offsets and a.json
+
+        def _emit_hits():
+            if hits is None:
+                return
+            drained = fs.drain_offsets()
+            if json_hits:
+                hits.extend(drained)
+                return
+            uniq = fs.matcher.window.unique_patterns
+            for k, o, u in drained:
+                src, dst, sp, dp = key_tuple_bytes(k)
+                print(f"flow {src}:{sp}->{dst}:{dp} @ {o}: "
+                      f"{uniq[u].decode('latin-1')}")
+
+        reloads = 0
         try:
             with timer.phase("scan"):
                 for path in pcap_paths:
-                    for chunk in iter_pcap(path, batch_packets=flow_batch):
+                    chunks = iter_pcap(path, batch_packets=flow_batch)
+                    if cfg.host_workers:
+                        # Threaded host stage: the next chunk parses on a
+                        # background thread while this one decodes/feeds
+                        # (ordered — flow reassembly needs capture order).
+                        from multithreading_string_matching_tpu.parallel.host import (
+                            prefetch_iter,
+                        )
+
+                        chunks = prefetch_iter(
+                            iter(chunks), depth=max(2, cfg.host_workers)
+                        )
+                    for chunk in chunks:
                         if reload_flag["hup"]:
                             reload_flag["hup"] = False
                             try:
@@ -647,28 +693,46 @@ def _run_match(a, cfg, pcap_paths) -> int:
                                     f"set: {e}", file=sys.stderr,
                                 )
                             else:
-                                from multithreading_string_matching_tpu.utils.report import (
-                                    format_report,
-                                )
+                                reloads += 1
+                                if a.json:
+                                    import json as _json
 
-                                print(
-                                    "# rules reloaded; counts under the "
-                                    "previous set:", file=sys.stderr,
-                                )
-                                print(
-                                    format_report(
-                                        matcher.patterns, prev, None
-                                    ),
-                                    file=sys.stderr,
-                                )
+                                    # Machine-readable epoch record: the
+                                    # final blob's counts cover only the
+                                    # LAST epoch (reload resets them).
+                                    print(_json.dumps({
+                                        "reload": reloads,
+                                        "patterns": [
+                                            pt.decode("latin-1")
+                                            for pt in matcher.patterns
+                                        ],
+                                        "counts": prev.tolist(),
+                                    }), file=sys.stderr)
+                                else:
+                                    from multithreading_string_matching_tpu.utils.report import (
+                                        format_report,
+                                    )
+
+                                    print(
+                                        "# rules reloaded; counts under "
+                                        "the previous set:",
+                                        file=sys.stderr,
+                                    )
+                                    print(
+                                        format_report(
+                                            matcher.patterns, prev, None
+                                        ),
+                                        file=sys.stderr,
+                                    )
                                 matcher = new_matcher
                         fs.feed_pcap_slice(chunk)
+                        _emit_hits()
                 fs.flush()
+                _emit_hits()
         finally:
             if old_hup is not None:
                 _signal.signal(_signal.SIGHUP, old_hup)
         counts = fs.counts()
-        hits = fs.drain_offsets() if a.offsets else None
         if a.json:
             import json
 
@@ -681,14 +745,14 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 "phases": timer.phases,
                 "execution": _execution_blob(matcher, False, actual=fse),
             }
+            if reloads:
+                # Epoch details went to stderr as JSON lines; the final
+                # counts cover only the last epoch.
+                blob["reloads"] = reloads
             if hits is not None:
                 # Streamed attribution: keys ride inline (the flow set is
                 # unbounded, there is no index table); offsets are byte
                 # positions in the flow's REASSEMBLED stream.
-                from multithreading_string_matching_tpu.io.flows import (
-                    key_tuple_bytes,
-                )
-
                 blob["offsets"] = [
                     [*key_tuple_bytes(k), int(o), int(u)]
                     for k, o, u in hits
@@ -699,17 +763,9 @@ def _run_match(a, cfg, pcap_paths) -> int:
                 ]
             print(json.dumps(blob))
         else:
+            # Text-mode offset triples were emitted incrementally above
+            # (bounded memory for the daemon shape).
             _report(matcher, _exact_counts(counts), timer.total)
-            if hits is not None:
-                from multithreading_string_matching_tpu.io.flows import (
-                    key_tuple_bytes,
-                )
-
-                uniq = matcher.window.unique_patterns
-                for k, o, u in hits:
-                    src, dst, sp, dp = key_tuple_bytes(k)
-                    print(f"flow {src}:{sp}->{dst}:{dp} @ {o}: "
-                          f"{uniq[u].decode('latin-1')}")
         return 0
     if cfg.flows:
         from multithreading_string_matching_tpu.io.flows import extract_flows

@@ -115,10 +115,15 @@ def key_tuple_bytes(k):
     )
 
 
-def _ip_geometry(pcap: PcapFile, ipv6: bool, vlan: bool = False):
-    """(is6 bool[N], iplen int64[N]): per-packet IP version and L3 header
+def _flow_geom(pcap: PcapFile, ipv6: bool, vlan: bool = False):
+    """(l2 int64[N], is6 bool[N], iplen int64[N]): per-packet link-layer
+    size (VLAN tag walk included when ``vlan``), IP version, and L3 header
     length (IHL for v4; the fixed 40-byte base header for v6 — extension-
-    header chains are out of scope, matching io.decode's v6 contract)."""
+    header chains are out of scope, matching io.decode's v6 contract).
+
+    Computed ONCE per batch and passed down: flow_keys/tcp_seqs/tcp_flags
+    all need it, and re-walking the tag chain per call tripled the
+    vectorized host work on the streamed ingest path."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
     l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
@@ -131,11 +136,17 @@ def _ip_geometry(pcap: PcapFile, ipv6: bool, vlan: bool = False):
         )
     is6 = ((vhl >> 4) == 6) if ipv6 else np.zeros(n, bool)
     iplen = np.where(is6, 40, (vhl & 0x0F) * 4)
+    return l2, is6, iplen
+
+
+def _ip_geometry(pcap: PcapFile, ipv6: bool, vlan: bool = False):
+    """Back-compat shim: ``_flow_geom`` without the l2 column."""
+    _, is6, iplen = _flow_geom(pcap, ipv6, vlan)
     return is6, iplen
 
 
 def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False,
-              vlan: bool = False):
+              vlan: bool = False, _geom=None):
     """(valid bool[N], keys uint8[N, KW], payload_off, payload_len) for the
     honest (strict) decode — the key is readable only when the capture
     actually holds the IP addresses and transport ports.
@@ -154,9 +165,10 @@ def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False,
     valid, off, ln = decode_headers(pcap, mode, strict=True, ipv6=ipv6,
                                     vlan=vlan)
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
-    is6, iplen = _ip_geometry(pcap, ipv6, vlan)
+    l2, is6, iplen = _geom if _geom is not None else _flow_geom(
+        pcap, ipv6, vlan
+    )
     # Key bytes must be within the CAPTURED bytes (origlen-valid but
     # caplen-truncated packets have no recoverable key): addresses end at
     # l2+20 (v4) / l2+40 (v6), ports at l2+iplen+4.
@@ -198,7 +210,8 @@ def flow_keys(pcap: PcapFile, mode: str = "tcp", *, ipv6: bool = False,
 
 
 def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
-             ipv6: bool = False, vlan: bool = False) -> np.ndarray:
+             ipv6: bool = False, vlan: bool = False,
+             _geom=None) -> np.ndarray:
     """int64[N] TCP sequence numbers (network order) for the valid rows.
 
     Raises when a VALID segment's capture is too short to hold the 4 seq
@@ -206,9 +219,10 @@ def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
     cannot silently guess an order, so the caller must either capture
     deeper or use capture-order mode."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
-    _, iplen = _ip_geometry(pcap, ipv6, vlan)
+    l2, _, iplen = _geom if _geom is not None else _flow_geom(
+        pcap, ipv6, vlan
+    )
     readable = cap >= l2 + iplen + 8
     if bool((valid & ~readable).any()):
         raise ValueError(
@@ -225,16 +239,17 @@ def tcp_seqs(pcap: PcapFile, valid: np.ndarray, *,
 
 
 def tcp_flags(pcap: PcapFile, *, ipv6: bool = False,
-              vlan: bool = False) -> np.ndarray:
+              vlan: bool = False, _geom=None) -> np.ndarray:
     """uint8[N] TCP flag bytes (FIN=0x01, SYN=0x02, RST=0x04, ...) where
     readable, else 0 — the FIN/RST observation hook for flow-stream
     eviction.  Best-effort by design: a capture too shallow to show the
     flags byte simply reports 0 (no flags seen), it does not raise —
     eviction is a resource policy, not a correctness input."""
     buf, base, cap = pcap.buf, pcap.offsets, pcap.caplens
-    l2 = l2_sizes(pcap, vlan=vlan)
     n = base.shape[0]
-    _, iplen = _ip_geometry(pcap, ipv6, vlan)
+    l2, _, iplen = _geom if _geom is not None else _flow_geom(
+        pcap, ipv6, vlan
+    )
     readable = cap >= l2 + iplen + 14
     flags = np.zeros(n, np.uint8)
     if len(buf):
@@ -316,7 +331,9 @@ def extract_flows(
     and count zero)."""
     if reorder and mode != "tcp":
         raise ValueError("reorder=True applies to TCP flows only")
-    valid, keys, off, ln = flow_keys(pcap, mode, ipv6=ipv6, vlan=vlan)
+    geom = _flow_geom(pcap, ipv6, vlan)
+    valid, keys, off, ln = flow_keys(pcap, mode, ipv6=ipv6, vlan=vlan,
+                                     _geom=geom)
     n = valid.shape[0]
     flow_of_packet = np.full(n, -1, np.int64)
     vidx = np.flatnonzero(valid)
@@ -364,7 +381,7 @@ def extract_flows(
         # trim retransmitted/overlapping bytes (first bytes win) — the
         # capture-order default silently produces wrong stream bytes on
         # real captures that reorder or retransmit (VERDICT r4 weak #3).
-        seqs = tcp_seqs(pcap, valid, ipv6=ipv6, vlan=vlan)
+        seqs = tcp_seqs(pcap, valid, ipv6=ipv6, vlan=vlan, _geom=geom)
         order2, trim, keep = reorder_plan(f_nz, seqs[pkt_nz], len_nz)
         f_s = f_nz[order2]
         len_s = keep

@@ -188,17 +188,25 @@ class FlowStreamMatcher:
         (capture order — the same reassembly contract as io.flows; with
         ``reorder`` the segment's TCP seq rides along and ordering happens
         at scan time)."""
+        from multithreading_string_matching_tpu.io.flows import _flow_geom
+
+        # One per-packet geometry pass (VLAN tag walk + IHL reads) shared
+        # by keys/seqs/flags — re-walking it per helper tripled the
+        # vectorized host work on this ingest hot path.
+        geom = _flow_geom(pcap, self.ipv6, self.vlan)
         valid, keys, off, ln = flow_keys(pcap, self.mode, ipv6=self.ipv6,
-                                         vlan=self.vlan)
+                                         vlan=self.vlan, _geom=geom)
         seqs = flags = None
         if self.reorder:
             from multithreading_string_matching_tpu.io.flows import tcp_seqs
 
-            seqs = tcp_seqs(pcap, valid, ipv6=self.ipv6, vlan=self.vlan)
+            seqs = tcp_seqs(pcap, valid, ipv6=self.ipv6, vlan=self.vlan,
+                            _geom=geom)
         if self.fin_evict:
             from multithreading_string_matching_tpu.io.flows import tcp_flags
 
-            flags = tcp_flags(pcap, ipv6=self.ipv6, vlan=self.vlan)
+            flags = tcp_flags(pcap, ipv6=self.ipv6, vlan=self.vlan,
+                              _geom=geom)
         buf = pcap.buf
         for pkt in np.flatnonzero(valid):
             n = int(ln[pkt])
@@ -340,11 +348,18 @@ class FlowStreamMatcher:
         longest_new = max(len(r) - H for r in rows_src)
         for c in range(0, longest_new, S):
             sl = [r[c : c + H + S] for r in rows_src]
-            lens = np.array([len(s) for s in sl], np.int32)
-            # Rows already exhausted contribute nothing (length <= H
-            # cannot satisfy end > H).
-            L = int(lens.max())
-            mat = np.zeros((len(sl), L), np.uint8)
+            lens_l = np.array([len(s) for s in sl], np.int32)
+            # Quantize BOTH axes (pow2 rows, pow2 columns) so a long
+            # stream reuses O(log) compiled find executables — the same
+            # rule as the count path's lane layout; exact shapes would
+            # recompile nearly every round (minutes each through the
+            # remote tunnel).  Padding rows are length 0 and the column
+            # pad is zeros past each row's length — neither can match.
+            R = _pow2(len(sl), self.min_lanes)
+            Lq = 1 << max(0, (int(lens_l.max()) - 1).bit_length())
+            mat = np.zeros((R, Lq), np.uint8)
+            lens = np.zeros(R, np.int32)
+            lens[: len(sl)] = lens_l
             for i, s in enumerate(sl):
                 mat[i, : len(s)] = np.frombuffer(s, np.uint8)
             rows = np.asarray(self.matcher.find_matches(mat, lens))

@@ -225,3 +225,38 @@ def test_offsets_chunk_smaller_than_halo_clamped(tmp_path, monkeypatch):
     want = _oneshot(pcap, m)
     _, got, _ = _streamed(pcap, m, step=2, scan_bytes=128)
     assert got == want and len(got) == 2
+
+
+def test_cli_stream_guards_and_host_workers(tmp_path, capsys):
+    cap = tmp_path / "g.pcap"
+    synth_tcp_flows_pcap(cap, FLOWS, interleave_seed=2)
+    strings = tmp_path / "strings.txt"
+    strings.write_text("SIGNATURE\nSIG\n")
+    base = ["match", "--pcap", str(cap), "--patterns", str(strings),
+            "--mode", "tcp", "--flows", "--stream", "--json"]
+    # --distributed must error loudly, not silently run single-host.
+    with pytest.raises(SystemExit, match="--distributed"):
+        main(base + ["--distributed"])
+    # --host-workers threads the ingest stage; counts identical.
+    code = main(base + ["--host-workers", "2"])
+    got = json.loads(capsys.readouterr().out)
+    assert code == 0 and got["counts"] == [1, 4]
+
+
+def test_cli_stream_offsets_text_incremental(tmp_path, capsys):
+    """Text mode emits each triple as its round drains — before the final
+    report — so the daemon shape stays bounded-memory."""
+    cap = tmp_path / "t.pcap"
+    synth_tcp_flows_pcap(cap, FLOWS, interleave_seed=2)
+    strings = tmp_path / "strings.txt"
+    strings.write_text("SIGNATURE\nSIG\n")
+    code = main([
+        "match", "--pcap", str(cap), "--patterns", str(strings),
+        "--mode", "tcp", "--flows", "--stream", "--offsets",
+    ])
+    out = capsys.readouterr().out
+    assert code == 0
+    flow_lines = [ln for ln in out.splitlines() if ln.startswith("flow ")]
+    assert len(flow_lines) == 5  # SIGNATURE x1 + SIG x4
+    # Incremental: every triple precedes the final report banner.
+    assert out.index("flow ") < out.index("Printing the number")

@@ -141,3 +141,59 @@ def test_flow_stream_sighup_bad_rules_keeps_old(tmp_path):
     assert "# rules reload failed, keeping old set" in err_f.read_text()
     # The whole stream counted under the surviving old set.
     assert "SIG: 2 times!" in out_f.read_text()
+
+
+@pytest.mark.skipif(not hasattr(signal, "SIGHUP"), reason="no SIGHUP")
+def test_flow_stream_sighup_json_epochs(tmp_path):
+    """Under --json the epoch record is a machine-readable stderr JSON
+    line and the final blob says how many reloads happened (its counts
+    cover only the last epoch)."""
+    import json
+
+    from multithreading_string_matching_tpu.io.synth import (
+        synth_tcp_flows_pcap,
+    )
+
+    cap = tmp_path / "flow.pcap"
+    synth_tcp_flows_pcap(
+        cap, [(("10.0.0.1", "10.0.0.2", 1111, 80),
+               b"xxSIGyySIGNATUREzz", [7, 11])],
+    )
+    raw = cap.read_bytes()
+    split = _split_capture(cap, 1)
+    rules = tmp_path / "rules.txt"
+    rules.write_text("SIG\n")
+    out_f, err_f = tmp_path / "out.log", tmp_path / "err.log"
+    env = dict(os.environ, MSM_PLATFORM="cpu", PYTHONUNBUFFERED="1",
+               MSM_FLOW_BATCH="1")
+    with open(out_f, "wb") as out, open(err_f, "wb") as err:
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-m",
+             "multithreading_string_matching_tpu", "match",
+             "--pcap", "-", "--patterns", str(rules), "--mode", "tcp",
+             "--flows", "--stream", "--json"],
+            stdin=subprocess.PIPE, stdout=out, stderr=err, env=env,
+        )
+        try:
+            proc.stdin.write(raw[:split])
+            proc.stdin.flush()
+            _wait_consumed(proc.pid, 120)
+            rules.write_text("SIGNATURE\n")
+            proc.send_signal(signal.SIGHUP)
+            time.sleep(0.5)
+            proc.stdin.write(raw[split:])
+            proc.stdin.close()
+            proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+    assert proc.returncode == 0
+    epoch_lines = [json.loads(ln) for ln in err_f.read_text().splitlines()
+                   if ln.startswith("{")]
+    assert epoch_lines and epoch_lines[0]["reload"] == 1
+    assert epoch_lines[0]["patterns"] == ["SIG"]
+    assert epoch_lines[0]["counts"] == [1]
+    blob = json.loads(out_f.read_text())
+    assert blob["reloads"] == 1
+    assert blob["patterns"] == ["SIGNATURE"] and blob["counts"] == [1]
