@@ -75,6 +75,29 @@ def main(argv):
         if d > 0:
             print(f"# per-packet scanning would have MISSED {d} x "
                   f"{p.decode('latin-1')!r} (split across segments)")
+
+    # The same alerts from the UNBOUNDED streaming monitor (the daemon
+    # shape — `match --flows --stream --offsets`): per-flow carried tails,
+    # bounded pending, positions identical to the one-shot reassembly.
+    from multithreading_string_matching_tpu.io.flows import key_tuple_bytes
+    from multithreading_string_matching_tpu.io.pcap import slice_pcap
+    from multithreading_string_matching_tpu.parallel.flow_stream import (
+        FlowStreamMatcher,
+    )
+
+    fs = FlowStreamMatcher(matcher, mode, engine="window",
+                           collect_offsets=True, scan_bytes=64)
+    for s in range(0, pcap.num_packets, 4):
+        fs.feed_pcap_slice(slice_pcap(pcap, s, s + 4, copy=False))
+        for k, o, u in fs.drain_offsets():   # alerts stream per round
+            src, dst, sp, dp = key_tuple_bytes(k)
+            print(f"STREAM-ALERT flow {src}:{sp} -> {dst}:{dp} @ {o}: "
+                  f"{uniq[u].decode('latin-1')!r}")
+    fs.flush()
+    for k, o, u in fs.drain_offsets():
+        src, dst, sp, dp = key_tuple_bytes(k)
+        print(f"STREAM-ALERT flow {src}:{sp} -> {dst}:{dp} @ {o}: "
+              f"{uniq[u].decode('latin-1')!r}")
     return 0
 
 
