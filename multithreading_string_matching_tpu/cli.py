@@ -598,9 +598,8 @@ def _run_match(a, cfg, pcap_paths) -> int:
             # Streamed attribution needs the per-flow byte tail only the
             # window layout carries (the per-round find pass reads it);
             # counts are engine-identical, so the remap is free.
-            if a.sharded:
-                raise SystemExit("--flows --stream --offsets does not "
-                                 "compose with --sharded yet")
+            # --sharded composes: the find pass is host-driven and
+            # independent of how the count rounds shard their lanes.
             fse = "window"
         if a.sharded and a.shard_axis in ("patterns", "both"):
             # auto resolves to the lane axis here; only an EXPLICIT

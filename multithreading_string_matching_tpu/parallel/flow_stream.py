@@ -168,11 +168,8 @@ class FlowStreamMatcher:
                 "collect_offsets=True needs engine='window' (the find "
                 "pass reads the per-flow byte tail)"
             )
-        if collect_offsets and sharded:
-            raise ValueError(
-                "collect_offsets=True does not compose with sharded=True "
-                "yet (the find pass runs on the default device)"
-            )
+        # sharded=True composes: the find pass is host-driven and
+        # independent of how the COUNT rounds shard their lanes.
         self.collect_offsets = collect_offsets
         self._flow_base: dict = {}   # key -> stream bytes already scanned
         self._offsets: list = []     # undrained (key, offset, unique) hits

@@ -154,13 +154,26 @@ def test_eviction_restarts_stream_offsets(tmp_path):
     assert k2 == k and off == 2 and fs.counts().tolist() == [2]
 
 
-def test_engine_and_sharded_guards():
+def test_engine_guard():
     m = Matcher(PATS)
     with pytest.raises(ValueError, match="window"):
         FlowStreamMatcher(m, "tcp", engine="ac", collect_offsets=True)
-    with pytest.raises(ValueError, match="sharded"):
-        FlowStreamMatcher(m, "tcp", engine="window", collect_offsets=True,
-                          sharded=True)
+
+
+def test_offsets_compose_with_sharded(tmp_path):
+    """collect_offsets + sharded lanes: the find pass is host-driven and
+    independent of how the count rounds shard — triples AND counts both
+    equal the unsharded/one-shot answers on the 8-device mesh."""
+    pcap = _capture(tmp_path)
+    m = Matcher(PATS)
+    want = _oneshot(pcap, m)
+    fs, got, hits = _streamed(pcap, m, step=2, scan_bytes=8, sharded=True)
+    assert got == want
+    bc = np.bincount(
+        [u for _, _, u in hits],
+        minlength=len(m.window.unique_patterns),
+    )[m.window.dup_map]
+    assert fs.counts().tolist() == bc.tolist()
 
 
 def test_cli_stream_offsets_equal_oneshot(tmp_path, capsys):
