@@ -167,17 +167,38 @@ def _flow_case(pats, texts, crng):
             int(crng.integers(0, pcap.num_packets + 1))
             if crng.random() < 0.3 else None
         )
+        # Mid-capture rule reload to an IDENTICAL pattern set: for the
+        # window engine the tails carry, so old_epoch + new_epoch counts
+        # must equal the uninterrupted oracle exactly, and offset triples
+        # (bases persist across the swap) must equal the one-shot find.
+        # (in-order captures only: a forced mid-capture round would
+        # split a scrambled capture's reordering across rounds — the
+        # documented one-round streaming bound, not a bug)
+        reload_at = (
+            int(crng.integers(0, pcap.num_packets + 1))
+            if fse == "window" and not pathological
+            and crng.random() < 0.25 else None
+        )
+        epoch_counts = np.zeros(len(pats), np.int64)
+        collected = []
         for s0 in range(0, pcap.num_packets, step):
             if ckpt_at is not None and s0 >= ckpt_at:
                 ck = fs.save(pathlib.Path(d) / "ck")
                 fs = mk_fs()
                 fs.load(ck)
                 ckpt_at = None
+            if reload_at is not None and s0 >= reload_at:
+                fs.flush()
+                if offsets_on:
+                    collected.extend(fs.drain_offsets())
+                epoch_counts += fs.reload(Matcher(pats, engine="ac"))
+                reload_at = None
             fs.feed_pcap_slice(slice_pcap(pcap, s0, s0 + step, copy=False))
         fs.flush()
-        if fs.counts().tolist() != want:
+        total = (epoch_counts + fs.counts()).tolist()
+        if total != want:
             return False, (
-                f"stream got={fs.counts().tolist()} want={want} "
+                f"stream got={total} want={want} "
                 f"(ipv6={ipv6} pathological={pathological} vlan={vlan} engine={fse})"
             )
         if offsets_on:
@@ -185,7 +206,7 @@ def _flow_case(pats, texts, crng):
                 key_tuple_bytes,
             )
 
-            hits = fs.drain_offsets()
+            hits = collected + fs.drain_offsets()
             bc = np.bincount(
                 [u for _, _, u in hits],
                 minlength=len(m.window.unique_patterns),
